@@ -1,0 +1,87 @@
+"""The universal group walk — X-only one-to-many point addition.
+
+This is the TPU re-design of the reference's single hot loop (the
+"group walk" shared by every search mode, e.g. keyhunt.cpp:3873-3999 for
+BSGS giant steps, :2593-2711 for address search, :4437-4492 for baby-table
+build): walk many consecutive curve points from a center using ONE batched
+modular inversion.
+
+Where the reference walks 1024 points sequentially per thread, we compute
+a whole (targets x offsets) tile of additions in parallel:
+
+    X(C_t + u*S)  for all targets t and offsets u = 1..U
+
+with one chunked-Montgomery batched inversion over all T*U denominators.
+The symmetric variant also produces X(C_t - u*S) from the *same* inverse
+(x(-uS) == x(uS), so the denominators coincide — the reference's +-i*G
+trick, keyhunt.cpp:3886-3943, now a lane-level reuse instead of a loop
+trick).
+
+Degenerate lanes (C == +-uS, i.e. the true solution sits exactly on the
+center) cannot be inverted; they are masked to 1 and *flagged* so the
+engine host-verifies those candidate scalars exactly — replacing the
+reference's scattered special cases (keyhunt.cpp:4352-4363).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+
+from ..field import fe
+from .points import PointBatch, add
+
+
+class WalkResult(NamedTuple):
+    x_plus: jnp.ndarray  # (T, U, 8) x-coords of C_t + u*S (u = 1..U)
+    x_minus: jnp.ndarray | None  # (T, U, 8) x-coords of C_t - u*S (or None)
+    degenerate: jnp.ndarray  # (T, U) bool — lane had dx == 0, x invalid
+
+
+def _one_limbs(shape) -> jnp.ndarray:
+    return jnp.zeros(shape + (fe.LIMBS,), dtype=jnp.uint32).at[..., 0].set(1)
+
+
+def xonly_walk(
+    center: PointBatch,
+    table_x: jnp.ndarray,
+    table_y: jnp.ndarray,
+    symmetric: bool = False,
+    chain_len: int = 32,
+) -> WalkResult:
+    """X-coordinates of center_t + u*S (and optionally - u*S).
+
+    center: PointBatch with batch shape (T,). table_x/y: (U, 8) limbs of
+    u*S for u = 1..U. Returns (T, U, 8) x-coords. The center itself (u=0)
+    is NOT included — engines account for it in their index algebra.
+    """
+    cx = center.x[:, None, :]  # (T, 1, 8)
+    cy = center.y[:, None, :]
+    tx = table_x[None, :, :]  # (1, U, 8)
+    ty = table_y[None, :, :]
+
+    dx = fe.sub_mod_p(tx, cx)  # (T, U, 8) broadcasts
+    degenerate = fe.is_zero(dx)
+    dx_safe = fe.select(degenerate, _one_limbs(dx.shape[:-1]), dx)
+    inv_dx = fe.batch_inv_mod_p(dx_safe, chain_len=chain_len)
+
+    lam_p = fe.mul_mod_p(fe.sub_mod_p(ty, cy), inv_dx)
+    x_base = fe.sub_mod_p(cx, tx)  # note: -(x_c + x_t) staged below
+    # x3 = lam^2 - x_c - x_t
+    x_plus = fe.sub_mod_p(fe.sub_mod_p(fe.sqr_mod_p(lam_p), cx), tx)
+
+    x_minus = None
+    if symmetric:
+        # -uS = (x_t, -y_t): same dx, lambda = (-y_t - y_c) / dx
+        lam_m = fe.mul_mod_p(
+            fe.neg_mod_p(fe.add_mod_p(ty, cy)), inv_dx
+        )
+        x_minus = fe.sub_mod_p(fe.sub_mod_p(fe.sqr_mod_p(lam_m), cx), tx)
+    del x_base
+    return WalkResult(x_plus, x_minus, degenerate)
+
+
+def advance(center: PointBatch, step: PointBatch, chain_len: int = 8) -> PointBatch:
+    """Full (x and y) add: move every center by the block stride."""
+    return add(center, step, chain_len=chain_len)
