@@ -82,6 +82,45 @@ def xonly_walk(
     return WalkResult(x_plus, x_minus, degenerate)
 
 
+class FullWalkResult(NamedTuple):
+    x_plus: jnp.ndarray  # (T, U, 8)
+    y_plus: jnp.ndarray
+    x_minus: jnp.ndarray | None
+    y_minus: jnp.ndarray | None
+    degenerate: jnp.ndarray  # (T, U) bool
+
+
+def full_walk(
+    center: PointBatch,
+    table_x: jnp.ndarray,
+    table_y: jnp.ndarray,
+    symmetric: bool = False,
+    chain_len: int = 32,
+) -> FullWalkResult:
+    """Group walk producing both coordinates (for keccak/uncompressed
+    pipelines that hash x||y). ~2 extra modmuls per point over xonly."""
+    cx = center.x[:, None, :]
+    cy = center.y[:, None, :]
+    tx = table_x[None, :, :]
+    ty = table_y[None, :, :]
+
+    dx = fe.sub_mod_p(tx, cx)
+    degenerate = fe.is_zero(dx)
+    dx_safe = fe.select(degenerate, _one_limbs(dx.shape[:-1]), dx)
+    inv_dx = fe.batch_inv_mod_p(dx_safe, chain_len=chain_len)
+
+    lam_p = fe.mul_mod_p(fe.sub_mod_p(ty, cy), inv_dx)
+    x_p = fe.sub_mod_p(fe.sub_mod_p(fe.sqr_mod_p(lam_p), cx), tx)
+    y_p = fe.sub_mod_p(fe.mul_mod_p(lam_p, fe.sub_mod_p(cx, x_p)), cy)
+
+    x_m = y_m = None
+    if symmetric:
+        lam_m = fe.mul_mod_p(fe.neg_mod_p(fe.add_mod_p(ty, cy)), inv_dx)
+        x_m = fe.sub_mod_p(fe.sub_mod_p(fe.sqr_mod_p(lam_m), cx), tx)
+        y_m = fe.sub_mod_p(fe.mul_mod_p(lam_m, fe.sub_mod_p(cx, x_m)), cy)
+    return FullWalkResult(x_p, y_p, x_m, y_m, degenerate)
+
+
 def advance(center: PointBatch, step: PointBatch, chain_len: int = 8) -> PointBatch:
     """Full (x and y) add: move every center by the block stride."""
     return add(center, step, chain_len=chain_len)

@@ -1,0 +1,330 @@
+"""Baby-Step Giant-Step engine, TPU-native.
+
+Index algebra (re-derived from scratch; capability of reference
+keyhunt.cpp:962-2093 setup + :3778-4368 search/verification):
+
+- stride = 2m. Centers c_i = a + m + i*stride tile the range [a, b).
+- Baby table: 64-bit-truncated x(j*G) for j = 1..m, payload j, in a
+  sorted device table (filter/sorted_table.py) — replacing the
+  reference's 3-bloom cascade + 6-byte bPtable with one exact structure.
+- Giant walk: P(t, i) = Q_t - c_i*G. A device step walks U consecutive
+  centers for all T targets at once via the X-only group walk with the
+  offset table tab[u] = u * S, S = -(stride)*G:
+      P_base(s) = Q_t - (c_{sU} - stride)*G;  P_base + u*S = P(t, sU+u-1)
+  then advances P_base by U*S. K steps run inside one jitted lax.scan
+  chunk; only (K, T)-shaped hit summaries return to the host.
+- Hit at (t, s, u) with baby index j means x(P) == x(j*G), i.e.
+  k = c +- j (X-only match covers both signs; the reference handles the
+  same +-j duality at keyhunt.cpp:4330-4363). The host verifies both
+  candidates exactly (ref/ecref) before reporting.
+- Degenerate walk lanes (dx == 0) mean P_base = -+u*S, i.e. the solution
+  IS the center: k = c_base +- u*stride; host-verified the same way.
+
+Every giant step covers `stride` keys, so keys/s = steps/s * U * stride.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..curve import points, tables, walk
+from ..field import fe
+from ..filter import sorted_table as st
+from ..ref import ecref
+from .common import FoundKey, SearchStats, verify_candidate_scalar
+
+
+@dataclass(frozen=True)
+class BSGSParams:
+    m: int = 1 << 20  # baby steps
+    block_u: int = 1024  # giant centers per device step (U)
+    steps_per_chunk: int = 16  # K: device steps per jit call
+    build_block: int = 4096  # baby points per build step
+    chain_len: int = 32  # batch-inverse chain length
+
+
+class BSGSEngine:
+    """Single-host BSGS search over one device (sharding in parallel/)."""
+
+    def __init__(
+        self,
+        pubkeys: Sequence[Tuple[int, int]],
+        range_start: int,
+        range_end: int,
+        params: BSGSParams = BSGSParams(),
+        table: Optional[st.SortedXTable] = None,
+    ):
+        if not (1 <= range_start < range_end <= ecref.N):
+            raise ValueError("bad range")
+        self.targets = list(pubkeys)
+        self.a = range_start
+        self.b = range_end
+        self.p = params
+        self.stats = SearchStats()
+
+        m = params.m
+        self.stride = 2 * m
+        n_centers = max(1, math.ceil((self.b - self.a) / self.stride))
+        self.n_steps = math.ceil(n_centers / params.block_u)
+
+        # --- device constants -------------------------------------------
+        stride_pt = ecref.scalar_mult(self.stride)
+        s_pt = ecref.point_neg(stride_pt)  # S = -(stride)*G
+        tab_x, tab_y = tables.step_table(s_pt, params.block_u)
+        self.tab_x = jnp.asarray(tab_x)
+        self.tab_y = jnp.asarray(tab_y)
+        big = ecref.scalar_mult(params.block_u * self.stride)
+        big = ecref.point_neg(big)  # U*S
+        self.big_step = points.point_batch_from_ints([big] * len(self.targets))
+
+        self.table = table if table is not None else self.build_baby_table()
+        self._chunk_fn = self._make_chunk_fn()
+
+    # ------------------------------------------------------------------
+    # baby table
+    # ------------------------------------------------------------------
+
+    def build_baby_table(self, progress: bool = False) -> st.SortedXTable:
+        """Device-built baby table: x(j*G), j = 1..m.
+
+        Block t >= 1 walks (t*Ub)*G + u*G for u = 1..Ub; block 0 is the
+        host-precomputed u*G offset table itself (reference analog:
+        thread_bPload, keyhunt.cpp:4404-4592, without the mutex farm —
+        blocks are disjoint by construction).
+        """
+        p = self.p
+        ub = p.build_block
+        n_blocks = math.ceil(p.m / ub)
+        btab_x, btab_y = tables.step_table(ecref.G, ub)
+        jbtab_x, jbtab_y = jnp.asarray(btab_x), jnp.asarray(btab_y)
+
+        @jax.jit
+        def build_chunk(cx, cy):
+            c = points.PointBatch(cx, cy, jnp.zeros(cx.shape[:-1], dtype=bool))
+            res = walk.xonly_walk(c, jbtab_x, jbtab_y, chain_len=p.chain_len)
+            qhi, qlo = st.trunc64_from_limbs(res.x_plus)
+            nxt = walk.advance(
+                c,
+                points.PointBatch(
+                    jbtab_x[-1][None], jbtab_y[-1][None],
+                    jnp.zeros((1,), dtype=bool),
+                ),
+                chain_len=1,
+            )
+            return nxt.x, nxt.y, qhi[0], qlo[0], res.degenerate[0]
+
+        his = np.empty(n_blocks * ub, dtype=np.uint32)
+        los = np.empty(n_blocks * ub, dtype=np.uint32)
+        idxs = (np.arange(n_blocks * ub, dtype=np.uint64) + 1).astype(np.uint32)
+
+        # block 0 straight from the host table
+        his[:ub] = btab_x[:, 1]
+        los[:ub] = btab_x[:, 0]
+
+        cur = points.point_batch_from_ints([ecref.scalar_mult(ub)])
+        cx, cy = cur.x, cur.y
+        for t in range(1, n_blocks):
+            cx, cy, qhi, qlo, deg = build_chunk(cx, cy)
+            his[t * ub : (t + 1) * ub] = np.asarray(qhi)
+            los[t * ub : (t + 1) * ub] = np.asarray(qlo)
+            degn = np.asarray(deg)
+            if degn.any():
+                # patch degenerate lanes exactly (e.g. block 1 u=Ub is the
+                # doubling case (Ub)*G + (Ub)*G)
+                for u in np.nonzero(degn)[0]:
+                    j = t * ub + int(u) + 1
+                    x = ecref.scalar_mult(j)[0]
+                    his[t * ub + int(u)] = (x >> 32) & 0xFFFFFFFF
+                    los[t * ub + int(u)] = x & 0xFFFFFFFF
+            if progress and t % 64 == 0:
+                print(f"[baby build] block {t}/{n_blocks}")
+
+        return st.build_sorted_table(his[: p.m], los[: p.m], idxs[: p.m])
+
+    # ------------------------------------------------------------------
+    # table persistence (reference -S files, keyhunt.cpp:1373-2025)
+    # ------------------------------------------------------------------
+
+    def save_table(self, path: str) -> None:
+        t = self.table
+        arr_hi, arr_lo, arr_idx = (np.asarray(t.hi), np.asarray(t.lo), np.asarray(t.idx))
+        digest = hashlib.sha256(
+            arr_hi.tobytes() + arr_lo.tobytes() + arr_idx.tobytes()
+        ).digest()
+        np.savez(
+            path,
+            version=np.int64(1),
+            m=np.int64(self.p.m),
+            hi=arr_hi,
+            lo=arr_lo,
+            idx=arr_idx,
+            checksum=np.frombuffer(digest, dtype=np.uint8),
+        )
+
+    @staticmethod
+    def load_table(path: str, verify_checksum: bool = True) -> st.SortedXTable:
+        with np.load(path) as z:
+            if int(z["version"]) != 1:
+                raise ValueError("unsupported table version")
+            hi, lo, idx = z["hi"], z["lo"], z["idx"]
+            if verify_checksum:
+                digest = hashlib.sha256(
+                    hi.tobytes() + lo.tobytes() + idx.tobytes()
+                ).digest()
+                if digest != z["checksum"].tobytes():
+                    raise ValueError("baby table checksum mismatch")
+            return st.SortedXTable(jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(idx))
+
+    # ------------------------------------------------------------------
+    # giant-step search
+    # ------------------------------------------------------------------
+
+    def _initial_base(self, step0: int = 0) -> points.PointBatch:
+        """P_base(s=step0) per target (host-exact)."""
+        c_base = self.a + self.p.m + (step0 * self.p.block_u - 1) * self.stride
+        neg = (-c_base) % ecref.N
+        offset = ecref.scalar_mult(neg)
+        pts = [ecref.point_add(q, offset) for q in self.targets]
+        if any(pt is None for pt in pts):
+            # Q == c_base*G: the solution is exactly the initial base center
+            raise _ImmediateHit(c_base)
+        return points.point_batch_from_ints(pts)
+
+    def _make_chunk_fn(self):
+        tab_x, tab_y = self.tab_x, self.tab_y
+        table = self.table
+        big = self.big_step
+        T = len(self.targets)
+        U = self.p.block_u
+        K = self.p.steps_per_chunk
+        chain = self.p.chain_len
+
+        @jax.jit
+        def chunk(px, py):
+            def body(carry, _):
+                cx, cy = carry
+                pb = points.PointBatch(cx, cy, jnp.zeros((T,), dtype=bool))
+                res = walk.xonly_walk(pb, tab_x, tab_y, chain_len=chain)
+                qhi, qlo = st.trunc64_from_limbs(res.x_plus)  # (T, U)
+                lr = st.lookup(table, qhi.reshape(-1), qlo.reshape(-1))
+                hit = (lr.found | lr.found2).reshape(T, U) & ~res.degenerate
+                # per-target first-hit summary
+                n_hit = hit.sum(axis=1).astype(jnp.int32)  # (T,)
+                first_u = jnp.argmax(hit, axis=1).astype(jnp.int32)  # (T,)
+                flat_first = jnp.arange(T, dtype=jnp.int32) * U + first_u
+                bidx = lr.idx[flat_first]
+                bidx2 = jnp.where(lr.found2[flat_first], lr.idx2[flat_first], 0)
+                n_deg = res.degenerate.sum(axis=1).astype(jnp.int32)
+                first_deg = jnp.argmax(res.degenerate, axis=1).astype(jnp.int32)
+                nxt = walk.advance(pb, big, chain_len=1)
+                out = (n_hit, first_u, bidx, bidx2, n_deg, first_deg)
+                return (nxt.x, nxt.y), out
+
+            (px, py), outs = jax.lax.scan(body, (px, py), None, length=K)
+            return px, py, outs
+
+        return chunk
+
+    def _center(self, step: int, u: int) -> int:
+        """Center scalar for device step `step`, offset u in 1..U."""
+        return self.a + self.p.m + (step * self.p.block_u + u - 1) * self.stride
+
+    def _candidates_for_hit(self, step: int, u: int, baby: int) -> List[int]:
+        c = self._center(step, u)
+        return [c - baby, c + baby]
+
+    def _candidates_for_degenerate(self, step: int, u: int) -> List[int]:
+        c_base = self._center(step, 0)  # = c_{sU} - stride
+        return [c_base - u * self.stride, c_base + u * self.stride]
+
+    def search(
+        self,
+        max_steps: Optional[int] = None,
+        start_step: int = 0,
+        stop_on_first: bool = True,
+        progress_every: int = 0,
+    ) -> List[FoundKey]:
+        """Run the giant-step scan. Returns verified found keys."""
+        p = self.p
+        try:
+            base = self._initial_base(start_step)
+        except _ImmediateHit as hit:
+            return self._try_candidates([hit.scalar])
+
+        found: List[FoundKey] = []
+        px, py = base.x, base.y
+        total = self.n_steps if max_steps is None else min(self.n_steps, max_steps)
+        step = start_step
+        end_step = start_step + total
+        while step < end_step:
+            k = min(p.steps_per_chunk, end_step - step)
+            px, py, outs = self._chunk_fn(px, py)
+            n_hit, first_u, bidx, bidx2, n_deg, first_deg = (
+                np.asarray(o) for o in outs
+            )
+            # only the first k steps of the chunk are within range
+            interesting = (n_hit[:k].any() or n_deg[:k].any())
+            if interesting:
+                found += self._decode_chunk(
+                    step, k, n_hit, first_u, bidx, bidx2, n_deg, first_deg
+                )
+                if found and stop_on_first:
+                    self.stats.add(k * p.block_u * self.stride)
+                    return found
+            self.stats.add(k * p.block_u * self.stride)
+            step += p.steps_per_chunk
+            if progress_every and (step // p.steps_per_chunk) % progress_every == 0:
+                print(f"[bsgs] step {step}/{end_step} {self.stats.human()}")
+        return found
+
+    def _decode_chunk(
+        self, step0, k, n_hit, first_u, bidx, bidx2, n_deg, first_deg
+    ) -> List[FoundKey]:
+        found = []
+        T = len(self.targets)
+        for s in range(k):
+            for t in range(T):
+                if n_hit[s, t] > 0:
+                    u = int(first_u[s, t]) + 1
+                    cands = []
+                    for j in (int(bidx[s, t]), int(bidx2[s, t])):
+                        if j:
+                            cands += self._candidates_for_hit(step0 + s, u, j)
+                    found += self._try_candidates(cands, t)
+                if n_deg[s, t] > 0:
+                    u = int(first_deg[s, t]) + 1
+                    found += self._try_candidates(
+                        self._candidates_for_degenerate(step0 + s, u), t
+                    )
+        return found
+
+    def _try_candidates(self, cands: Sequence[int], t: int = 0) -> List[FoundKey]:
+        out = []
+        for cand in cands:
+            k = verify_candidate_scalar(cand, self.targets[t])
+            if k is not None:
+                out.append(
+                    FoundKey(
+                        private_key=k,
+                        pubkey=self.targets[t],
+                        target=f"{self.targets[t][0]:064x}",
+                    )
+                )
+        # dedupe (both +-j candidates can verify when j maps both ways)
+        seen: Dict[int, FoundKey] = {}
+        for f in out:
+            seen[f.private_key] = f
+        return list(seen.values())
+
+
+class _ImmediateHit(Exception):
+    def __init__(self, scalar: int):
+        self.scalar = scalar

@@ -1,0 +1,91 @@
+"""Shared engine machinery: found keys, verification, stats, persistence.
+
+Found keys are appended to KEYFOUNDKEYFOUND.txt (reference writekey,
+keyhunt.cpp:5989-6021) and every device candidate is re-verified with the
+exact python-int golden reference before being reported (the role GMP
+verification plays in the reference's bsgs_thirdcheck, keyhunt.cpp:4330-4363).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+from ..ref import ecref, hashref
+
+
+@dataclass(frozen=True)
+class FoundKey:
+    private_key: int
+    pubkey: Tuple[int, int]
+    compressed: bool = True
+    target: str = ""
+
+    def to_lines(self) -> str:
+        pk = self.private_key
+        pub = hashref.ecref.serialize_pubkey(self.pubkey, self.compressed).hex()
+        addr = hashref.pubkey_to_address(self.pubkey, self.compressed)
+        return (
+            f"Private key: {pk:064x}\n"
+            f"Pubkey: {pub}\n"
+            f"Address: {addr}\n"
+            f"Target: {self.target}\n"
+        )
+
+
+def write_found_key(found: FoundKey, path: str = "KEYFOUNDKEYFOUND.txt") -> None:
+    with open(path, "a") as f:
+        f.write(found.to_lines())
+
+
+def verify_candidate_scalar(k: int, target_pubkey: Tuple[int, int]) -> Optional[int]:
+    """Exact check: does k*G == target (or -k, matching X-only symmetry)?
+
+    Returns the canonical private key in [1, n) or None.
+    """
+    k_mod = k % ecref.N
+    if k_mod == 0:
+        return None
+    pt = ecref.scalar_mult(k_mod)
+    if pt == target_pubkey:
+        return k_mod
+    if pt is not None and (pt[0], (-pt[1]) % ecref.P) == target_pubkey:
+        return ecref.N - k_mod
+    return None
+
+
+@dataclass
+class SearchStats:
+    """Throughput accounting (reference stats loop, keyhunt.cpp:2145-2252).
+
+    keys_covered uses the reference's convention: each giant step covers
+    its full stride of candidate keys (keyhunt.cpp:2175 steps*N);
+    multiplier covers the x2 compressed / x3 endo-xpoint / x6 endo-hash
+    accounting (:2175-2187).
+    """
+
+    keys_covered: int = 0
+    device_ops: int = 0
+    multiplier: int = 1
+    started_at: float = field(default_factory=time.time)
+
+    def add(self, keys: int, ops: int = 0) -> None:
+        self.keys_covered += keys
+        self.device_ops += ops
+
+    @property
+    def elapsed(self) -> float:
+        return max(time.time() - self.started_at, 1e-9)
+
+    @property
+    def keys_per_sec(self) -> float:
+        return self.keys_covered * self.multiplier / self.elapsed
+
+    def human(self) -> str:
+        rate = self.keys_per_sec
+        for unit in ("", "K", "M", "G", "T", "P", "E", "Z"):
+            if rate < 1000:
+                return f"{rate:.2f} {unit}keys/s"
+            rate /= 1000
+        return f"{rate:.2f} Ykeys/s"

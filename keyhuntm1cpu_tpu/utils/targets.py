@@ -1,0 +1,112 @@
+"""Target sets: parse files of addresses / hash160s / ETH / xpoints / pubkeys
+and pack them into device-searchable sorted tables.
+
+Reference parity: forceReadFileAddress (keyhunt.cpp:6301-6372), ETH reader
+(:6374-6450), xpoint reader (:6454-6557), BSGS pubkey reader (:961-1044).
+
+Packing convention (must match the device hash/curve kernels):
+- 20-byte digests (hash160 / ETH): key64 = first 8 digest bytes,
+  lo = bytes[0:4] LE, hi = bytes[4:8] LE — the same layout the device
+  ripemd160/keccak kernels emit as words 0 and 1.
+- X points: key64 = low 64 bits of X (limbs 0, 1), matching
+  filter.sorted_table.trunc64_from_limbs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..filter import sorted_table as st
+from ..ref import ecref, hashref
+
+
+@dataclass
+class TargetSet:
+    kind: str  # 'hash160' | 'eth' | 'xpoint' | 'pubkey'
+    raw: List[bytes]  # 20-byte digests or 32-byte X (for exact host compare)
+    labels: List[str]  # original text form for reporting
+    pubkeys: List[Tuple[int, int]] = field(default_factory=list)  # pubkey kind
+
+    def build_table(self) -> st.SortedXTable:
+        his, los = [], []
+        for b in self.raw:
+            if self.kind == "xpoint":
+                x = int.from_bytes(b, "big")
+                los.append(x & 0xFFFFFFFF)
+                his.append((x >> 32) & 0xFFFFFFFF)
+            else:
+                los.append(int.from_bytes(b[0:4], "little"))
+                his.append(int.from_bytes(b[4:8], "little"))
+        idx = np.arange(len(self.raw), dtype=np.uint32)
+        return st.build_sorted_table(
+            np.asarray(his, dtype=np.uint32), np.asarray(los, dtype=np.uint32), idx
+        )
+
+    def __len__(self) -> int:
+        return len(self.raw)
+
+
+def _parse_line_address(line: str) -> Optional[bytes]:
+    line = line.strip()
+    if not line:
+        return None
+    if len(line) == 40:
+        try:
+            return bytes.fromhex(line)
+        except ValueError:
+            pass
+    return hashref.b58check_decode(line)[1:]
+
+
+def parse_target_file(path: str, kind: str) -> TargetSet:
+    """Parse a text file of targets. kind in
+    {'address', 'rmd160', 'eth', 'xpoint', 'pubkey'}."""
+    raw: List[bytes] = []
+    labels: List[str] = []
+    pubkeys: List[Tuple[int, int]] = []
+    with open(path) as f:
+        lines = [ln.strip() for ln in f if ln.strip()]
+    for ln in lines:
+        tok = ln.split()[0]
+        if kind in ("address", "rmd160"):
+            h = _parse_line_address(tok)
+            if h is None or len(h) != 20:
+                raise ValueError(f"bad address/rmd160 target: {ln!r}")
+            raw.append(h)
+            labels.append(tok)
+        elif kind == "eth":
+            t = tok[2:] if tok.lower().startswith("0x") else tok
+            if len(t) != 40:
+                raise ValueError(f"bad eth target: {ln!r}")
+            raw.append(bytes.fromhex(t.lower()))
+            labels.append(tok)
+        elif kind == "xpoint":
+            t = tok
+            if len(t) in (66, 130):  # full pubkey given: take X
+                pt = ecref.parse_pubkey(t)
+                raw.append(pt[0].to_bytes(32, "big"))
+            elif len(t) == 64:
+                raw.append(bytes.fromhex(t))
+            else:
+                raise ValueError(f"bad xpoint target: {ln!r}")
+            labels.append(tok)
+        elif kind == "pubkey":
+            pt = ecref.parse_pubkey(tok)
+            pubkeys.append(pt)
+            raw.append(pt[0].to_bytes(32, "big"))
+            labels.append(tok)
+        else:
+            raise ValueError(f"unknown target kind {kind}")
+    return TargetSet(
+        kind="xpoint" if kind == "xpoint" else ("hash160" if kind in ("address", "rmd160") else kind),
+        raw=raw,
+        labels=labels,
+        pubkeys=pubkeys,
+    )
+
+
+def targets_from_ints(kind: str, values: Sequence[bytes], labels=None) -> TargetSet:
+    return TargetSet(kind=kind, raw=list(values), labels=labels or [v.hex() for v in values])

@@ -1,0 +1,68 @@
+"""Brute-force engines: recover keys 1..32 from their addresses/hashes
+(the reference's tests/1to32.txt / 1to32.rmd / 1to32.eth acceptance
+fixtures, regenerated exactly from the golden reference)."""
+
+import numpy as np
+import pytest
+
+from keyhuntm1cpu_tpu.engine.brute import BruteEngine, BruteParams
+from keyhuntm1cpu_tpu.ref import ecref, hashref
+from keyhuntm1cpu_tpu.utils.targets import TargetSet, targets_from_ints
+
+PARAMS = BruteParams(walkers=2, block_u=64, steps_per_chunk=2, chain_len=8)
+
+KEYS_1_32 = list(range(1, 33))
+PTS = {k: ecref.scalar_mult(k) for k in KEYS_1_32}
+
+
+def _target_set(kind):
+    if kind == "rmd160":
+        raw = [hashref.pubkey_to_hash160(PTS[k], compressed=True) for k in KEYS_1_32]
+    elif kind == "address_u":
+        raw = [hashref.pubkey_to_hash160(PTS[k], compressed=False) for k in KEYS_1_32]
+    elif kind == "eth":
+        raw = [hashref.pubkey_to_eth_address(PTS[k]) for k in KEYS_1_32]
+    elif kind == "xpoint":
+        raw = [PTS[k][0].to_bytes(32, "big") for k in KEYS_1_32]
+    return targets_from_ints("hash160" if kind in ("rmd160", "address_u") else kind, raw)
+
+
+@pytest.mark.parametrize("mode", ["rmd160", "xpoint", "eth", "address_u"])
+def test_recover_keys_1_to_32(mode):
+    ts = _target_set(mode)
+    eng = BruteEngine(ts, 1, 4096, mode=mode, params=PARAMS)
+    found = eng.search()
+    got = sorted(f.private_key for f in found)
+    assert got == KEYS_1_32, f"{mode}: {got}"
+
+
+def test_recover_key_deeper_in_range():
+    key = 0x123456
+    pt = ecref.scalar_mult(key)
+    ts = targets_from_ints("hash160", [hashref.pubkey_to_hash160(pt)])
+    eng = BruteEngine(ts, 0x120000, 0x130000, mode="rmd160", params=PARAMS)
+    found = eng.search(stop_on_first=True)
+    assert [f.private_key for f in found] == [key]
+    assert found[0].target == hashref.pubkey_to_hash160(pt).hex()
+
+
+def test_no_false_positives_on_empty_window():
+    key = 0x999999
+    pt = ecref.scalar_mult(key)
+    ts = targets_from_ints("hash160", [hashref.pubkey_to_hash160(pt)])
+    eng = BruteEngine(ts, 0x10000, 0x14000, mode="rmd160", params=PARAMS)
+    assert eng.search() == []
+
+
+def test_address_mode_parsing(tmp_path):
+    # address targets given as base58 (reference tests/1to32.txt format)
+    from keyhuntm1cpu_tpu.utils.targets import parse_target_file
+
+    path = tmp_path / "targets.txt"
+    addrs = [hashref.pubkey_to_address(PTS[k]) for k in (5, 6, 7)]
+    path.write_text("\n".join(addrs) + "\n")
+    ts = parse_target_file(str(path), "address")
+    eng = BruteEngine(ts, 1, 1024, mode="address", params=PARAMS)
+    found = eng.search()
+    assert sorted(f.private_key for f in found) == [5, 6, 7]
+    assert sorted(f.target for f in found) == sorted(addrs)

@@ -1,0 +1,118 @@
+"""End-to-end BSGS key recovery on small ranges (exact, bit-exact).
+
+The reference's de-facto acceptance test is "find the known key of a
+solved puzzle in its range" (SURVEY.md §4, BSGSD.md:33-96). These tests do
+that with scaled-down parameters so they run on the CPU backend.
+"""
+
+import numpy as np
+import pytest
+
+from keyhuntm1cpu_tpu.engine import BSGSEngine, BSGSParams
+from keyhuntm1cpu_tpu.ref import ecref
+
+PARAMS = BSGSParams(m=512, block_u=16, steps_per_chunk=4, build_block=128, chain_len=8)
+
+
+def _solve(key: int, a: int, b: int, params=PARAMS, **kw):
+    pub = ecref.scalar_mult(key)
+    eng = BSGSEngine([pub], a, b, params, **kw)
+    found = eng.search()
+    return eng, [f.private_key for f in found]
+
+
+@pytest.fixture(scope="module")
+def shared_engine_table():
+    # build one baby table and reuse across tests (same params)
+    pub = ecref.scalar_mult(12345)
+    eng = BSGSEngine([pub], 1, 2, PARAMS)
+    return eng.table
+
+
+def test_recover_key_mid_range(shared_engine_table):
+    key = 0xA1B2C3
+    a, b = 0xA00000, 0xB00000
+    eng, keys = _solve_with_table(key, a, b, shared_engine_table)
+    assert keys == [key]
+
+
+def _solve_with_table(key, a, b, table, targets=None):
+    pubs = targets if targets is not None else [ecref.scalar_mult(key)]
+    eng = BSGSEngine(pubs, a, b, PARAMS, table=table)
+    found = eng.search()
+    return eng, sorted(f.private_key for f in found)
+
+
+def test_recover_key_at_range_start(shared_engine_table):
+    key = 0x50000
+    eng, keys = _solve_with_table(key, key, key + 2**18, shared_engine_table)
+    assert keys == [key]
+
+
+def test_recover_key_at_center_degenerate(shared_engine_table):
+    # key exactly at a giant-step center: c_0 = a + m
+    a = 0x70000
+    key = a + PARAMS.m
+    eng, keys = _solve_with_table(key, a, a + 2**18, shared_engine_table)
+    assert key in keys
+
+
+def test_recover_key_at_baby_boundary(shared_engine_table):
+    # key at c_0 + m (edge of the first baby window)
+    a = 0x90000
+    key = a + 2 * PARAMS.m
+    eng, keys = _solve_with_table(key, a, a + 2**18, shared_engine_table)
+    assert key in keys
+
+
+def test_no_hit_when_key_outside_range(shared_engine_table):
+    key = 0x123456
+    pub = ecref.scalar_mult(key)
+    eng = BSGSEngine([pub], 0x200000, 0x280000, PARAMS, table=shared_engine_table)
+    assert eng.search() == []
+
+
+def test_multi_target(shared_engine_table):
+    k1, k2 = 0xA11111, 0xA22222
+    a, b = 0xA00000, 0xB00000
+    eng, keys = _solve_with_table(
+        k1,
+        a,
+        b,
+        shared_engine_table,
+        targets=[ecref.scalar_mult(k1), ecref.scalar_mult(k2)],
+    )
+    # stop_on_first returns at least one; run without stopping:
+    eng = BSGSEngine(
+        [ecref.scalar_mult(k1), ecref.scalar_mult(k2)],
+        a,
+        b,
+        PARAMS,
+        table=shared_engine_table,
+    )
+    found = eng.search(stop_on_first=False)
+    assert sorted(f.private_key for f in found) == [k1, k2]
+
+
+def test_table_save_load_roundtrip(tmp_path, shared_engine_table):
+    pub = ecref.scalar_mult(99)
+    eng = BSGSEngine([pub], 1, 2, PARAMS, table=shared_engine_table)
+    path = str(tmp_path / "baby.npz")
+    eng.save_table(path)
+    t2 = BSGSEngine.load_table(path)
+    assert (np.asarray(t2.hi) == np.asarray(shared_engine_table.hi)).all()
+    assert (np.asarray(t2.idx) == np.asarray(shared_engine_table.idx)).all()
+
+
+def test_baby_table_matches_golden(shared_engine_table):
+    """Every baby entry must equal the exact x(j*G) truncation."""
+    t = shared_engine_table
+    hi = np.asarray(t.hi)
+    lo = np.asarray(t.lo)
+    idx = np.asarray(t.idx)
+    sel = np.random.default_rng(5).integers(0, len(idx), size=24)
+    for s in sel:
+        j = int(idx[s])
+        x = ecref.scalar_mult(j)[0]
+        assert int(hi[s]) == (x >> 32) & 0xFFFFFFFF
+        assert int(lo[s]) == x & 0xFFFFFFFF

@@ -1,0 +1,102 @@
+"""Membership structures: sorted-table search and bloom filter."""
+
+import numpy as np
+
+from keyhuntm1cpu_tpu.filter import BloomFilter, build_sorted_table, lookup
+import jax.numpy as jnp
+
+
+def test_sorted_table_lookup():
+    rng = np.random.default_rng(42)
+    m = 1000
+    keys = rng.integers(0, 2**64, size=m, dtype=np.uint64)
+    keys = np.unique(keys)
+    m = len(keys)
+    hi = (keys >> np.uint64(32)).astype(np.uint32)
+    lo = (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    idx = np.arange(m, dtype=np.uint32) + 7
+    table = build_sorted_table(hi, lo, idx)
+
+    # present queries
+    sel = rng.integers(0, m, size=100)
+    res = lookup(table, jnp.asarray(hi[sel]), jnp.asarray(lo[sel]))
+    assert np.asarray(res.found).all()
+    # payload matches
+    key_sorted = np.sort(keys)
+    order = np.argsort(keys, kind="stable")
+    pos = np.searchsorted(key_sorted, keys[sel])
+    assert (np.asarray(res.idx) == idx[order][pos]).all()
+
+    # absent queries
+    absent = rng.integers(0, 2**64, size=100, dtype=np.uint64)
+    absent = np.setdiff1d(absent, keys)
+    res = lookup(
+        table,
+        jnp.asarray((absent >> np.uint64(32)).astype(np.uint32)),
+        jnp.asarray((absent & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+    )
+    assert not np.asarray(res.found).any()
+    assert not np.asarray(res.found2).any()
+
+
+def test_sorted_table_duplicate_keys():
+    # two entries with the same truncated key: both payloads surface
+    hi = np.array([5, 5, 9], dtype=np.uint32)
+    lo = np.array([1, 1, 2], dtype=np.uint32)
+    idx = np.array([100, 200, 300], dtype=np.uint32)
+    table = build_sorted_table(hi, lo, idx)
+    res = lookup(table, jnp.asarray([5], dtype=jnp.uint32), jnp.asarray([1], dtype=jnp.uint32))
+    assert bool(res.found[0]) and bool(res.found2[0])
+    assert {int(res.idx[0]), int(res.idx2[0])} == {100, 200}
+
+
+def test_sorted_table_boundaries():
+    hi = np.array([0, 2**32 - 1], dtype=np.uint32)
+    lo = np.array([0, 2**32 - 1], dtype=np.uint32)
+    idx = np.array([1, 2], dtype=np.uint32)
+    table = build_sorted_table(hi, lo, idx)
+    res = lookup(
+        table,
+        jnp.asarray([0, 2**32 - 1, 7], dtype=jnp.uint32),
+        jnp.asarray([0, 2**32 - 1, 7], dtype=jnp.uint32),
+    )
+    assert np.asarray(res.found).tolist() == [True, True, False]
+    assert int(res.idx[0]) == 1 and int(res.idx[1]) == 2
+
+
+def test_bloom_basic(tmp_path):
+    bf = BloomFilter.create(entries=10_000, fp_rate=1e-6)
+    rng = np.random.default_rng(0)
+    keys = rng.integers(0, 2**63, size=10_000, dtype=np.uint64)
+    bf.add(keys)
+    assert bf.check(keys).all()
+    other = rng.integers(0, 2**63, size=10_000, dtype=np.uint64)
+    other = np.setdiff1d(other, keys)
+    fp = bf.check(other).sum()
+    assert fp <= 2  # fp_rate 1e-6 over 10k queries
+
+    # persistence round-trip with checksum
+    path = str(tmp_path / "bloom.npz")
+    bf.save(path)
+    bf2 = BloomFilter.load(path)
+    assert bf2.check(keys).all()
+    assert (bf2.array == bf.array).all()
+
+
+def test_bloom_checksum_detects_corruption(tmp_path):
+    bf = BloomFilter.create(entries=100, fp_rate=0.01)
+    bf.add(np.array([1, 2, 3], dtype=np.uint64))
+    path = str(tmp_path / "bloom.npz")
+    bf.save(path)
+    with np.load(path) as z:
+        data = dict(z)
+    data["array"] = data["array"].copy()
+    data["array"][0] ^= 0xFF
+    np.savez(path, **data)
+    try:
+        BloomFilter.load(path)
+        assert False, "should have raised"
+    except ValueError:
+        pass
+    # skippable like the reference's -6 flag
+    BloomFilter.load(path, verify_checksum=False)
