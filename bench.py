@@ -1,0 +1,116 @@
+"""Benchmark: BSGS throughput + bit-exact key recovery on real TPU.
+
+Protocol:
+1. Build (or load cached) baby table of M entries on-device.
+2. Correctness gate: recover the known puzzle-63 private key
+   (0x7CCE5EFDACCF6808, reference BSGSD.md:33-96 canonical check) from a
+   window of its range — bit-exact or the bench aborts.
+3. Throughput: scan the puzzle-64 range [2^63, 2^64) for ~BENCH_SECONDS of
+   wall time; keys/s = steps * U * stride / elapsed (the reference's
+   accounting, keyhunt.cpp:2175: total = steps * N).
+
+Prints ONE JSON line:
+  {"metric": "bsgs_keys_per_sec_chip", "value": ..., "unit": "keys/s",
+   "vs_baseline": value / 1.2e9}
+vs_baseline compares against the reference README's RTX-4090 claim
+(~1.2 B keys/s, README.md:181) per BASELINE.md's north star.
+"""
+
+import json
+import os
+import sys
+import time
+
+M = int(os.environ.get("BENCH_M", 1 << 22))
+BLOCK_U = int(os.environ.get("BENCH_U", 4096))
+CHUNK_K = int(os.environ.get("BENCH_K", 8))
+BENCH_SECONDS = float(os.environ.get("BENCH_SECONDS", 20.0))
+CACHE = os.environ.get("BENCH_TABLE_CACHE", f"/root/repo/.baby_m{M}.npz")
+
+PUZZLE63_KEY = 0x7CCE5EFDACCF6808
+PUZZLE64_RANGE = (1 << 63, 1 << 64)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    t_start = time.time()
+    from keyhuntm1cpu_tpu.engine.bsgs import BSGSEngine, BSGSParams
+    from keyhuntm1cpu_tpu.ref import ecref
+    import jax
+
+    log(f"devices: {jax.devices()}")
+    params = BSGSParams(m=M, block_u=BLOCK_U, steps_per_chunk=CHUNK_K, build_block=4096)
+
+    # --- table (cached across bench runs) -----------------------------
+    table = None
+    if os.path.exists(CACHE):
+        try:
+            table = BSGSEngine.load_table(CACHE)
+            log(f"loaded cached baby table m={M}")
+        except Exception as e:  # rebuild on any mismatch
+            log(f"cache load failed ({e}); rebuilding")
+    pub63 = ecref.scalar_mult(PUZZLE63_KEY)
+    t0 = time.time()
+    eng = BSGSEngine(
+        [pub63], PUZZLE64_RANGE[0], PUZZLE64_RANGE[1], params, table=table
+    )
+    if table is None:
+        log(f"baby table built in {time.time()-t0:.1f}s (m={M})")
+        eng.save_table(CACHE)
+    build_s = time.time() - t0
+
+    # --- correctness gate: recover puzzle 63 from a window ------------
+    stride = eng.stride
+    window = BLOCK_U * stride
+    a = PUZZLE63_KEY - 3 * window
+    b = PUZZLE63_KEY + 3 * window
+    eng63 = BSGSEngine([pub63], a, b, params, table=eng.table)
+    t0 = time.time()
+    found = eng63.search()
+    solve_s = time.time() - t0
+    keys = [f.private_key for f in found]
+    assert keys == [PUZZLE63_KEY], f"puzzle-63 recovery FAILED: {keys}"
+    log(f"puzzle-63 key recovered bit-exact in {solve_s:.2f}s over a "
+        f"{(b-a)/1e12:.1f}T-key window")
+
+    # --- throughput ----------------------------------------------------
+    # puzzle 64 target: the solved key is 0xF7051F27B09112D4; derive its
+    # pubkey exactly rather than trusting a pasted hex constant
+    eng64 = BSGSEngine(
+        [ecref.scalar_mult(0xF7051F27B09112D4)],
+        PUZZLE64_RANGE[0],
+        PUZZLE64_RANGE[1],
+        params,
+        table=eng.table,
+    )
+    # warm up / compile
+    px, py = eng64._initial_base(0).x, eng64._initial_base(0).y
+    px, py, outs = eng64._chunk_fn(px, py)
+    jax.block_until_ready(outs)
+    t0 = time.time()
+    chunks = 0
+    while time.time() - t0 < BENCH_SECONDS:
+        px, py, outs = eng64._chunk_fn(px, py)
+        chunks += 1
+    jax.block_until_ready(outs)
+    elapsed = time.time() - t0
+    steps = chunks * CHUNK_K
+    keys_per_sec = steps * BLOCK_U * stride / elapsed
+    pts_per_sec = steps * BLOCK_U / elapsed
+    log(f"throughput: {steps} giant steps in {elapsed:.2f}s -> "
+        f"{pts_per_sec:,.0f} giant-steps/s, {keys_per_sec:.3e} keys/s "
+        f"(m={M}, U={BLOCK_U}, build {build_s:.1f}s, total {time.time()-t_start:.1f}s)")
+
+    print(json.dumps({
+        "metric": "bsgs_keys_per_sec_chip",
+        "value": keys_per_sec,
+        "unit": "keys/s",
+        "vs_baseline": keys_per_sec / 1.2e9,
+    }))
+
+
+if __name__ == "__main__":
+    main()

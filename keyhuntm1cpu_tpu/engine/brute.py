@@ -54,6 +54,9 @@ class BruteParams:
     block_u: int = 256  # U: symmetric offsets (window = 2U+1 keys)
     steps_per_chunk: int = 8  # K: device steps per jit call
     chain_len: int = 32
+    endo: bool = False  # GLV endomorphism lanes (reference -e):
+    # also check beta*x and beta^2*x, covering lambda*k and lambda^2*k
+    # for 2 extra modmuls per point (keyhunt.cpp:2646-2677)
 
 
 class BruteEngine:
@@ -77,6 +80,14 @@ class BruteEngine:
         self.b = range_end
         self.p = params
         self.stats = SearchStats()
+
+        # keys-covered accounting multipliers (reference keyhunt.cpp:2175-2187)
+        mult = 1
+        if self.mode in ("rmd160",):
+            mult = 2  # both parities cover k and n-k
+        if params.endo and self.mode in ("rmd160", "xpoint"):
+            mult *= 3
+        self.stats.multiplier = mult
 
         self.window = 2 * params.block_u + 1
         total_keys = self.b - self.a
@@ -152,6 +163,17 @@ class BruteEngine:
             return hit, row
 
         needs_y = mode in ("eth", "address_u")
+        endo = self.p.endo
+        beta = fe.from_int(ecref.BETA)
+        beta2 = fe.from_int(ecref.BETA * ecref.BETA % ecref.P)
+
+        def endo_variants(x_all):
+            """[(x, endo_power)] lanes: phi^e(P) = (beta^e x, y) = lambda^e k G."""
+            variants = [x_all]
+            if endo:
+                variants.append(fe.mul_mod_p(x_all, beta))
+                variants.append(fe.mul_mod_p(x_all, beta2))
+            return variants
 
         @jax.jit
         def chunk(cx, cy):
@@ -166,14 +188,26 @@ class BruteEngine:
                     y_all = jnp.concatenate(
                         [res.y_plus, res.y_minus, cy[:, None, :]], axis=1
                     )
-                    hit, row = queries_from_xy(x_all, y_all)
+                    hits, rows = [], []
+                    for xv in endo_variants(x_all):
+                        h, r = queries_from_xy(xv, y_all)
+                        hits.append(h)
+                        rows.append(r)
+                    hit = jnp.concatenate(hits, axis=-1)
+                    row = jnp.concatenate(rows, axis=-1)
                     deg = res.degenerate
                 else:
                     res = walk.xonly_walk(ctr, tab_x, tab_y, symmetric=True, chain_len=chain)
                     x_all = jnp.concatenate(
                         [res.x_plus, res.x_minus, cx[:, None, :]], axis=1
                     )
-                    hit, row = queries_from_x(x_all)
+                    hits, rows = [], []
+                    for xv in endo_variants(x_all):
+                        h, r = queries_from_x(xv)
+                        hits.append(h)
+                        rows.append(r)
+                    hit = jnp.concatenate(hits, axis=-1)
+                    row = jnp.concatenate(rows, axis=-1)
                     deg = res.degenerate
                 # mask degenerate lanes (both + and - outputs invalid)
                 degm = jnp.concatenate(
@@ -252,8 +286,13 @@ class BruteEngine:
             deg_np = np.asarray(deg)  # (K, W, U)
             if hit_np[:k].any():
                 row_np = np.asarray(row)
+                base_v = 2 if self.mode == "rmd160" else 1
+                lam_pow = (1, ecref.LAMBDA, ecref.LAMBDA * ecref.LAMBDA % ecref.N)
                 for s, w, lane, v in zip(*np.nonzero(hit_np[:k])):
                     cand = self._key_for_lane(step + int(s), int(w), int(lane))
+                    e = int(v) // base_v  # endomorphism lane: key = lambda^e * k
+                    if e:
+                        cand = cand * lam_pow[e] % ecref.N
                     fk = self._verify(cand, int(row_np[s, w, lane, v]))
                     if fk and fk.private_key not in seen:
                         seen.add(fk.private_key)

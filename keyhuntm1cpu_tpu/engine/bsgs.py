@@ -285,6 +285,92 @@ class BSGSEngine:
                 print(f"[bsgs] step {step}/{end_step} {self.stats.human()}")
         return found
 
+    def search_scheduled(
+        self,
+        policy: str = "sequential",
+        seed: int = 0,
+        max_chunks: Optional[int] = None,
+        stop_on_first: bool = True,
+        progress_every: int = 0,
+    ) -> List[FoundKey]:
+        """Range scheduling policies (reference's 5 BSGS sub-schedulers,
+        keyhunt.cpp:4012-5616: sequential / backward / both / random /
+        dance) re-expressed as chunk-order permutations.
+
+        Non-sequential orders pay one exact host rebase (scalar_mult +
+        point_add per target) per K-step chunk — amortized to nothing.
+        The mutex range-claiming of the reference is replaced by the
+        deterministic permutation, so multi-worker schedules stay disjoint
+        by construction.
+        """
+        import random as _random
+
+        p = self.p
+        n_chunks = math.ceil(self.n_steps / p.steps_per_chunk)
+        order = list(range(n_chunks))
+        if policy == "sequential":
+            pass
+        elif policy == "backward":
+            order.reverse()
+        elif policy == "both":
+            front, back = 0, n_chunks - 1
+            order = []
+            rng = _random.Random(seed)
+            while front <= back:
+                if rng.random() < 0.5:
+                    order.append(front)
+                    front += 1
+                else:
+                    order.append(back)
+                    back -= 1
+        elif policy == "random":
+            rng = _random.Random(seed)
+            rng.shuffle(order)
+        elif policy == "dance":
+            # random alternation over front / back / middle thirds
+            rng = _random.Random(seed)
+            remaining = set(order)
+            order = []
+            while remaining:
+                pool = sorted(remaining)
+                pick = rng.choice(("front", "back", "middle"))
+                if pick == "front":
+                    c = pool[0]
+                elif pick == "back":
+                    c = pool[-1]
+                else:
+                    c = pool[len(pool) // 2]
+                order.append(c)
+                remaining.remove(c)
+        else:
+            raise ValueError(f"unknown policy {policy}")
+
+        if max_chunks is not None:
+            order = order[:max_chunks]
+
+        found: List[FoundKey] = []
+        for i, chunk_idx in enumerate(order):
+            step0 = chunk_idx * p.steps_per_chunk
+            k = min(p.steps_per_chunk, self.n_steps - step0)
+            try:
+                base = self._initial_base(step0)
+            except _ImmediateHit as hit:
+                found += self._try_candidates([hit.scalar])
+                if found and stop_on_first:
+                    return found
+                continue
+            _, _, outs = self._chunk_fn(base.x, base.y)
+            arrs = [np.asarray(o) for o in outs]
+            if arrs[0][:k].any() or arrs[4][:k].any():
+                found += self._decode_chunk(step0, k, *arrs)
+                if found and stop_on_first:
+                    self.stats.add(k * p.block_u * self.stride)
+                    return found
+            self.stats.add(k * p.block_u * self.stride)
+            if progress_every and i % progress_every == 0:
+                print(f"[bsgs:{policy}] chunk {i}/{len(order)} {self.stats.human()}")
+        return found
+
     def _decode_chunk(
         self, step0, k, n_hit, first_u, bidx, bidx2, n_deg, first_deg
     ) -> List[FoundKey]:
@@ -328,3 +414,11 @@ class BSGSEngine:
 class _ImmediateHit(Exception):
     def __init__(self, scalar: int):
         self.scalar = scalar
+
+
+def host_baby_table(m: int) -> st.SortedXTable:
+    """Exact host-built baby table for small m (tests / dryruns / entry):
+    x(j*G) truncations computed with python ints, no device work."""
+    bx, _ = tables.step_table(ecref.G, m)
+    idx = (np.arange(m, dtype=np.uint64) + 1).astype(np.uint32)
+    return st.build_sorted_table(bx[:, 1].copy(), bx[:, 0].copy(), idx)

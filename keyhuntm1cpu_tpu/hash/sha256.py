@@ -57,6 +57,15 @@ def _compress_chained(state: Sequence[jnp.ndarray], w16: List[jnp.ndarray]):
     return [x + y for x, y in zip([a, b, c, d, e, f, g, h], init)]
 
 
+def sha256_block_words(w16: List[jnp.ndarray]) -> List[jnp.ndarray]:
+    """SHA-256 of one pre-padded 64-byte block given as 16 BE words (B,).
+
+    Used by the minikeys engine (22/23-byte messages packed host-side —
+    reference sha256sse_22/23, keyhunt.cpp:5698-5739 capability)."""
+    state = [jnp.full_like(w16[0], h) for h in _H0]
+    return _compress_chained(state, list(w16))
+
+
 def sha256_33_from_x(x_limbs: jnp.ndarray, prefix: jnp.ndarray) -> List[jnp.ndarray]:
     """SHA-256 of the 33-byte compressed pubkey [prefix || X_be].
 

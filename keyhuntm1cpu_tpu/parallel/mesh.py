@@ -1,0 +1,164 @@
+"""shard_map'd BSGS search over a device mesh.
+
+Data-parallel range sharding (SURVEY.md §2.4 row 1): the scalar range is
+statically partitioned into window-aligned slices, one per device on the
+'shard' mesh axis. Baby/stride tables are replicated (they are read-only,
+like the reference's shared bloom+bPtable, keyhunt.cpp:1216-1304); every
+device walks its own giant-step chain; per-chunk hit counts are psum'd
+over ICI so the host driver reads ONE replicated scalar to decide whether
+to decode the per-device summaries.
+
+Scales to multi-host the same way: under jax.distributed each process
+holds its devices' shards of the same global arrays; nothing here is
+host-count-specific.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax >= 0.4.35 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from ..curve import points, walk
+from ..engine.bsgs import BSGSEngine, BSGSParams
+from ..engine.common import FoundKey
+from ..filter import sorted_table as st
+from ..ref import ecref
+from .partition import RangePartitioner, RangeSlice
+
+
+class ShardedBSGSEngine(BSGSEngine):
+    """BSGS with the range sharded across all devices of a mesh."""
+
+    def __init__(
+        self,
+        pubkeys: Sequence[Tuple[int, int]],
+        range_start: int,
+        range_end: int,
+        params: BSGSParams = BSGSParams(),
+        table: Optional[st.SortedXTable] = None,
+        devices: Optional[list] = None,
+    ):
+        super().__init__(pubkeys, range_start, range_end, params, table=table)
+        devs = devices if devices is not None else jax.devices()
+        self.mesh = Mesh(np.array(devs), ("shard",))
+        self.n_shards = len(devs)
+        window = params.block_u * self.stride
+        self.slices: List[RangeSlice] = RangePartitioner.split_equal(
+            range_start, range_end, self.n_shards, window
+        )
+        self.local_steps = max(
+            1, math.ceil(max(1, math.ceil((range_end - range_start) / window)) / self.n_shards)
+        )
+        self._sharded_chunk = self._make_sharded_chunk()
+
+    def _initial_bases_sharded(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(D, T, 8) x2 initial P_base per shard (host-exact)."""
+        xs, ys = [], []
+        for sl in self.slices:
+            base = self._initial_base(sl.step0)
+            xs.append(base.x)
+            ys.append(base.y)
+        px = jnp.stack(xs)  # (D, T, 8)
+        py = jnp.stack(ys)
+        sharding = jax.sharding.NamedSharding(self.mesh, P("shard"))
+        return jax.device_put(px, sharding), jax.device_put(py, sharding)
+
+    def _make_sharded_chunk(self):
+        tab_x, tab_y = self.tab_x, self.tab_y
+        table = self.table
+        big = self.big_step
+        T = len(self.targets)
+        U = self.p.block_u
+        K = self.p.steps_per_chunk
+        chain = self.p.chain_len
+
+        def local_chunk(px, py):
+            """px/py: (1, T, 8) local shard state."""
+            px = px.reshape(T, 8)
+            py = py.reshape(T, 8)
+
+            def body(carry, _):
+                cx, cy = carry
+                pb = points.PointBatch(cx, cy, jnp.zeros((T,), dtype=bool))
+                res = walk.xonly_walk(pb, tab_x, tab_y, chain_len=chain)
+                qhi, qlo = st.trunc64_from_limbs(res.x_plus)
+                lr = st.lookup(table, qhi.reshape(-1), qlo.reshape(-1))
+                hit = (lr.found | lr.found2).reshape(T, U) & ~res.degenerate
+                n_hit = hit.sum(axis=1).astype(jnp.int32)
+                first_u = jnp.argmax(hit, axis=1).astype(jnp.int32)
+                flat_first = jnp.arange(T, dtype=jnp.int32) * U + first_u
+                bidx = lr.idx[flat_first]
+                bidx2 = jnp.where(lr.found2[flat_first], lr.idx2[flat_first], 0)
+                n_deg = res.degenerate.sum(axis=1).astype(jnp.int32)
+                first_deg = jnp.argmax(res.degenerate, axis=1).astype(jnp.int32)
+                nxt = walk.advance(pb, big, chain_len=1)
+                return (nxt.x, nxt.y), (n_hit, first_u, bidx, bidx2, n_deg, first_deg)
+
+            (px, py), outs = jax.lax.scan(body, (px, py), None, length=K)
+            # replicated any-interesting flag: ONE scalar for the host
+            local_interest = outs[0].sum() + outs[4].sum()
+            total_interest = jax.lax.psum(local_interest, "shard")
+            outs = tuple(o[None] for o in outs)  # re-add shard axis
+            return px[None], py[None], outs, total_interest
+
+        smapped = shard_map(
+            local_chunk,
+            mesh=self.mesh,
+            in_specs=(P("shard"), P("shard")),
+            out_specs=(
+                P("shard"),
+                P("shard"),
+                tuple(P("shard") for _ in range(6)),
+                P(),
+            ),
+            check_vma=False,
+        )
+        return jax.jit(smapped)
+
+    def search_sharded(
+        self,
+        max_steps: Optional[int] = None,
+        stop_on_first: bool = True,
+        progress_every: int = 0,
+    ) -> List[FoundKey]:
+        p = self.p
+        px, py = self._initial_bases_sharded()
+        total = self.local_steps if max_steps is None else min(self.local_steps, max_steps)
+        found: List[FoundKey] = []
+        step = 0
+        while step < total:
+            k = min(p.steps_per_chunk, total - step)
+            px, py, outs, interest = self._sharded_chunk(px, py)
+            if int(interest) > 0:
+                arrs = [np.asarray(o) for o in outs]  # each (D, K, T)
+                for d, sl in enumerate(self.slices):
+                    found += self._decode_chunk(
+                        sl.step0 + step, k, *(a[d] for a in arrs)
+                    )
+                found = self._dedupe(found)
+                if found and stop_on_first:
+                    self.stats.add(k * self.n_shards * p.block_u * self.stride)
+                    return found
+            self.stats.add(k * self.n_shards * p.block_u * self.stride)
+            step += p.steps_per_chunk
+            if progress_every and (step // p.steps_per_chunk) % progress_every == 0:
+                print(f"[bsgs-sharded] local step {step}/{total} {self.stats.human()}")
+        return found
+
+    @staticmethod
+    def _dedupe(found: List[FoundKey]) -> List[FoundKey]:
+        seen = {}
+        for f in found:
+            seen[(f.private_key, f.target)] = f
+        return list(seen.values())

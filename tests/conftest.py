@@ -14,5 +14,9 @@ os.environ["XLA_FLAGS"] = (
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: recompiling the unrolled bignum graphs
+# dominates test wall-time otherwise
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_keyhunt_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import pytest  # noqa: E402,F401

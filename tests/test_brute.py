@@ -54,6 +54,29 @@ def test_no_false_positives_on_empty_window():
     assert eng.search() == []
 
 
+@pytest.mark.parametrize("mode", ["rmd160", "xpoint"])
+def test_endomorphism_recovers_lambda_keys(mode):
+    """With -e, a walk over k recovers targets at lambda*k and lambda^2*k
+    (reference endomorphism lanes, keyhunt.cpp:2646-2677)."""
+    k = 0x1234
+    lam_k = k * ecref.LAMBDA % ecref.N
+    lam2_k = k * ecref.LAMBDA % ecref.N * ecref.LAMBDA % ecref.N
+    pts = [ecref.scalar_mult(v) for v in (lam_k, lam2_k)]
+    if mode == "rmd160":
+        raw = [hashref.pubkey_to_hash160(pt) for pt in pts]
+        ts = targets_from_ints("hash160", raw)
+    else:
+        raw = [pt[0].to_bytes(32, "big") for pt in pts]
+        ts = targets_from_ints("xpoint", raw)
+    params = BruteParams(walkers=2, block_u=64, steps_per_chunk=2, chain_len=8, endo=True)
+    # scan the small range around k only: the lambda*k keys are astronomically
+    # far away, reachable only through the endomorphism lanes
+    eng = BruteEngine(ts, 0x1000, 0x1400, mode=mode, params=params)
+    found = eng.search()
+    got = sorted(f.private_key for f in found)
+    assert got == sorted([lam_k, lam2_k]), got
+
+
 def test_address_mode_parsing(tmp_path):
     # address targets given as base58 (reference tests/1to32.txt format)
     from keyhuntm1cpu_tpu.utils.targets import parse_target_file

@@ -104,6 +104,19 @@ def test_table_save_load_roundtrip(tmp_path, shared_engine_table):
     assert (np.asarray(t2.idx) == np.asarray(shared_engine_table.idx)).all()
 
 
+@pytest.mark.parametrize("policy", ["sequential", "backward", "both", "random", "dance"])
+def test_scheduler_policies(shared_engine_table, policy):
+    """All 5 range-claim policies must recover the key (reference
+    sub-schedulers, keyhunt.cpp:4012-5616)."""
+    key = 0xC3D4E5
+    a, b = 0xC00000, 0xD00000
+    from keyhuntm1cpu_tpu.engine import BSGSEngine
+
+    eng = BSGSEngine([ecref.scalar_mult(key)], a, b, PARAMS, table=shared_engine_table)
+    found = eng.search_scheduled(policy=policy, seed=3)
+    assert [f.private_key for f in found] == [key]
+
+
 def test_baby_table_matches_golden(shared_engine_table):
     """Every baby entry must equal the exact x(j*G) truncation."""
     t = shared_engine_table

@@ -1,0 +1,82 @@
+"""Minikeys and vanity engines."""
+
+import numpy as np
+import pytest
+
+from keyhuntm1cpu_tpu.engine.minikeys import MinikeyEngine, MinikeyParams, SUFFIX_LEN
+from keyhuntm1cpu_tpu.engine.vanity import VanityEngine, VanityParams, vanity_intervals
+from keyhuntm1cpu_tpu.ref import ecref, hashref
+from keyhuntm1cpu_tpu.utils.targets import targets_from_ints
+
+
+def _minikey_of(prefix: str, counter: int) -> str:
+    alpha = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+    digits = []
+    v = counter
+    for _ in range(SUFFIX_LEN):
+        v, d = divmod(v, 58)
+        digits.append(alpha[d])
+    return prefix + "".join(reversed(digits))
+
+
+def _find_valid_minikey(prefix: str, start: int = 0):
+    c = start
+    while True:
+        mk = _minikey_of(prefix, c)
+        if hashref.sha256((mk + "?").encode())[0] == 0:
+            return mk, c
+        c += 1
+
+
+def test_minikey_recovery():
+    prefix = "SkeyhuntTPUx"[: 22 - SUFFIX_LEN]
+    mk, counter = _find_valid_minikey(prefix)
+    k = int.from_bytes(hashref.sha256(mk.encode()), "big")
+    pt = ecref.scalar_mult(k)
+    # plant BOTH address forms; engine must find via either
+    raw = [hashref.pubkey_to_hash160(pt, compressed=False)]
+    ts = targets_from_ints("hash160", raw)
+    eng = MinikeyEngine(ts, prefix=prefix, params=MinikeyParams(batch=256, chain_len=8))
+    found = eng.search(max_chunks=(counter // 256) + 2)
+    assert len(found) == 1
+    assert found[0].private_key == k
+    assert mk in found[0].target
+
+
+def test_minikey_validity_gate():
+    """An INVALID minikey whose key hashes to a target must NOT be reported."""
+    prefix = "Stpufilterxy"[: 22 - SUFFIX_LEN]
+    # find an invalid minikey
+    c = 0
+    while hashref.sha256((_minikey_of(prefix, c) + "?").encode())[0] == 0:
+        c += 1
+    mk = _minikey_of(prefix, c)
+    k = int.from_bytes(hashref.sha256(mk.encode()), "big")
+    pt = ecref.scalar_mult(k)
+    ts = targets_from_ints(
+        "hash160", [hashref.pubkey_to_hash160(pt, compressed=False)]
+    )
+    eng = MinikeyEngine(ts, prefix=prefix, params=MinikeyParams(batch=256, chain_len=8))
+    found = eng.search(max_chunks=1)
+    assert found == []
+
+
+def test_vanity_intervals_contain_known_address():
+    # address of key 1: 1BgGZ9tcN4rm9KBzDn7KprQz87SZ26SAMH
+    h = hashref.pubkey_to_hash160(ecref.G)
+    ivs = vanity_intervals("1BgG")
+    assert any(lo <= h <= hi for lo, hi in ivs)
+    ivs2 = vanity_intervals("1Bh")
+    assert not any(lo <= h <= hi for lo, hi in ivs2)
+
+
+def test_vanity_search_finds_prefix():
+    # find which tiny keys produce a usable prefix, then search for it
+    params = VanityParams(walkers=2, block_u=32, steps_per_chunk=2, chain_len=8)
+    addr = hashref.pubkey_to_address(ecref.scalar_mult(41))
+    prefix = addr[:6]
+    eng = VanityEngine([prefix], 1, 512, params=params)
+    found = eng.search()
+    assert any(f.private_key == 41 for f in found)
+    for f in found:
+        assert f.target.startswith(prefix)
