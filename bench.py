@@ -37,9 +37,13 @@ def log(*a):
 
 def main():
     t_start = time.time()
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from keyhuntm1cpu_tpu.engine.bsgs import BSGSEngine, BSGSParams
     from keyhuntm1cpu_tpu.ref import ecref
-    import jax
 
     log(f"devices: {jax.devices()}")
     params = BSGSParams(m=M, block_u=BLOCK_U, steps_per_chunk=CHUNK_K, build_block=4096)

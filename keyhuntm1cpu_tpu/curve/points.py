@@ -121,14 +121,24 @@ def scalar_mult_batch(
     infinity). 32 sequential masked batched adds — the batched re-design of
     reference ComputePublicKey (SECP256K1.cpp:61-82).
     """
-    acc = infinity(k.shape[:-1])
-    for w in range(32):
-        limb = k[..., w // 4]
-        byte = (limb >> jnp.uint32(8 * (w % 4))) & jnp.uint32(0xFF)
-        px = gtable_x[w][byte]  # (B, 8) gather
-        py = gtable_y[w][byte]
-        entry = PointBatch(px, py, byte == 0)
+    # per-window byte values, shaped (32, B): the scanned xs — the 32
+    # masked adds run as ONE traced body (compile-size: ~30x smaller than
+    # unrolling)
+    bytes_per_window = jnp.stack(
+        [
+            (k[..., w // 4] >> jnp.uint32(8 * (w % 4))) & jnp.uint32(0xFF)
+            for w in range(32)
+        ]
+    )
+
+    def body(acc, xs):
+        gx, gy, byte = xs  # gx/gy: (256, 8) window slice; byte: (B,)
+        entry = PointBatch(gx[byte], gy[byte], byte == 0)
         acc = add(acc, entry, chain_len=chain_len)
+        return acc, None
+
+    acc = infinity(k.shape[:-1])
+    acc, _ = jax.lax.scan(body, acc, (gtable_x, gtable_y, bytes_per_window))
     return acc
 
 

@@ -98,34 +98,46 @@ def p_limbs() -> jnp.ndarray:
 
 
 def _add_raw(a: jnp.ndarray, b: jnp.ndarray):
-    """(a + b) over 8 limbs -> (sum_limbs, carry_out in {0,1})."""
-    out = []
-    carry = jnp.zeros(a.shape[:-1], dtype=_U32)
-    for i in range(LIMBS):
-        ai = a[..., i]
+    """(a + b) over 8 limbs -> (sum_limbs, carry_out in {0,1}).
+
+    lax.scan over the limb axis: the carry chain is inherently serial, and
+    a scanned body keeps the traced graph 8x smaller than unrolling while
+    every step stays a full-batch vector op.
+    """
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    a = jnp.broadcast_to(a, shape)
+    b = jnp.broadcast_to(b, shape)
+    ab = jnp.stack([jnp.moveaxis(a, -1, 0), jnp.moveaxis(b, -1, 0)], axis=1)
+
+    def body(carry, ab_i):
+        ai, bi = ab_i[0], ab_i[1]
         t = ai + carry
         c1 = (t < carry).astype(_U32)
-        s = t + b[..., i]
+        s = t + bi
         c2 = (s < t).astype(_U32)
-        out.append(s)
-        carry = c1 | c2
-    return jnp.stack(out, axis=-1), carry
+        return c1 | c2, s
+
+    carry, out = jax.lax.scan(body, jnp.zeros(shape[:-1], dtype=_U32), ab)
+    return jnp.moveaxis(out, 0, -1), carry
 
 
 def _sub_raw(a: jnp.ndarray, b: jnp.ndarray):
     """(a - b) over 8 limbs -> (diff_limbs, borrow_out in {0,1})."""
-    out = []
-    borrow = jnp.zeros(a.shape[:-1], dtype=_U32)
-    for i in range(LIMBS):
-        ai = a[..., i]
-        bi = b[..., i]
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    a = jnp.broadcast_to(a, shape)
+    b = jnp.broadcast_to(b, shape)
+    ab = jnp.stack([jnp.moveaxis(a, -1, 0), jnp.moveaxis(b, -1, 0)], axis=1)
+
+    def body(borrow, ab_i):
+        ai, bi = ab_i[0], ab_i[1]
         t = ai - bi
         b1 = (ai < bi).astype(_U32)
         s = t - borrow
         b2 = (t < borrow).astype(_U32)
-        out.append(s)
-        borrow = b1 | b2
-    return jnp.stack(out, axis=-1), borrow
+        return b1 | b2, s
+
+    borrow, out = jax.lax.scan(body, jnp.zeros(shape[:-1], dtype=_U32), ab)
+    return jnp.moveaxis(out, 0, -1), borrow
 
 
 def geq_p(a: jnp.ndarray) -> jnp.ndarray:
@@ -198,16 +210,22 @@ def _carry16(cols: jnp.ndarray, n_out: int):
     """Propagate carries over 16-bit columns (last axis). cols < 2^31 each.
 
     Returns ((..., n_out) carried 16-bit limbs, final carry (...,)).
-    Sequential over n_out columns but each step is a full-batch vector op.
+    lax.scan over the column axis: serial by definition, but each step is
+    a full-batch vector op and the traced graph stays one column deep.
     """
     ncols = cols.shape[-1]
-    out = []
-    carry = jnp.zeros(cols.shape[:-1], dtype=_U32)
-    for k in range(n_out):
-        c = (cols[..., k] if k < ncols else jnp.zeros_like(carry)) + carry
-        out.append(c & _MASK16)
-        carry = c >> jnp.uint32(16)
-    return jnp.stack(out, axis=-1), carry
+    if ncols < n_out:
+        cols = _pad_last(cols, 0, n_out - ncols)
+    elif ncols > n_out:
+        cols = cols[..., :n_out]
+    cols_t = jnp.moveaxis(cols, -1, 0)  # (n_out, ...)
+
+    def body(carry, col):
+        c = col + carry
+        return c >> jnp.uint32(16), c & _MASK16
+
+    carry, out = jax.lax.scan(body, jnp.zeros(cols.shape[:-1], dtype=_U32), cols_t)
+    return jnp.moveaxis(out, 0, -1), carry
 
 
 def _pad_last(a: jnp.ndarray, left: int, right: int) -> jnp.ndarray:

@@ -64,31 +64,63 @@ def _bswap32(x: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _keccak_f(a: List[List[Lane]]) -> None:
-    for rnd in range(24):
-        # theta
-        c = [
-            _xor(_xor(_xor(_xor(a[x][0], a[x][1]), a[x][2]), a[x][3]), a[x][4])
+def _keccak_round(a: List[List[Lane]], rc_hi, rc_lo) -> List[List[Lane]]:
+    """One keccak-f round (pure; lanes are (hi, lo) uint32 pairs)."""
+    # theta
+    c = [
+        _xor(_xor(_xor(_xor(a[x][0], a[x][1]), a[x][2]), a[x][3]), a[x][4])
+        for x in range(5)
+    ]
+    d = [_xor(c[(x - 1) % 5], _rol64(c[(x + 1) % 5], 1)) for x in range(5)]
+    a = [[_xor(a[x][y], d[x]) for y in range(5)] for x in range(5)]
+    # rho + pi
+    b: List[List[Lane]] = [[None] * 5 for _ in range(5)]  # type: ignore
+    for x in range(5):
+        for y in range(5):
+            b[y][(2 * x + 3 * y) % 5] = _rol64(a[x][y], _ROT[x][y])
+    # chi
+    out: List[List[Lane]] = [[None] * 5 for _ in range(5)]  # type: ignore
+    for x in range(5):
+        for y in range(5):
+            nhi = b[x][y][0] ^ (~b[(x + 1) % 5][y][0] & b[(x + 2) % 5][y][0])
+            nlo = b[x][y][1] ^ (~b[(x + 1) % 5][y][1] & b[(x + 2) % 5][y][1])
+            out[x][y] = (nhi, nlo)
+    # iota
+    out[0][0] = (out[0][0][0] ^ rc_hi, out[0][0][1] ^ rc_lo)
+    return out
+
+
+def _keccak_f(a: List[List[Lane]]) -> List[List[Lane]]:
+    """keccak-f[1600] as a lax.scan over the 24 rounds (round constants
+    are the scanned xs), keeping the traced graph one round deep."""
+    import jax
+    import numpy as np
+
+    flat = jnp.stack([jnp.stack([a[x][y][h] for h in range(2)]) for x in range(5) for y in range(5)])
+    # flat: (25, 2, ...batch)
+    rc = jnp.asarray(
+        np.array([[(r >> 32) & 0xFFFFFFFF, r & 0xFFFFFFFF] for r in _RC], dtype=np.uint32)
+    )  # (24, 2)
+
+    def body(flat, rc_pair):
+        state = [
+            [
+                (flat[5 * x + y, 0], flat[5 * x + y, 1])
+                for y in range(5)
+            ]
             for x in range(5)
         ]
-        d = [_xor(c[(x - 1) % 5], _rol64(c[(x + 1) % 5], 1)) for x in range(5)]
-        for x in range(5):
-            for y in range(5):
-                a[x][y] = _xor(a[x][y], d[x])
-        # rho + pi
-        b: List[List[Lane]] = [[None] * 5 for _ in range(5)]  # type: ignore
-        for x in range(5):
-            for y in range(5):
-                b[y][(2 * x + 3 * y) % 5] = _rol64(a[x][y], _ROT[x][y])
-        # chi
-        for x in range(5):
-            for y in range(5):
-                nhi = b[x][y][0] ^ (~b[(x + 1) % 5][y][0] & b[(x + 2) % 5][y][0])
-                nlo = b[x][y][1] ^ (~b[(x + 1) % 5][y][1] & b[(x + 2) % 5][y][1])
-                a[x][y] = (nhi, nlo)
-        # iota
-        rc = _RC[rnd]
-        a[0][0] = (a[0][0][0] ^ _U32(rc >> 32), a[0][0][1] ^ _U32(rc & 0xFFFFFFFF))
+        state = _keccak_round(state, rc_pair[0], rc_pair[1])
+        nxt = jnp.stack(
+            [jnp.stack([state[x][y][h] for h in range(2)]) for x in range(5) for y in range(5)]
+        )
+        return nxt, None
+
+    flat, _ = jax.lax.scan(body, flat, rc)
+    return [
+        [(flat[5 * x + y, 0], flat[5 * x + y, 1]) for y in range(5)]
+        for x in range(5)
+    ]
 
 
 def keccak256_pubkey64(x_limbs: jnp.ndarray, y_limbs: jnp.ndarray) -> List[jnp.ndarray]:
@@ -116,7 +148,7 @@ def keccak256_pubkey64(x_limbs: jnp.ndarray, y_limbs: jnp.ndarray) -> List[jnp.n
     set_lane(8, (zero, jnp.full_like(zero, 1)))
     set_lane(16, (jnp.full_like(zero, 0x80000000), zero))
 
-    _keccak_f(state)
+    state = _keccak_f(state)
 
     def lane(idx: int) -> Lane:
         return state[idx % 5][idx // 5]

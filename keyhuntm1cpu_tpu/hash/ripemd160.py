@@ -61,24 +61,31 @@ def _bswap32(x: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _f(j: int, x, y, z):
-    if j < 16:
-        return x ^ y ^ z
-    if j < 32:
-        return (x & y) | (~x & z)
-    if j < 48:
-        return (x | ~y) ^ z
-    if j < 64:
-        return (x & z) | (y & ~z)
-    return x ^ (y | ~z)
+def _f_group(g: jnp.ndarray, x, y, z):
+    """RIPEMD round function selected by traced group index g = j // 16."""
+    f0 = x ^ y ^ z
+    f1 = (x & y) | (~x & z)
+    f2 = (x | ~y) ^ z
+    f3 = (x & z) | (y & ~z)
+    f4 = x ^ (y | ~z)
+    return jnp.select([g == 0, g == 1, g == 2, g == 3], [f0, f1, f2, f3], f4)
+
+
+def _rol_t(x: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
+    """Rotate-left by a traced (scalar) amount."""
+    return (x << n) | (x >> (_U32(32) - n))
 
 
 def ripemd160_32(sha_words_be: List[jnp.ndarray]) -> List[jnp.ndarray]:
     """RIPEMD-160 of a 32-byte message given as 8 big-endian uint32 words.
 
-    Returns the 5 state words (standard serialization is each word
-    little-endian: byte k of the digest = word[k//4] >> 8*(k%4)).
+    lax.scan over the 80 dual-line rounds (round body traced once;
+    per-round message word selection is a tiny axis-0 gather). Returns the
+    5 state words (serialization: byte k of digest = word[k//4] >> 8*(k%4)).
     """
+    import jax
+    import numpy as np
+
     zero = jnp.zeros_like(sha_words_be[0])
     # message words are little-endian: byte-swap the BE sha digest words
     x = [_bswap32(wd) for wd in sha_words_be]
@@ -86,14 +93,33 @@ def ripemd160_32(sha_words_be: List[jnp.ndarray]) -> List[jnp.ndarray]:
     x += [zero] * 5
     x.append(jnp.full_like(zero, 256))  # bit length, low word
     x.append(zero)
+    xs_msg = jnp.stack(x)  # (16, ...batch)
 
-    a1, b1, c1, d1, e1 = (jnp.full_like(zero, v) for v in _IV)
-    a2, b2, c2, d2, e2 = (jnp.full_like(zero, v) for v in _IV)
-    for j in range(80):
-        t = _rol(a1 + _f(j, b1, c1, d1) + x[_R1[j]] + _U32(_K1[j // 16]), _S1[j]) + e1
+    u32a = lambda v: np.asarray(v, dtype=np.uint32)  # noqa: E731
+    rounds = (
+        jnp.asarray(u32a(_R1)),
+        jnp.asarray(u32a(_R2)),
+        jnp.asarray(u32a(_S1)),
+        jnp.asarray(u32a(_S2)),
+        jnp.asarray(u32a([_K1[j // 16] for j in range(80)])),
+        jnp.asarray(u32a([_K2[j // 16] for j in range(80)])),
+        jnp.asarray(u32a([j // 16 for j in range(80)])),
+    )
+
+    init1 = tuple(jnp.full_like(zero, v) for v in _IV)
+    init2 = tuple(jnp.full_like(zero, v) for v in _IV)
+
+    def body(carry, xs):
+        a1, b1, c1, d1, e1, a2, b2, c2, d2, e2 = carry
+        r1, r2, s1, s2, k1, k2, grp = xs
+        t = _rol_t(a1 + _f_group(grp, b1, c1, d1) + xs_msg[r1] + k1, s1) + e1
         a1, e1, d1, c1, b1 = e1, d1, _rol(c1, 10), b1, t
-        t = _rol(a2 + _f(79 - j, b2, c2, d2) + x[_R2[j]] + _U32(_K2[j // 16]), _S2[j]) + e2
+        t = _rol_t(a2 + _f_group(4 - grp, b2, c2, d2) + xs_msg[r2] + k2, s2) + e2
         a2, e2, d2, c2, b2 = e2, d2, _rol(c2, 10), b2, t
+        return (a1, b1, c1, d1, e1, a2, b2, c2, d2, e2), None
+
+    carry, _ = jax.lax.scan(body, (*init1, *init2), rounds)
+    a1, b1, c1, d1, e1, a2, b2, c2, d2, e2 = carry
     h0, h1, h2, h3, h4 = (_U32(v) for v in _IV)
     return [
         h1 + c1 + d2,

@@ -38,23 +38,40 @@ def _rotr(x: jnp.ndarray, n: int) -> jnp.ndarray:
 
 
 def _compress_chained(state: Sequence[jnp.ndarray], w16: List[jnp.ndarray]):
-    """One SHA-256 compression over (B,)-lane words (Davies-Meyer chained)."""
-    w = list(w16)
+    """One SHA-256 compression over (B,)-lane words (Davies-Meyer chained).
+
+    lax.scan over the 64 rounds with a rotating 16-word schedule buffer:
+    the round body is traced once (~40 ops) instead of unrolled (~3.5k
+    ops), which collapses XLA compile time; runtime is unchanged since the
+    rounds are serial anyway.
+    """
+    import jax
+    import numpy as np
+
     init = list(state)
-    for i in range(16, 64):
-        s0 = _rotr(w[i - 15], 7) ^ _rotr(w[i - 15], 18) ^ (w[i - 15] >> _U32(3))
-        s1 = _rotr(w[i - 2], 17) ^ _rotr(w[i - 2], 19) ^ (w[i - 2] >> _U32(10))
-        w.append(w[i - 16] + s0 + w[i - 7] + s1)
-    a, b, c, d, e, f, g, h = state
-    for i in range(64):
+    w = jnp.stack(w16)  # (16, ...batch)
+    ks = jnp.asarray(np.asarray(_K, dtype=np.uint32))  # (64,)
+
+    def body(carry, k_const):
+        a, b, c, d, e, f, g, h = carry[:8]
+        wbuf = carry[8]
+        wi = wbuf[0]
         s1 = _rotr(e, 6) ^ _rotr(e, 11) ^ _rotr(e, 25)
         ch = (e & f) ^ (~e & g)
-        t1 = h + s1 + ch + _U32(_K[i]) + w[i]
+        t1 = h + s1 + ch + k_const + wi
         s0 = _rotr(a, 2) ^ _rotr(a, 13) ^ _rotr(a, 22)
         maj = (a & b) ^ (a & c) ^ (b & c)
         t2 = s0 + maj
-        h, g, f, e, d, c, b, a = g, f, e, d + t1, c, b, a, t1 + t2
-    return [x + y for x, y in zip([a, b, c, d, e, f, g, h], init)]
+        # extend: w[i+16] = w[i] + sig0(w[i+1]) + w[i+9] + sig1(w[i+14])
+        sig0 = _rotr(wbuf[1], 7) ^ _rotr(wbuf[1], 18) ^ (wbuf[1] >> _U32(3))
+        sig1 = _rotr(wbuf[14], 17) ^ _rotr(wbuf[14], 19) ^ (wbuf[14] >> _U32(10))
+        wnew = wbuf[0] + sig0 + wbuf[9] + sig1
+        wbuf = jnp.concatenate([wbuf[1:], wnew[None]], axis=0)
+        return (t1 + t2, a, b, c, d + t1, e, f, g, wbuf), None
+
+    carry0 = (*state, w)
+    out, _ = jax.lax.scan(body, carry0, ks)
+    return [x + y for x, y in zip(out[:8], init)]
 
 
 def sha256_block_words(w16: List[jnp.ndarray]) -> List[jnp.ndarray]:
