@@ -34,8 +34,26 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os
+
 LIMBS = 8  # 8 x 32-bit limbs
 HALF_LIMBS = 16  # 16 x 16-bit half-limbs (multiplication domain)
+
+# Graph-shape strategy: "unroll" emits pure elementwise chains that XLA
+# fuses into a single pass over the batch (fastest on TPU, bigger graphs);
+# "scan" wraps serial chains in lax.scan (tiny graphs, fast compiles —
+# right for the CPU test mesh). Both compute identical results; the test
+# suite runs the scan path and bench.py asserts bit-exact key recovery on
+# the unroll path.
+UNROLL = os.environ.get("KEYHUNT_FE_UNROLL", "auto")
+
+
+def _use_unroll() -> bool:
+    if UNROLL == "auto":
+        import jax
+
+        return jax.default_backend() != "cpu"
+    return UNROLL not in ("0", "false", "scan")
 
 P_INT = 0xFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFEFFFFFC2F
 N_INT = 0xFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFEBAAEDCE6AF48A03BBFD25E8CD0364141
@@ -100,13 +118,24 @@ def p_limbs() -> jnp.ndarray:
 def _add_raw(a: jnp.ndarray, b: jnp.ndarray):
     """(a + b) over 8 limbs -> (sum_limbs, carry_out in {0,1}).
 
-    lax.scan over the limb axis: the carry chain is inherently serial, and
-    a scanned body keeps the traced graph 8x smaller than unrolling while
-    every step stays a full-batch vector op.
+    Serial carry chain: unrolled (pure elementwise, fuses into one batch
+    pass) on accelerators; lax.scan (tiny graph) on the CPU test mesh.
     """
     shape = jnp.broadcast_shapes(a.shape, b.shape)
     a = jnp.broadcast_to(a, shape)
     b = jnp.broadcast_to(b, shape)
+    if _use_unroll():
+        out = []
+        carry = jnp.zeros(shape[:-1], dtype=_U32)
+        for i in range(LIMBS):
+            ai = a[..., i]
+            t = ai + carry
+            c1 = (t < carry).astype(_U32)
+            s = t + b[..., i]
+            c2 = (s < t).astype(_U32)
+            out.append(s)
+            carry = c1 | c2
+        return jnp.stack(out, axis=-1), carry
     ab = jnp.stack([jnp.moveaxis(a, -1, 0), jnp.moveaxis(b, -1, 0)], axis=1)
 
     def body(carry, ab_i):
@@ -126,6 +155,19 @@ def _sub_raw(a: jnp.ndarray, b: jnp.ndarray):
     shape = jnp.broadcast_shapes(a.shape, b.shape)
     a = jnp.broadcast_to(a, shape)
     b = jnp.broadcast_to(b, shape)
+    if _use_unroll():
+        out = []
+        borrow = jnp.zeros(shape[:-1], dtype=_U32)
+        for i in range(LIMBS):
+            ai = a[..., i]
+            bi = b[..., i]
+            t = ai - bi
+            b1 = (ai < bi).astype(_U32)
+            s = t - borrow
+            b2 = (t < borrow).astype(_U32)
+            out.append(s)
+            borrow = b1 | b2
+        return jnp.stack(out, axis=-1), borrow
     ab = jnp.stack([jnp.moveaxis(a, -1, 0), jnp.moveaxis(b, -1, 0)], axis=1)
 
     def body(borrow, ab_i):
@@ -236,12 +278,29 @@ def _pad_last(a: jnp.ndarray, left: int, right: int) -> jnp.ndarray:
 def _mul_columns(a16: jnp.ndarray, b16: jnp.ndarray) -> jnp.ndarray:
     """Schoolbook 16x16 half-limb product as (..., 33) uncarried columns.
 
-    One broadcast outer-product multiply (exact: both operands < 2^16, so
-    products < 2^32 fit uint32 lanes), hi/lo split, then anti-diagonal
-    accumulation by shifted padding — ~30 tensor ops instead of 512
-    scalarized ones, keeping the XLA graph (and compile time) small.
-    Every column sum is <= 32 * (2^16 - 1) < 2^21: far from overflow.
+    Every partial product is < 2^32 (operands < 2^16) so it is exact in a
+    uint32 lane; its hi/lo halves accumulate into neighbouring columns and
+    every column sum stays <= 32 * (2^16 - 1) < 2^21 — one carry-free pass.
+
+    Unroll path (accelerators): 256 scalarized lane multiplies — pure
+    elementwise over the batch, which XLA fuses into a single pass with NO
+    materialized intermediate (the tensorized alternative materializes a
+    (B, 16, 16) product tensor = 1 GB at B = 2^20 and goes memory-bound).
+    Scan path (CPU tests): broadcast outer product + anti-diagonal sums —
+    ~30 ops for fast compiles.
     """
+    if _use_unroll():
+        shape = jnp.broadcast_shapes(a16.shape[:-1], b16.shape[:-1])
+        al = [a16[..., i] for i in range(HALF_LIMBS)]
+        bl = [b16[..., j] for j in range(HALF_LIMBS)]
+        zero = jnp.zeros(shape, dtype=_U32)
+        cols = [zero for _ in range(2 * HALF_LIMBS + 1)]
+        for i in range(HALF_LIMBS):
+            for j in range(HALF_LIMBS):
+                prod = al[i] * bl[j]
+                cols[i + j] = cols[i + j] + (prod & _MASK16)
+                cols[i + j + 1] = cols[i + j + 1] + (prod >> jnp.uint32(16))
+        return jnp.stack(cols, axis=-1)
     prod = a16[..., :, None] * b16[..., None, :]  # (..., 16, 16)
     plo = prod & _MASK16
     phi = prod >> jnp.uint32(16)
@@ -255,55 +314,64 @@ def _mul_columns(a16: jnp.ndarray, b16: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(jnp.stack(rows, axis=-2), axis=-2)  # (..., 33)
 
 
-def _fold_once(limbs: jnp.ndarray, n_low: int, n_out: int) -> jnp.ndarray:
-    """cols = low + high * (2^32 + 0x3D1), over 16-bit columns.
-
-    limbs: (..., K) carried 16-bit limbs; the value equals
-    low(first n_low limbs) + high(rest) * 2^(16*n_low) conceptually, but
-    here n_low is always 16 (the 256-bit boundary). Returns uncarried
-    (..., n_out) columns.
-    """
-    low = limbs[..., :n_low]
-    high = limbs[..., n_low:]
+def _fold_uncarried(cols: jnp.ndarray, n_out: int) -> jnp.ndarray:
+    """cols -> low + high * (2^32 + 0x3D1), entirely on UNCARRIED 16-bit
+    columns (no serial carry pass between folds — the column bounds stay
+    far below 2^32, see _reduce512's bound comments)."""
+    low = cols[..., :HALF_LIMBS]
+    high = cols[..., HALF_LIMBS:]
     hp = high * jnp.uint32(FOLD_C)
     hlo = hp & _MASK16
     hhi = hp >> jnp.uint32(16)
     nh = high.shape[-1]
-    cols = (
-        _pad_last(low, 0, n_out - n_low)
+    return (
+        _pad_last(low, 0, n_out - HALF_LIMBS)
         + _pad_last(hlo, 0, n_out - nh)
         + _pad_last(hhi, 1, n_out - nh - 1)
         + _pad_last(high, 2, n_out - nh - 2)  # high * 2^32 = shift 2 limbs
     )
-    return cols
 
 
 def _reduce512(cols: jnp.ndarray) -> jnp.ndarray:
     """Reduce (..., 33) uncarried 16-bit columns (< 2^512) mod p -> (..., 8).
 
     Fold H*2^256 into L as H*(2^32 + 0x3D1) twice (the reference's ModMulK1
-    identity, secp256k1/IntMod.cpp:855-915), micro-fold the final carry,
-    then one conditional subtract of p.
+    identity, secp256k1/IntMod.cpp:855-915) — but on uncarried columns, so
+    the only serial carry chains are two 8-step 32-bit passes at the end.
+
+    Bounds: _mul_columns emits 33 columns < 2^21. After fold 1 (high = 17
+    columns < 2^21; high*0x3D1 < 2^31): 19 columns < 2^22. After fold 2
+    (high = 3 columns < 2^22; product < 2^32): 16 columns < 2^23.
     """
-    limbs, top = _carry16(cols, 2 * HALF_LIMBS)  # 512-bit value, top < 2^5
-    limbs = jnp.concatenate([limbs, top[..., None]], axis=-1)  # (..., 33)
+    cols = _fold_uncarried(cols, HALF_LIMBS + 3)  # (..., 19) < 2^22
+    cols = _fold_uncarried(cols, HALF_LIMBS)  # (..., 16) < 2^23
 
-    # fold 1: value < 2^289 -> 19 limbs; carry to 20 to be safe
-    cols = _fold_once(limbs, HALF_LIMBS, HALF_LIMBS + 4)
-    limbs, top = _carry16(cols, HALF_LIMBS + 4)
-    limbs = jnp.concatenate([limbs, top[..., None]], axis=-1)
+    # pairwise-combine 16-bit columns into 8 uint32 limbs:
+    #   value = sum_j (even_j + odd_j * 2^16) * 2^32j
+    #         = sum_j s0_j * 2^32j + sum_j c_j * 2^32(j+1)
+    even = cols[..., 0::2]
+    odd = cols[..., 1::2]
+    odd_lo = (odd & _MASK16) << jnp.uint32(16)
+    s0 = even + odd_lo
+    c0 = (s0 < even).astype(_U32)
+    c = (odd >> jnp.uint32(16)) + c0  # < 2^8, belongs at limb j+1
+    c_shift = jnp.concatenate(
+        [jnp.zeros_like(c[..., :1]), c[..., :-1]], axis=-1
+    )
+    r1, carry1 = _add_raw(s0, c_shift)
+    top = c[..., 7] + carry1  # value overflowing 2^256, < 2^9
 
-    # fold 2: high is < 2^68 (5 limbs incl. carry) -> value < 2^256 + 2^70
-    cols = _fold_once(limbs, HALF_LIMBS, HALF_LIMBS)
-    limbs, top = _carry16(cols, HALF_LIMBS)
-
-    # micro-fold: top in {0,1}; add top * (2^32 + 0x3D1)
-    micro = jnp.zeros_like(limbs)
-    micro = micro.at[..., 0].set(top * jnp.uint32(FOLD_C))
-    micro = micro.at[..., 2].set(top)
-    limbs, _ = _carry16(limbs + micro, HALF_LIMBS)
+    # micro-fold: add top * (2^32 + 0x3D1)
+    f = jnp.zeros_like(r1)
+    f = f.at[..., 0].set(top * jnp.uint32(FOLD_C))
+    f = f.at[..., 1].set(top)
+    r2, carry2 = _add_raw(r1, f)
+    # carry2 requires r1 > 2^256 - 2^42: fold once more (conditionally)
+    f1 = jnp.zeros_like(r2).at[..., 0].set(jnp.uint32(FOLD_C)).at[..., 1].set(jnp.uint32(1))
+    r3, _ = _add_raw(r2, f1)
+    r = select(carry2 == 1, r3, r2)
     # the value is now < 2^256; at most one conditional subtract to canonical
-    return normalize_mod_p(_from16(limbs))
+    return normalize_mod_p(r)
 
 
 def mul_mod_p(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,109 @@
+"""BSGS network service — the reference bsgsd capability (bsgsd.cpp).
+
+Text line protocol over TCP, wire-compatible with the reference
+(BSGSD.md:29-46):
+
+    request:  "<pubkey_hex> <from_hex>:<to_hex>\\n"
+    reply:    "<privkey_hex>" | "404 Not Found" | "400 Bad Request"
+
+The baby table is built once at startup and stays resident in device HBM
+(reference keeps blooms+bPtable resident in RAM, BSGSD.md:98-102).
+Requests are served one at a time, matching the reference's
+single-client-serial accept loop (bsgsd.cpp:1354-1378) — but connections
+are accepted concurrently (threading server + a device lock) so clients
+never race for the listen socket.
+
+Run: python -m keyhuntm1cpu_tpu.server -p 8080 --m-babies 4194304
+"""
+
+from __future__ import annotations
+
+import argparse
+import socket
+import socketserver
+import threading
+from typing import Optional
+
+from .engine.bsgs import BSGSEngine, BSGSParams
+from .filter import sorted_table as st
+from .ref import ecref
+
+
+class BSGSService:
+    """Resident baby table + serialized request execution."""
+
+    def __init__(self, params: BSGSParams, table: Optional[st.SortedXTable] = None):
+        self.params = params
+        if table is None:
+            # build once with a throwaway engine
+            boot = BSGSEngine([ecref.G], 1, 2, params)
+            table = boot.table
+        self.table = table
+        self._lock = threading.Lock()
+
+    def solve(self, pubkey_hex: str, a: int, b: int) -> Optional[int]:
+        pt = ecref.parse_pubkey(pubkey_hex)
+        with self._lock:  # one search at a time (device is serial anyway)
+            eng = BSGSEngine([pt], a, b, self.params, table=self.table)
+            found = eng.search(stop_on_first=True)
+        for f in found:
+            if a <= f.private_key < b:
+                return f.private_key
+        return found[0].private_key if found else None
+
+
+class _Handler(socketserver.StreamRequestHandler):
+    def handle(self):
+        try:
+            line = self.rfile.readline(4096).decode().strip()
+            parts = line.split()
+            if len(parts) != 2 or ":" not in parts[1]:
+                self.wfile.write(b"400 Bad Request")
+                return
+            lo, hi = parts[1].split(":", 1)
+            a, b = int(lo, 16), int(hi, 16)
+            if not (1 <= a < b <= ecref.N):
+                self.wfile.write(b"400 Bad Request")
+                return
+            key = self.server.service.solve(parts[0], a, b)  # type: ignore
+            if key is None:
+                self.wfile.write(b"404 Not Found")
+            else:
+                self.wfile.write(f"{key:064x}".encode())
+        except (ValueError, IndexError):
+            self.wfile.write(b"400 Bad Request")
+        except BrokenPipeError:
+            pass
+
+
+class BSGSDServer(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+    def __init__(self, addr, service: BSGSService):
+        super().__init__(addr, _Handler)
+        self.service = service
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="keyhunt-tpu-bsgsd")
+    p.add_argument("-i", "--ip", default="127.0.0.1")
+    p.add_argument("-p", "--port", type=int, default=8080)
+    p.add_argument("--m-babies", type=int, default=1 << 22)
+    p.add_argument("-u", "--block-u", type=int, default=4096)
+    p.add_argument("--chunk-steps", type=int, default=8)
+    p.add_argument("--table-file", default=None)
+    args = p.parse_args(argv)
+    params = BSGSParams(
+        m=args.m_babies, block_u=args.block_u, steps_per_chunk=args.chunk_steps
+    )
+    table = BSGSEngine.load_table(args.table_file) if args.table_file else None
+    print(f"[+] building/loading baby table m={args.m_babies} ...")
+    service = BSGSService(params, table)
+    print(f"[+] serving on {args.ip}:{args.port}")
+    with BSGSDServer((args.ip, args.port), service) as srv:
+        srv.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,55 @@
+"""bsgsd-parity network service: wire protocol + solve round trip."""
+
+import socket
+import threading
+
+import pytest
+
+from keyhuntm1cpu_tpu.engine.bsgs import BSGSEngine, BSGSParams, host_baby_table
+from keyhuntm1cpu_tpu.ref import ecref
+from keyhuntm1cpu_tpu.server import BSGSDServer, BSGSService
+
+PARAMS = BSGSParams(m=512, block_u=16, steps_per_chunk=4, build_block=128, chain_len=8)
+
+
+@pytest.fixture(scope="module")
+def server():
+    service = BSGSService(PARAMS, table=host_baby_table(PARAMS.m))
+    srv = BSGSDServer(("127.0.0.1", 0), service)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv.server_address
+    srv.shutdown()
+
+
+def _request(addr, line: str) -> str:
+    with socket.create_connection(addr, timeout=300) as s:
+        s.sendall(line.encode() + b"\n")
+        s.shutdown(socket.SHUT_WR)
+        chunks = []
+        while True:
+            b = s.recv(4096)
+            if not b:
+                break
+            chunks.append(b)
+    return b"".join(chunks).decode()
+
+
+def test_solve_request(server):
+    key = 0xA1B2C3
+    pub = ecref.serialize_pubkey(ecref.scalar_mult(key)).hex()
+    resp = _request(server, f"{pub} a00000:b00000")
+    assert int(resp, 16) == key
+
+
+def test_not_found(server):
+    pub = ecref.serialize_pubkey(ecref.scalar_mult(0xF00000)).hex()
+    resp = _request(server, f"{pub} a00000:b00000")
+    assert resp == "404 Not Found"
+
+
+def test_bad_request(server):
+    assert _request(server, "garbage") == "400 Bad Request"
+    assert _request(server, "02aa bad:range") == "400 Bad Request"
+    pub = ecref.serialize_pubkey(ecref.G).hex()
+    assert _request(server, f"{pub} ff:01") == "400 Bad Request"
