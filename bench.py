@@ -22,8 +22,8 @@ import sys
 import time
 
 M = int(os.environ.get("BENCH_M", 1 << 22))
-BLOCK_U = int(os.environ.get("BENCH_U", 4096))
-CHUNK_K = int(os.environ.get("BENCH_K", 8))
+BLOCK_U = int(os.environ.get("BENCH_U", 8192))
+CHUNK_K = int(os.environ.get("BENCH_K", 64))
 BENCH_SECONDS = float(os.environ.get("BENCH_SECONDS", 20.0))
 CACHE = os.environ.get("BENCH_TABLE_CACHE", f"/root/repo/.baby_m{M}.npz")
 

@@ -107,19 +107,24 @@ class BSGSEngine:
         jbtab_x, jbtab_y = jnp.asarray(btab_x), jnp.asarray(btab_y)
 
         @jax.jit
-        def build_chunk(cx, cy):
-            c = points.PointBatch(cx, cy, jnp.zeros(cx.shape[:-1], dtype=bool))
-            res = walk.xonly_walk(c, jbtab_x, jbtab_y, chain_len=p.chain_len)
-            qhi, qlo = st.trunc64_from_limbs(res.x_plus)
-            nxt = walk.advance(
-                c,
-                points.PointBatch(
-                    jbtab_x[-1][None], jbtab_y[-1][None],
-                    jnp.zeros((1,), dtype=bool),
-                ),
-                chain_len=1,
+        def build_all(cx, cy):
+            """lax.scan over all blocks on-device; ONE host transfer at the
+            end (per-block pulls cost ~50 ms each through the device
+            tunnel — the scan removes n_blocks round trips)."""
+            step_pt = points.PointBatch(
+                jbtab_x[-1][None], jbtab_y[-1][None], jnp.zeros((1,), dtype=bool)
             )
-            return nxt.x, nxt.y, qhi[0], qlo[0], res.degenerate[0]
+
+            def body(carry, _):
+                cx, cy = carry
+                c = points.PointBatch(cx, cy, jnp.zeros(cx.shape[:-1], dtype=bool))
+                res = walk.xonly_walk(c, jbtab_x, jbtab_y, chain_len=p.chain_len)
+                qhi, qlo = st.trunc64_from_limbs(res.x_plus)
+                nxt = walk.advance(c, step_pt, chain_len=1)
+                return (nxt.x, nxt.y), (qhi[0], qlo[0], res.degenerate[0])
+
+            (_, _), outs = jax.lax.scan(body, (cx, cy), None, length=n_blocks - 1)
+            return outs  # (n_blocks-1, ub) x3
 
         his = np.empty(n_blocks * ub, dtype=np.uint32)
         los = np.empty(n_blocks * ub, dtype=np.uint32)
@@ -129,23 +134,19 @@ class BSGSEngine:
         his[:ub] = btab_x[:, 1]
         los[:ub] = btab_x[:, 0]
 
-        cur = points.point_batch_from_ints([ecref.scalar_mult(ub)])
-        cx, cy = cur.x, cur.y
-        for t in range(1, n_blocks):
-            cx, cy, qhi, qlo, deg = build_chunk(cx, cy)
-            his[t * ub : (t + 1) * ub] = np.asarray(qhi)
-            los[t * ub : (t + 1) * ub] = np.asarray(qlo)
-            degn = np.asarray(deg)
-            if degn.any():
+        if n_blocks > 1:
+            cur = points.point_batch_from_ints([ecref.scalar_mult(ub)])
+            qhi, qlo, deg = build_all(cur.x, cur.y)
+            his[ub:] = np.asarray(qhi).reshape(-1)
+            los[ub:] = np.asarray(qlo).reshape(-1)
+            degn = np.asarray(deg).reshape(-1)
+            for flat in np.nonzero(degn)[0]:
                 # patch degenerate lanes exactly (e.g. block 1 u=Ub is the
                 # doubling case (Ub)*G + (Ub)*G)
-                for u in np.nonzero(degn)[0]:
-                    j = t * ub + int(u) + 1
-                    x = ecref.scalar_mult(j)[0]
-                    his[t * ub + int(u)] = (x >> 32) & 0xFFFFFFFF
-                    los[t * ub + int(u)] = x & 0xFFFFFFFF
-            if progress and t % 64 == 0:
-                print(f"[baby build] block {t}/{n_blocks}")
+                j = ub + int(flat) + 1
+                x = ecref.scalar_mult(j)[0]
+                his[ub + int(flat)] = (x >> 32) & 0xFFFFFFFF
+                los[ub + int(flat)] = x & 0xFFFFFFFF
 
         return st.build_sorted_table(his[: p.m], los[: p.m], idxs[: p.m])
 
@@ -225,11 +226,21 @@ class BSGSEngine:
                 n_deg = res.degenerate.sum(axis=1).astype(jnp.int32)
                 first_deg = jnp.argmax(res.degenerate, axis=1).astype(jnp.int32)
                 nxt = walk.advance(pb, big, chain_len=1)
-                out = (n_hit, first_u, bidx, bidx2, n_deg, first_deg)
+                # single stacked summary -> ONE host transfer per chunk
+                out = jnp.stack(
+                    [
+                        n_hit,
+                        first_u,
+                        bidx.astype(jnp.int32),
+                        bidx2.astype(jnp.int32),
+                        n_deg,
+                        first_deg,
+                    ]
+                )  # (6, T) int32
                 return (nxt.x, nxt.y), out
 
             (px, py), outs = jax.lax.scan(body, (px, py), None, length=K)
-            return px, py, outs
+            return px, py, jnp.moveaxis(outs, 0, 1)  # (6, K, T)
 
         return chunk
 
@@ -267,9 +278,10 @@ class BSGSEngine:
         while step < end_step:
             k = min(p.steps_per_chunk, end_step - step)
             px, py, outs = self._chunk_fn(px, py)
-            n_hit, first_u, bidx, bidx2, n_deg, first_deg = (
-                np.asarray(o) for o in outs
-            )
+            arr = np.asarray(outs)  # (6, K, T) int32 — one transfer
+            n_hit, first_u, n_deg, first_deg = arr[0], arr[1], arr[4], arr[5]
+            bidx = arr[2].view(np.uint32)
+            bidx2 = arr[3].view(np.uint32)
             # only the first k steps of the chunk are within range
             interesting = (n_hit[:k].any() or n_deg[:k].any())
             if interesting:
@@ -360,7 +372,11 @@ class BSGSEngine:
                     return found
                 continue
             _, _, outs = self._chunk_fn(base.x, base.y)
-            arrs = [np.asarray(o) for o in outs]
+            arr = np.asarray(outs)
+            arrs = [
+                arr[0], arr[1], arr[2].view(np.uint32),
+                arr[3].view(np.uint32), arr[4], arr[5],
+            ]
             if arrs[0][:k].any() or arrs[4][:k].any():
                 found += self._decode_chunk(step0, k, *arrs)
                 if found and stop_on_first:

@@ -103,14 +103,24 @@ class ShardedBSGSEngine(BSGSEngine):
                 n_deg = res.degenerate.sum(axis=1).astype(jnp.int32)
                 first_deg = jnp.argmax(res.degenerate, axis=1).astype(jnp.int32)
                 nxt = walk.advance(pb, big, chain_len=1)
-                return (nxt.x, nxt.y), (n_hit, first_u, bidx, bidx2, n_deg, first_deg)
+                out = jnp.stack(
+                    [
+                        n_hit,
+                        first_u,
+                        bidx.astype(jnp.int32),
+                        bidx2.astype(jnp.int32),
+                        n_deg,
+                        first_deg,
+                    ]
+                )  # (6, T)
+                return (nxt.x, nxt.y), out
 
             (px, py), outs = jax.lax.scan(body, (px, py), None, length=K)
-            # replicated any-interesting flag: ONE scalar for the host
+            outs = jnp.moveaxis(outs, 0, 1)  # (6, K, T)
+            # replicated any-interesting flag aggregated over ICI
             local_interest = outs[0].sum() + outs[4].sum()
             total_interest = jax.lax.psum(local_interest, "shard")
-            outs = tuple(o[None] for o in outs)  # re-add shard axis
-            return px[None], py[None], outs, total_interest
+            return px[None], py[None], outs[None], total_interest
 
         smapped = shard_map(
             local_chunk,
@@ -119,7 +129,7 @@ class ShardedBSGSEngine(BSGSEngine):
             out_specs=(
                 P("shard"),
                 P("shard"),
-                tuple(P("shard") for _ in range(6)),
+                P("shard"),
                 P(),
             ),
             check_vma=False,
@@ -141,10 +151,17 @@ class ShardedBSGSEngine(BSGSEngine):
             k = min(p.steps_per_chunk, total - step)
             px, py, outs, interest = self._sharded_chunk(px, py)
             if int(interest) > 0:
-                arrs = [np.asarray(o) for o in outs]  # each (D, K, T)
+                arr = np.asarray(outs)  # (D, 6, K, T), one transfer
                 for d, sl in enumerate(self.slices):
                     found += self._decode_chunk(
-                        sl.step0 + step, k, *(a[d] for a in arrs)
+                        sl.step0 + step,
+                        k,
+                        arr[d, 0],
+                        arr[d, 1],
+                        arr[d, 2].view(np.uint32),
+                        arr[d, 3].view(np.uint32),
+                        arr[d, 4],
+                        arr[d, 5],
                     )
                 found = self._dedupe(found)
                 if found and stop_on_first:
