@@ -288,6 +288,7 @@ class BSGSEngine:
                 found += self._decode_chunk(
                     step, k, n_hit, first_u, bidx, bidx2, n_deg, first_deg
                 )
+                found = self._dedupe_found(found)
                 if found and stop_on_first:
                     self.stats.add(k * p.block_u * self.stride)
                     return found
@@ -295,7 +296,7 @@ class BSGSEngine:
             step += p.steps_per_chunk
             if progress_every and (step // p.steps_per_chunk) % progress_every == 0:
                 print(f"[bsgs] step {step}/{end_step} {self.stats.human()}")
-        return found
+        return self._dedupe_found(found)
 
     def search_scheduled(
         self,
@@ -378,14 +379,21 @@ class BSGSEngine:
                 arr[3].view(np.uint32), arr[4], arr[5],
             ]
             if arrs[0][:k].any() or arrs[4][:k].any():
-                found += self._decode_chunk(step0, k, *arrs)
+                found = self._dedupe_found(found + self._decode_chunk(step0, k, *arrs))
                 if found and stop_on_first:
                     self.stats.add(k * p.block_u * self.stride)
                     return found
             self.stats.add(k * p.block_u * self.stride)
             if progress_every and i % progress_every == 0:
                 print(f"[bsgs:{policy}] chunk {i}/{len(order)} {self.stats.human()}")
-        return found
+        return self._dedupe_found(found)
+
+    @staticmethod
+    def _dedupe_found(found: List[FoundKey]) -> List[FoundKey]:
+        seen: Dict[Tuple[int, str], FoundKey] = {}
+        for f in found:
+            seen[(f.private_key, f.target)] = f
+        return list(seen.values())
 
     def _decode_chunk(
         self, step0, k, n_hit, first_u, bidx, bidx2, n_deg, first_deg
