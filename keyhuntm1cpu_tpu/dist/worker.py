@@ -1,0 +1,130 @@
+"""Distributed worker: lease work units, search, report, heartbeat.
+
+Working equivalent of the reference's bodiless DistributedWorker client
+(include/keyhunt/core/distributed.h: client w/ heartbeat loop). The search
+itself is injected as a callable `(start, end) -> list[hex keys]`, so the
+same worker drives any engine (BSGS, brute modes) or a toy function in
+tests; `bsgs_search_fn` builds the standard BSGS one with a resident baby
+table (the bsgsd model: build once, search many ranges, BSGSD.md:98-102).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+import uuid
+from typing import Callable, List, Optional
+
+from .coordinator import WorkUnit, rpc
+
+SearchFn = Callable[[int, int], List[str]]
+
+
+class DistributedWorker:
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        search_fn: SearchFn,
+        worker_id: Optional[str] = None,
+        heartbeat_s: float = 15.0,
+        poll_s: float = 2.0,
+    ):
+        self.host = host
+        self.port = port
+        self.search_fn = search_fn
+        self.worker_id = worker_id or f"worker-{uuid.uuid4().hex[:8]}"
+        self.heartbeat_s = heartbeat_s
+        self.poll_s = poll_s
+        self.units_done = 0
+        self.found: List[str] = []
+
+    def _rpc(self, req: dict) -> dict:
+        req["worker_id"] = self.worker_id
+        return rpc(self.host, self.port, req)
+
+    def _heartbeat_loop(self, unit_id: int, stop: threading.Event) -> None:
+        while not stop.wait(self.heartbeat_s):
+            try:
+                r = self._rpc({"op": "heartbeat", "unit_id": unit_id})
+                if r.get("stop"):
+                    return
+            except OSError:
+                pass  # transient; the lease covers us for lease_s
+
+    def run(self, max_units: Optional[int] = None) -> List[str]:
+        """Process units until the coordinator reports done. Returns found
+        keys (hex) from THIS worker."""
+        self._rpc({"op": "register"})
+        while max_units is None or self.units_done < max_units:
+            r = self._rpc({"op": "request_work"})
+            if r.get("unit") is None:
+                if r.get("done"):
+                    break
+                time.sleep(self.poll_s)
+                continue
+            unit = WorkUnit.from_dict(r["unit"])
+            stop = threading.Event()
+            hb = threading.Thread(
+                target=self._heartbeat_loop, args=(unit.unit_id, stop), daemon=True
+            )
+            hb.start()
+            try:
+                keys = self.search_fn(unit.start, unit.end)
+                status = "found" if keys else "done"
+            except Exception:
+                stop.set()
+                self._rpc({"op": "report", "unit_id": unit.unit_id,
+                           "status": "failed"})
+                raise
+            finally:
+                stop.set()
+            self.found.extend(keys)
+            self.units_done += 1
+            resp = self._rpc({"op": "report", "unit_id": unit.unit_id,
+                              "status": status, "found": keys})
+            if resp.get("stop"):
+                break
+        return self.found
+
+
+def bsgs_search_fn(pubkeys, params=None, table=None) -> SearchFn:
+    """Standard BSGS search function with a resident baby table."""
+    from ..engine.bsgs import BSGSEngine, BSGSParams
+
+    params = params or BSGSParams()
+    resident = {"table": table}
+
+    def search(a: int, b: int) -> List[str]:
+        eng = BSGSEngine(pubkeys, a, b, params, table=resident["table"])
+        resident["table"] = eng.table  # built on first unit, reused after
+        return [f"{f.private_key:x}" for f in eng.search(stop_on_first=True)]
+
+    return search
+
+
+def main(argv=None):
+    import argparse
+
+    from ..utils.targets import parse_target_file
+    from ..engine.bsgs import BSGSParams
+
+    p = argparse.ArgumentParser(prog="keyhunt-tpu-worker")
+    p.add_argument("-c", "--coordinator", required=True, help="host:port")
+    p.add_argument("-f", "--file", required=True, help="pubkey target file")
+    p.add_argument("--m-babies", type=int, default=1 << 22)
+    p.add_argument("-u", "--block-u", type=int, default=4096)
+    p.add_argument("--chunk-steps", type=int, default=8)
+    args = p.parse_args(argv)
+    host, port = args.coordinator.rsplit(":", 1)
+    targets = parse_target_file(args.file, "pubkey")
+    params = BSGSParams(m=args.m_babies, block_u=args.block_u,
+                        steps_per_chunk=args.chunk_steps)
+    w = DistributedWorker(host, int(port),
+                          bsgs_search_fn(targets.pubkeys, params))
+    found = w.run()
+    print(f"[+] worker {w.worker_id}: {w.units_done} units, found {found}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,129 @@
+"""Distributed coordinator/worker control plane (dist/)."""
+
+import threading
+import time
+
+from keyhuntm1cpu_tpu.dist import (
+    CoordinatorServer,
+    DistributedWorker,
+    WorkCoordinator,
+)
+from keyhuntm1cpu_tpu.dist.coordinator import rpc
+
+
+def _serve(coord):
+    srv = CoordinatorServer(("127.0.0.1", 0), coord)
+    srv.start_background()
+    return srv, srv.server_address[1]
+
+
+class TestCoordinator:
+    def test_unit_partitioning_alignment(self):
+        c = WorkCoordinator(0x1000, 0x2000, n_units=3, align=0x400)
+        units = []
+        c.register("w")
+        while True:
+            r = c.request_work("w")
+            if r["unit"] is None:
+                break
+            units.append((int(r["unit"]["start"], 16), int(r["unit"]["end"], 16)))
+        # full disjoint cover
+        assert units[0][0] == 0x1000
+        assert units[-1][1] == 0x2000
+        for (a1, b1), (a2, _) in zip(units, units[1:]):
+            assert b1 == a2
+            assert (b1 - a1) % 0x400 == 0
+
+    def test_lease_expiry_reassigns(self):
+        c = WorkCoordinator(0, 100, n_units=1, lease_s=0.05)
+        c.register("w1")
+        r = c.request_work("w1")
+        assert r["unit"] is not None
+        assert c.request_work("w2")["unit"] is None  # leased out
+        time.sleep(0.08)
+        r2 = c.request_work("w2")  # expired -> reassigned
+        assert r2["unit"] is not None
+        assert r2["unit"]["unit_id"] == r["unit"]["unit_id"]
+
+    def test_heartbeat_renews_lease(self):
+        c = WorkCoordinator(0, 100, n_units=1, lease_s=0.1)
+        r = c.request_work("w1")
+        uid = r["unit"]["unit_id"]
+        for _ in range(3):
+            time.sleep(0.06)
+            c.heartbeat("w1", uid)
+            assert c.request_work("w2")["unit"] is None  # still held
+
+    def test_stop_on_first(self):
+        c = WorkCoordinator(0, 100, n_units=10, stop_on_first=True)
+        r = c.request_work("w1")
+        resp = c.report("w1", r["unit"]["unit_id"], "found", found=["abc123"])
+        assert resp["stop"]
+        assert c.request_work("w2")["done"]
+        assert c.found_keys()[0]["private_key"] == "abc123"
+
+    def test_failed_unit_requeued(self):
+        c = WorkCoordinator(0, 100, n_units=1)
+        r = c.request_work("w1")
+        c.report("w1", r["unit"]["unit_id"], "failed")
+        assert c.request_work("w2")["unit"] is not None
+
+    def test_completion(self):
+        c = WorkCoordinator(0, 100, n_units=2, stop_on_first=False)
+        while True:
+            r = c.request_work("w")
+            if r["unit"] is None:
+                break
+            c.report("w", r["unit"]["unit_id"], "done")
+        assert c.is_done()
+        st = c.status()
+        assert st["completed"] == 2 and st["pending"] == 0
+
+
+class TestEndToEnd:
+    def test_workers_find_planted_key_over_tcp(self):
+        # plant a "key" at 777; search_fn = trivial range scan
+        coord = WorkCoordinator(0, 1000, n_units=8, stop_on_first=True)
+        srv, port = _serve(coord)
+        try:
+            def search(a, b):
+                return [f"{777:x}"] if a <= 777 < b else []
+
+            workers = [
+                DistributedWorker("127.0.0.1", port, search, heartbeat_s=0.5)
+                for _ in range(3)
+            ]
+            threads = [threading.Thread(target=w.run) for w in workers]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=30)
+            found = coord.found_keys()
+            assert [f["private_key"] for f in found] == ["309"]  # 777 hex
+            st = coord.status()
+            assert st["stopped"]
+        finally:
+            srv.shutdown()
+
+    def test_rpc_status(self):
+        coord = WorkCoordinator(0, 10, n_units=1)
+        srv, port = _serve(coord)
+        try:
+            st = rpc("127.0.0.1", port, {"op": "status"})
+            assert st["ok"] and st["n_units"] == 1
+            bad = rpc("127.0.0.1", port, {"op": "bogus"})
+            assert not bad["ok"]
+        finally:
+            srv.shutdown()
+
+    def test_all_units_processed_no_key(self):
+        coord = WorkCoordinator(0, 64, n_units=4, stop_on_first=True)
+        srv, port = _serve(coord)
+        try:
+            w = DistributedWorker("127.0.0.1", port, lambda a, b: [])
+            w.run()
+            assert w.units_done == 4
+            assert coord.is_done()
+            assert coord.found_keys() == []
+        finally:
+            srv.shutdown()
