@@ -96,8 +96,14 @@ def main():
     jax.block_until_ready(outs)
     t0 = time.time()
     chunks = 0
+    inflight = []  # bounded pipeline: <=2 outstanding chunks so the
+    # dispatch queue never runs away from the device (async dispatch
+    # otherwise enqueues minutes of work in the timed window)
     while time.time() - t0 < BENCH_SECONDS:
         px, py, outs = eng64._chunk_fn(px, py)
+        inflight.append(outs)
+        if len(inflight) > 2:
+            jax.block_until_ready(inflight.pop(0))
         chunks += 1
     jax.block_until_ready(outs)
     elapsed = time.time() - t0

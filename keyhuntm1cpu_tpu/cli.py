@@ -1,22 +1,29 @@
 """Command-line interface (capability of reference keyhunt.cpp main/menu,
 :489-778 getopt loop and :5741-5773 menu).
 
-Implemented modes: bsgs, address, rmd160, xpoint, eth.
+Modes: bsgs, address, rmd160, xpoint, eth, minikeys, vanity.
 Example:
     python -m keyhuntm1cpu_tpu.cli -m bsgs -f targets.pub \
         -r 400000000000000:800000000000000 --m-babies 4194304 -S
+
+Flags follow the reference where a direct analog exists (-m/-f/-r/-S/-6/
+-q/-s/-e/-I/-R/-B policy); config files and KEYHUNT_* env overrides come
+from core.config (which the reference's getopt never had).
 """
 
 from __future__ import annotations
 
 import argparse
 import sys
-import time
 
+from .core.checkpoint import CheckpointManager
+from .core.log import get_logger
 from .engine.bsgs import BSGSEngine, BSGSParams
 from .engine.brute import BruteEngine, BruteParams
 from .engine.common import write_found_key
 from .utils.targets import parse_target_file
+
+BRUTE_MODES = ("address", "rmd160", "xpoint", "eth")
 
 
 def parse_range(s: str):
@@ -32,10 +39,12 @@ def build_parser() -> argparse.ArgumentParser:
         description="TPU-native secp256k1 key search (BSGS + brute modes)",
     )
     p.add_argument("-m", "--mode", required=True,
-                   choices=["bsgs", "address", "rmd160", "xpoint", "eth"],
+                   choices=["bsgs", "address", "rmd160", "xpoint", "eth",
+                            "minikeys", "vanity"],
                    help="search mode (reference -m)")
-    p.add_argument("-f", "--file", required=True, help="target file (reference -f)")
-    p.add_argument("-r", "--range", type=parse_range, required=True,
+    p.add_argument("-f", "--file", default=None,
+                   help="target file (reference -f); not needed for vanity -v")
+    p.add_argument("-r", "--range", type=parse_range, default=None,
                    help="start:end hex key range (reference -r)")
     p.add_argument("--m-babies", type=int, default=1 << 22,
                    help="BSGS baby-table size m (reference -n/-k sizing)")
@@ -43,32 +52,87 @@ def build_parser() -> argparse.ArgumentParser:
                    help="giant centers / walk offsets per device step")
     p.add_argument("--chunk-steps", type=int, default=8,
                    help="device steps per jit chunk")
+    p.add_argument("-B", "--policy", default="sequential",
+                   choices=["sequential", "backward", "both", "random", "dance"],
+                   help="BSGS range scheduling policy (reference -B)")
+    p.add_argument("--seed", type=int, default=0,
+                   help="seed for random/both/dance policies and -R")
     p.add_argument("-w", "--walkers", type=int, default=8,
                    help="brute-mode parallel walkers (reference -t threads)")
+    p.add_argument("-I", "--stride", type=int, default=1,
+                   help="key-space stride (reference -I)")
+    p.add_argument("-R", "--random", action="store_true", dest="random_mode",
+                   help="random walker re-basing (reference -R)")
+    p.add_argument("-e", "--endo", action="store_true",
+                   help="endomorphism lanes for rmd160/xpoint (reference -e)")
     p.add_argument("-S", "--save-table", action="store_true",
                    help="cache the BSGS baby table to disk (reference -S)")
     p.add_argument("--table-file", default=None, help="baby table cache path")
     p.add_argument("-6", "--skip-checksum", action="store_true", dest="skip_checksum",
                    help="skip table checksum verification (reference -6)")
+    p.add_argument("--checkpoint", default=None,
+                   help="search-position checkpoint file (resume if it exists)")
+    p.add_argument("--checkpoint-every", type=float, default=60.0,
+                   help="seconds between checkpoint writes")
+    p.add_argument("--metrics-port", type=int, default=None,
+                   help="serve /metrics.json + dashboard on this port")
     p.add_argument("--sharded", action="store_true",
                    help="shard the range across all visible devices")
     p.add_argument("-s", "--stats-every", type=float, default=5.0,
                    help="progress print interval factor (reference -s)")
     p.add_argument("-q", "--quiet", action="store_true", help="reference -q")
+    p.add_argument("-M", "--matrix", action="store_true",
+                   help="matrix mode: plain newline output (reference -M)")
     p.add_argument("--all", action="store_true",
                    help="keep searching after the first found key")
     p.add_argument("--uncompressed", action="store_true",
                    help="hash uncompressed pubkeys (reference -l uncompress)")
+    p.add_argument("-v", "--vanity", action="append", default=[],
+                   help="vanity prefix (repeatable; reference -v)")
+    p.add_argument("-C", "--minikey-prefix", default=None,
+                   help="minikey scan prefix base (reference -C)")
+    p.add_argument("--max-chunks", type=int, default=None,
+                   help="stop after N device chunks (smoke tests)")
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    a, b = args.range
+    log = get_logger()
+    try:
+        return _run(args, log)
+    except (ValueError, FileNotFoundError) as e:
+        log.error(str(e))
+        return 2
+
+
+def _run(args, log) -> int:
+    if args.quiet:
+        log.set_level("warn")
+    log.matrix = args.matrix
+    progress = 0 if args.quiet else max(1, int(args.stats_every))
+
+    metrics_srv = None
+    if args.metrics_port is not None:
+        from .core.metrics import MetricsServer, get_metrics
+
+        get_metrics().set_info("mode", args.mode)
+        metrics_srv = MetricsServer(args.metrics_port).start()
+        log.plus(f"metrics on http://127.0.0.1:{metrics_srv.port}/")
+
     found = []
+    eng = None
+
+    if args.mode in ("bsgs",) + BRUTE_MODES and args.range is None:
+        log.error("-r start:end is required for this mode")
+        return 2
+    if args.mode != "vanity" and not args.file:
+        log.error("-f target file is required for this mode")
+        return 2
 
     if args.mode == "bsgs":
         targets = parse_target_file(args.file, "pubkey")
+        a, b = args.range
         params = BSGSParams(
             m=args.m_babies, block_u=args.block_u, steps_per_chunk=args.chunk_steps
         )
@@ -79,10 +143,14 @@ def main(argv=None) -> int:
                 table = BSGSEngine.load_table(
                     cache, verify_checksum=not args.skip_checksum
                 )
-                if not args.quiet:
-                    print(f"[+] loaded baby table from {cache}")
+                log.plus(f"loaded baby table from {cache}")
             except (FileNotFoundError, ValueError):
                 table = None
+        ckmgr = (
+            CheckpointManager(args.checkpoint, every_s=args.checkpoint_every)
+            if args.checkpoint
+            else None
+        )
         if args.sharded:
             from .parallel import ShardedBSGSEngine
 
@@ -90,20 +158,22 @@ def main(argv=None) -> int:
             if args.save_table and table is None:
                 eng.save_table(cache)
             found = eng.search_sharded(
-                stop_on_first=not args.all,
-                progress_every=0 if args.quiet else max(1, int(args.stats_every)),
+                stop_on_first=not args.all, progress_every=progress
             )
         else:
             eng = BSGSEngine(targets.pubkeys, a, b, params, table=table)
             if args.save_table and table is None:
                 eng.save_table(cache)
-            found = eng.search(
+            found = eng.search_scheduled(
+                policy=args.policy,
+                seed=args.seed,
                 stop_on_first=not args.all,
-                progress_every=0 if args.quiet else max(1, int(args.stats_every)),
+                progress_every=progress,
+                checkpoint=ckmgr,
+                max_chunks=args.max_chunks,
             )
-        if not args.quiet:
-            print(f"[+] {eng.stats.human()} ({eng.stats.keys_covered:.3e} keys)")
-    else:
+    elif args.mode in BRUTE_MODES:
+        a, b = args.range
         kind = {"address": "address", "rmd160": "rmd160",
                 "xpoint": "xpoint", "eth": "eth"}[args.mode]
         targets = parse_target_file(args.file, kind)
@@ -114,20 +184,67 @@ def main(argv=None) -> int:
             walkers=args.walkers,
             block_u=args.block_u,
             steps_per_chunk=args.chunk_steps,
+            endo=args.endo,
+            stride=args.stride,
+            random_mode=args.random_mode,
+            seed=args.seed,
         )
         eng = BruteEngine(targets, a, b, mode=mode, params=params)
         found = eng.search(
             stop_on_first=not args.all,
-            progress_every=0 if args.quiet else max(1, int(args.stats_every)),
+            progress_every=progress,
+            max_steps=args.max_chunks,
         )
-        if not args.quiet:
-            print(f"[+] {eng.stats.human()} ({eng.stats.keys_covered:.3e} keys)")
+    elif args.mode == "minikeys":
+        from .engine.minikeys import MinikeyEngine, MinikeyParams
 
+        targets = parse_target_file(args.file, "address")
+        eng = MinikeyEngine(
+            targets,
+            prefix=args.minikey_prefix,
+            params=MinikeyParams(batch=max(256, args.block_u)),
+        )
+        found = eng.search(
+            max_chunks=args.max_chunks or (1 << 30),
+            stop_on_first=not args.all,
+            progress_every=progress,
+        )
+    elif args.mode == "vanity":
+        from .engine.vanity import VanityEngine, VanityParams
+
+        prefixes = list(args.vanity)
+        if args.file:
+            with open(args.file) as f:
+                prefixes += [ln.strip() for ln in f if ln.strip()]
+        if not prefixes:
+            log.error("vanity mode needs -v prefixes or -f prefix file")
+            return 2
+        a, b = args.range or (1, 1 << 63)
+        eng = VanityEngine(
+            prefixes,
+            a,
+            b,
+            params=VanityParams(
+                walkers=args.walkers,
+                block_u=args.block_u,
+                steps_per_chunk=args.chunk_steps,
+            ),
+        )
+        found = eng.search(
+            stop_on_first=not args.all,
+            max_steps=args.max_chunks,
+            progress_every=progress,
+        )
+
+    if eng is not None:
+        log.plus(f"{eng.stats.human()} ({eng.stats.keys_covered:.3e} keys)")
     for f in found:
         write_found_key(f)
-        print(f"[+] FOUND {f.private_key:064x} -> {f.target}")
+        log.result(f"FOUND {f.private_key:064x} -> {f.target}")
     if not found:
-        print("[+] no key found in range")
+        log.plus("no key found in range")
+    if metrics_srv is not None:
+        metrics_srv.stop()
     return 0 if found else 1
 
 

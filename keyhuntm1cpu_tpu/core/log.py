@@ -70,6 +70,16 @@ class Logger:
         keyhunt.cpp:2201-2237); becomes a normal line under matrix mode."""
         self._emit("plus", msg, transient=True)
 
+    def result(self, msg: str) -> None:
+        """Always-visible outcome line (found keys) — bypasses -q the way
+        the reference always prints hits regardless of quiet mode."""
+        level = self.level
+        self.level = 0
+        try:
+            self._emit("plus", msg)
+        finally:
+            self.level = level
+
 
 _logger: Optional[Logger] = None
 

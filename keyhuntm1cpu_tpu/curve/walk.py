@@ -122,5 +122,105 @@ def full_walk(
 
 
 def advance(center: PointBatch, step: PointBatch, chain_len: int = 8) -> PointBatch:
-    """Full (x and y) add: move every center by the block stride."""
+    """Full (x and y) add: move every center by the block stride.
+
+    NOTE: prefer walk_fused — a standalone advance pays a full Fermat
+    inversion (a 256-step serial ladder) for a tiny batch, which dominates
+    the whole device step when T/W is small."""
     return add(center, step, chain_len=chain_len)
+
+
+class FusedWalkResult(NamedTuple):
+    x_plus: jnp.ndarray  # (T, U, 8) x of C_t + u*S, u = 1..U
+    x_minus: jnp.ndarray | None  # (T, U, 8) x of C_t - u*S
+    y_plus: jnp.ndarray | None  # (T, U, 8) when need_y
+    y_minus: jnp.ndarray | None
+    degenerate: jnp.ndarray  # (T, U) bool
+    adv_x: jnp.ndarray  # (T, 8) x of C_t + ADV
+    adv_y: jnp.ndarray  # (T, 8) y of C_t + ADV
+    adv_degenerate: jnp.ndarray  # (T,) bool — x(ADV) == x(C_t); adv_* invalid
+
+
+def walk_fused(
+    center: PointBatch,
+    table_x: jnp.ndarray,
+    table_y: jnp.ndarray,
+    adv_x: jnp.ndarray,
+    adv_y: jnp.ndarray,
+    symmetric: bool = False,
+    need_y: bool = False,
+    chain_len: int = 32,
+) -> FusedWalkResult:
+    """Group walk fused with the block advance: ONE batched inversion
+    covers all U walk denominators AND the advance denominator.
+
+    This removes the serial Fermat ladder a standalone `advance` pays per
+    device step (the reference never hits this because its CPU ModInv is
+    cheap relative to its batch; on TPU the tiny-batch inversion was ~50x
+    the cost of the whole walk). adv_x/adv_y: (8,) affine coords of the
+    advance offset ADV (e.g. U*S for BSGS giant blocks, (2U+1)*stride*G
+    for brute windows).
+
+    The advanced point is C_t + ADV with full (x, y) — cost over the walk
+    is ~4 extra modmuls per target, not a powering. When C_t == ADV the
+    add degenerates into a doubling: the inversion batch carries one more
+    denominator (2*y_c) so the doubling formula is applied branch-free
+    (lane select). Only C_t == -ADV (result = infinity) remains flagged
+    via adv_degenerate — the caller must rebase exactly (it implies the
+    target scalar sits on the walk lattice and is found via the walk's own
+    degeneracy candidates anyway).
+    """
+    cx = center.x[:, None, :]  # (T, 1, 8)
+    cy = center.y[:, None, :]
+    tx = jnp.concatenate([table_x, adv_x[None]], axis=0)[None]  # (1, U+1, 8)
+    ty = jnp.concatenate([table_y, adv_y[None]], axis=0)[None]
+
+    dx = fe.sub_mod_p(tx, cx)  # (T, U+1, 8)
+    two_cy = fe.double_mod_p(center.y)  # (T, 8); y == 0 impossible (n odd)
+    dens = jnp.concatenate([dx, two_cy[:, None, :]], axis=1)  # (T, U+2, 8)
+    deg_all = fe.is_zero(dens)
+    dens_safe = fe.select(deg_all, _one_limbs(dens.shape[:-1]), dens)
+    invs = fe.batch_inv_mod_p(dens_safe, chain_len=chain_len)
+    inv_dx = invs[:, :-1]
+    inv_2y = invs[:, -1]
+
+    lam_p = fe.mul_mod_p(fe.sub_mod_p(ty, cy), inv_dx)
+    x_p = fe.sub_mod_p(fe.sub_mod_p(fe.sqr_mod_p(lam_p), cx), tx)
+
+    # advance lane: full affine add result
+    adv_lam = lam_p[:, -1]
+    ax = x_p[:, -1]
+    ay = fe.sub_mod_p(
+        fe.mul_mod_p(adv_lam, fe.sub_mod_p(center.x, ax)), center.y
+    )
+
+    # doubling fallback for C == ADV: lam = 3x^2 / 2y
+    adv_dx_zero = deg_all[:, -2]
+    cx0, cy0 = center.x, center.y
+    sq = fe.sqr_mod_p(cx0)
+    lam_d = fe.mul_mod_p(fe.add_mod_p(fe.double_mod_p(sq), sq), inv_2y)
+    xd = fe.sub_mod_p(fe.sub_mod_p(fe.sqr_mod_p(lam_d), cx0), cx0)
+    yd = fe.sub_mod_p(fe.mul_mod_p(lam_d, fe.sub_mod_p(cx0, xd)), cy0)
+    is_double = adv_dx_zero & fe.eq(cy0, adv_y[None])
+    ax = fe.select(is_double, xd, ax)
+    ay = fe.select(is_double, yd, ay)
+
+    x_plus = x_p[:, :-1]
+    degenerate = deg_all[:, :-2]
+    adv_degenerate = adv_dx_zero & ~is_double  # C == -ADV: sum is infinity
+
+    y_plus = y_minus = x_minus = None
+    if need_y:
+        y_all = fe.sub_mod_p(fe.mul_mod_p(lam_p, fe.sub_mod_p(cx, x_p)), cy)
+        y_plus = y_all[:, :-1]
+    if symmetric:
+        lam_m = fe.mul_mod_p(fe.neg_mod_p(fe.add_mod_p(ty, cy)), inv_dx)
+        x_m = fe.sub_mod_p(fe.sub_mod_p(fe.sqr_mod_p(lam_m), cx), tx)
+        x_minus = x_m[:, :-1]
+        if need_y:
+            y_m = fe.sub_mod_p(fe.mul_mod_p(lam_m, fe.sub_mod_p(cx, x_m)), cy)
+            y_minus = y_m[:, :-1]
+
+    return FusedWalkResult(
+        x_plus, x_minus, y_plus, y_minus, degenerate, ax, ay, adv_degenerate
+    )

@@ -57,6 +57,14 @@ class BruteParams:
     endo: bool = False  # GLV endomorphism lanes (reference -e):
     # also check beta*x and beta^2*x, covering lambda*k and lambda^2*k
     # for 2 extra modmuls per point (keyhunt.cpp:2646-2677)
+    stride: int = 1  # key-space stride (reference -I): scan
+    # {a, a+stride, a+2*stride, ...}; the walk table becomes multiples of
+    # stride*G so device cost is unchanged (keyhunt.cpp stride handling
+    # in thread_process, :2586-2590)
+    random_mode: bool = False  # reference -R: walkers re-base to random
+    # window-aligned positions every chunk instead of scanning sequentially
+    # (keyhunt.cpp:2547-2568 random base claims)
+    seed: int = 0
 
 
 class BruteEngine:
@@ -90,27 +98,42 @@ class BruteEngine:
         self.stats.multiplier = mult
 
         self.window = 2 * params.block_u + 1
-        total_keys = self.b - self.a
-        self.slice_len = math.ceil(total_keys / params.walkers)
+        # index space: key(j) = a + j*stride, j in [0, total_idx)
+        self.stride = params.stride
+        if self.stride < 1:
+            raise ValueError("stride must be >= 1")
+        total_idx = math.ceil((self.b - self.a) / self.stride)
+        self.slice_len = math.ceil(total_idx / params.walkers)
         # round the slice up to whole windows so walkers stay aligned
         self.slice_len = math.ceil(self.slice_len / self.window) * self.window
         self.steps_per_walker = self.slice_len // self.window
+        self.total_steps = self.steps_per_walker * params.walkers
 
-        tab_x, tab_y = tables.step_table(ecref.G, params.block_u)
+        step_pt = ecref.scalar_mult(self.stride)
+        tab_x, tab_y = tables.step_table(step_pt, params.block_u)
         self.tab_x = jnp.asarray(tab_x)
         self.tab_y = jnp.asarray(tab_y)
-        adv = ecref.scalar_mult(self.window)
-        self.adv_pt = points.point_batch_from_ints([adv] * params.walkers)
+        adv = ecref.scalar_mult(self.window * self.stride)
+        self.adv_x = fe.from_int(adv[0])
+        self.adv_y = fe.from_int(adv[1])
         self._chunk_fn = self._make_chunk_fn()
 
     # ------------------------------------------------------------------
 
-    def _initial_centers(self, step0: int = 0) -> points.PointBatch:
+    def _centers_for_bases(self, bases: Sequence[int]) -> points.PointBatch:
+        """Walker centers for per-walker window-start indices `bases`
+        (flat index units: key = a + idx*stride)."""
         pts = []
-        for w in range(self.p.walkers):
-            c = self.a + w * self.slice_len + step0 * self.window + self.p.block_u
+        for w, base_idx in enumerate(bases):
+            c = self.a + (base_idx + self.p.block_u) * self.stride
             pts.append(ecref.scalar_mult(c))
         return points.point_batch_from_ints(pts)
+
+    def _sequential_bases(self, step0: int = 0) -> List[int]:
+        return [
+            w * self.slice_len + step0 * self.window
+            for w in range(self.p.walkers)
+        ]
 
     def _make_chunk_fn(self):
         W = self.p.walkers
@@ -120,7 +143,6 @@ class BruteEngine:
         mode = self.mode
         table = self.table
         tab_x, tab_y = self.tab_x, self.tab_y
-        adv = self.adv_pt
 
         def queries_from_x(x_all):
             """x_all: (W, npts, 8) -> bool hit mask (W, npts, V) and the
@@ -166,6 +188,7 @@ class BruteEngine:
         endo = self.p.endo
         beta = fe.from_int(ecref.BETA)
         beta2 = fe.from_int(ecref.BETA * ecref.BETA % ecref.P)
+        adv_x, adv_y = self.adv_x, self.adv_y
 
         def endo_variants(x_all):
             """[(x, endo_power)] lanes: phi^e(P) = (beta^e x, y) = lambda^e k G."""
@@ -180,42 +203,40 @@ class BruteEngine:
             def body(carry, _):
                 cx, cy = carry
                 ctr = points.PointBatch(cx, cy, jnp.zeros((W,), dtype=bool))
+                res = walk.walk_fused(
+                    ctr, tab_x, tab_y, adv_x, adv_y,
+                    symmetric=True, need_y=needs_y, chain_len=chain,
+                )
+                x_all = jnp.concatenate(
+                    [res.x_plus, res.x_minus, cx[:, None, :]], axis=1
+                )
+                hits, rows = [], []
                 if needs_y:
-                    res = walk.full_walk(ctr, tab_x, tab_y, symmetric=True, chain_len=chain)
-                    x_all = jnp.concatenate(
-                        [res.x_plus, res.x_minus, cx[:, None, :]], axis=1
-                    )
                     y_all = jnp.concatenate(
                         [res.y_plus, res.y_minus, cy[:, None, :]], axis=1
                     )
-                    hits, rows = [], []
                     for xv in endo_variants(x_all):
                         h, r = queries_from_xy(xv, y_all)
                         hits.append(h)
                         rows.append(r)
-                    hit = jnp.concatenate(hits, axis=-1)
-                    row = jnp.concatenate(rows, axis=-1)
-                    deg = res.degenerate
                 else:
-                    res = walk.xonly_walk(ctr, tab_x, tab_y, symmetric=True, chain_len=chain)
-                    x_all = jnp.concatenate(
-                        [res.x_plus, res.x_minus, cx[:, None, :]], axis=1
-                    )
-                    hits, rows = [], []
                     for xv in endo_variants(x_all):
                         h, r = queries_from_x(xv)
                         hits.append(h)
                         rows.append(r)
-                    hit = jnp.concatenate(hits, axis=-1)
-                    row = jnp.concatenate(rows, axis=-1)
-                    deg = res.degenerate
+                hit = jnp.concatenate(hits, axis=-1)
+                row = jnp.concatenate(rows, axis=-1)
                 # mask degenerate lanes (both + and - outputs invalid)
                 degm = jnp.concatenate(
-                    [deg, deg, jnp.zeros((W, 1), dtype=bool)], axis=1
+                    [res.degenerate, res.degenerate, jnp.zeros((W, 1), dtype=bool)],
+                    axis=1,
                 )
                 hit = hit & ~degm[..., None]
-                nxt = walk.advance(ctr, adv, chain_len=1)
-                return (nxt.x, nxt.y), (hit, row, deg)
+                # deg summary: U walk lanes + 1 advance lane
+                deg = jnp.concatenate(
+                    [res.degenerate, res.adv_degenerate[:, None]], axis=1
+                )
+                return (res.adv_x, res.adv_y), (hit, row, deg)
 
             (cx, cy), outs = jax.lax.scan(body, (cx, cy), None, length=K)
             return cx, cy, outs
@@ -224,16 +245,18 @@ class BruteEngine:
 
     # ------------------------------------------------------------------
 
-    def _key_for_lane(self, step: int, w: int, lane: int) -> int:
-        """Scalar for point lane: 0..U-1 = +u, U..2U-1 = -u, 2U = center."""
+    def _key_for_lane(self, base_idx: int, s: int, lane: int) -> int:
+        """Scalar for point lane of step s from window-start index base_idx:
+        lanes 0..U-1 = +u, U..2U-1 = -u, 2U = center."""
         u = self.p.block_u
-        k0 = self.a + w * self.slice_len + step * self.window
-        center = k0 + u
+        center = base_idx + s * self.window + u
         if lane < u:
-            return center + (lane + 1)
-        if lane < 2 * u:
-            return center - (lane - u + 1)
-        return center
+            idx = center + (lane + 1)
+        elif lane < 2 * u:
+            idx = center - (lane - u + 1)
+        else:
+            idx = center
+        return self.a + idx * self.stride
 
     def _verify(self, k: int, row: int) -> Optional[FoundKey]:
         """Exact host check of candidate scalar k against target row."""
@@ -271,16 +294,28 @@ class BruteEngine:
         progress_every: int = 0,
     ) -> List[FoundKey]:
         p = self.p
-        base = self._initial_centers()
-        cx, cy = base.x, base.y
         total = self.steps_per_walker if max_steps is None else min(
             self.steps_per_walker, max_steps
         )
         found: List[FoundKey] = []
         seen = set()
         step = 0
+        rng = np.random.default_rng(p.seed) if p.random_mode else None
+        bases = self._sequential_bases()
+        base_pts = self._centers_for_bases(bases)
+        cx, cy = base_pts.x, base_pts.y
         while step < total:
             k = min(p.steps_per_chunk, total - step)
+            if rng is not None:
+                # random mode: every chunk, each walker re-bases to a
+                # uniform window-aligned position anywhere in the range
+                # (reference -R random base claims, keyhunt.cpp:2547-2568);
+                # the chunk then scans K consecutive windows from there.
+                max_start = max(1, self.total_steps - p.steps_per_chunk)
+                starts = rng.integers(0, max_start, size=p.walkers)
+                bases = [int(s0) * self.window for s0 in starts]
+                base_pts = self._centers_for_bases(bases)
+                cx, cy = base_pts.x, base_pts.y
             cx, cy, (hit, row, deg) = self._chunk_fn(cx, cy)
             hit_np = np.asarray(hit)  # (K, W, npts, V)
             deg_np = np.asarray(deg)  # (K, W, U)
@@ -289,7 +324,7 @@ class BruteEngine:
                 base_v = 2 if self.mode == "rmd160" else 1
                 lam_pow = (1, ecref.LAMBDA, ecref.LAMBDA * ecref.LAMBDA % ecref.N)
                 for s, w, lane, v in zip(*np.nonzero(hit_np[:k])):
-                    cand = self._key_for_lane(step + int(s), int(w), int(lane))
+                    cand = self._key_for_lane(bases[int(w)], int(s), int(lane))
                     e = int(v) // base_v  # endomorphism lane: key = lambda^e * k
                     if e:
                         cand = cand * lam_pow[e] % ecref.N
@@ -299,22 +334,33 @@ class BruteEngine:
                         found.append(fk)
                         if stop_on_first:
                             return found
+            rebase = False
             if deg_np[:k].any():
-                # degenerate lane u0: x(center) == x((u0+1)G), i.e. the
-                # center scalar c is +-(u0+1) mod n. The +-(u0+1) walk
-                # outputs are invalid, so enumerate everything they could
-                # have covered exactly: c itself (= u0+1 or n-(u0+1)),
-                # the doubling lane c + (u0+1) = 2c, and c - (u0+1) = 0
-                # (no key). All verified against the full target set.
+                # degenerate lane u0 < U: x(center) == x((u0+1)*stride*G),
+                # i.e. the center scalar c is +-(u0+1)*stride mod n. The
+                # +-(u0+1) walk outputs are invalid, so enumerate everything
+                # they could have covered exactly: c itself, and the
+                # doubling lane c + (u0+1)*stride = 2c (c - that is 0 = no
+                # key). Lane u0 == U is the fused advance (offset
+                # (2U+1)*stride): same algebra, plus the walk state is
+                # invalid from that step on -> exact host rebase below.
                 for s, w, u0 in zip(*np.nonzero(deg_np[:k])):
-                    c = self._key_for_lane(step + int(s), int(w), 2 * p.block_u)
-                    for cand in (int(u0) + 1, ecref.N - (int(u0) + 1), (2 * c) % ecref.N):
+                    c = self._key_for_lane(bases[int(w)], int(s), 2 * p.block_u)
+                    off = int(u0) + 1 if int(u0) < p.block_u else self.window
+                    d = off * self.stride % ecref.N
+                    for cand in (d, ecref.N - d, (2 * c) % ecref.N):
                         fk = self._verify(cand, 0)
                         if fk and fk.private_key not in seen:
                             seen.add(fk.private_key)
                             found.append(fk)
+                rebase = bool(deg_np[:k, :, p.block_u].any())
             self.stats.add(k * p.walkers * self.window)
             step += p.steps_per_chunk
+            if rng is None:
+                bases = [b + p.steps_per_chunk * self.window for b in bases]
+                if rebase and step < total:
+                    base_pts = self._centers_for_bases(bases)
+                    cx, cy = base_pts.x, base_pts.y
             if progress_every and (step // p.steps_per_chunk) % progress_every == 0:
                 print(f"[brute] step {step}/{total} {self.stats.human()}")
         return found

@@ -82,8 +82,9 @@ class BSGSEngine:
         self.tab_x = jnp.asarray(tab_x)
         self.tab_y = jnp.asarray(tab_y)
         big = ecref.scalar_mult(params.block_u * self.stride)
-        big = ecref.point_neg(big)  # U*S
-        self.big_step = points.point_batch_from_ints([big] * len(self.targets))
+        big = ecref.point_neg(big)  # U*S — the advance offset
+        self.adv_x = fe.from_int(big[0])
+        self.adv_y = fe.from_int(big[1])
 
         self.table = table if table is not None else self.build_baby_table()
         self._chunk_fn = self._make_chunk_fn()
@@ -110,18 +111,20 @@ class BSGSEngine:
         def build_all(cx, cy):
             """lax.scan over all blocks on-device; ONE host transfer at the
             end (per-block pulls cost ~50 ms each through the device
-            tunnel — the scan removes n_blocks round trips)."""
-            step_pt = points.PointBatch(
-                jbtab_x[-1][None], jbtab_y[-1][None], jnp.zeros((1,), dtype=bool)
-            )
+            tunnel — the scan removes n_blocks round trips). The block
+            advance (+ub*G) is fused into the walk's batched inversion —
+            the first block's advance is the doubling ub*G + ub*G, handled
+            by walk_fused's branch-free doubling lane."""
 
             def body(carry, _):
                 cx, cy = carry
                 c = points.PointBatch(cx, cy, jnp.zeros(cx.shape[:-1], dtype=bool))
-                res = walk.xonly_walk(c, jbtab_x, jbtab_y, chain_len=p.chain_len)
+                res = walk.walk_fused(
+                    c, jbtab_x, jbtab_y, jbtab_x[-1], jbtab_y[-1],
+                    chain_len=p.chain_len,
+                )
                 qhi, qlo = st.trunc64_from_limbs(res.x_plus)
-                nxt = walk.advance(c, step_pt, chain_len=1)
-                return (nxt.x, nxt.y), (qhi[0], qlo[0], res.degenerate[0])
+                return (res.adv_x, res.adv_y), (qhi[0], qlo[0], res.degenerate[0])
 
             (_, _), outs = jax.lax.scan(body, (cx, cy), None, length=n_blocks - 1)
             return outs  # (n_blocks-1, ub) x3
@@ -202,7 +205,7 @@ class BSGSEngine:
     def _make_chunk_fn(self):
         tab_x, tab_y = self.tab_x, self.tab_y
         table = self.table
-        big = self.big_step
+        adv_x, adv_y = self.adv_x, self.adv_y
         T = len(self.targets)
         U = self.p.block_u
         K = self.p.steps_per_chunk
@@ -213,7 +216,7 @@ class BSGSEngine:
             def body(carry, _):
                 cx, cy = carry
                 pb = points.PointBatch(cx, cy, jnp.zeros((T,), dtype=bool))
-                res = walk.xonly_walk(pb, tab_x, tab_y, chain_len=chain)
+                res = walk.walk_fused(pb, tab_x, tab_y, adv_x, adv_y, chain_len=chain)
                 qhi, qlo = st.trunc64_from_limbs(res.x_plus)  # (T, U)
                 lr = st.lookup(table, qhi.reshape(-1), qlo.reshape(-1))
                 hit = (lr.found | lr.found2).reshape(T, U) & ~res.degenerate
@@ -223,9 +226,15 @@ class BSGSEngine:
                 flat_first = jnp.arange(T, dtype=jnp.int32) * U + first_u
                 bidx = lr.idx[flat_first]
                 bidx2 = jnp.where(lr.found2[flat_first], lr.idx2[flat_first], 0)
-                n_deg = res.degenerate.sum(axis=1).astype(jnp.int32)
-                first_deg = jnp.argmax(res.degenerate, axis=1).astype(jnp.int32)
-                nxt = walk.advance(pb, big, chain_len=1)
+                # adv degenerate == walk lane U degenerate (ADV = U*S =
+                # tab[U-1]), so its candidates are already covered by the
+                # deg summary; it additionally flags corrupted walk state
+                # (the engine rebases exactly at the next chunk boundary).
+                deg = res.degenerate.at[:, U - 1].set(
+                    res.degenerate[:, U - 1] | res.adv_degenerate
+                )
+                n_deg = deg.sum(axis=1).astype(jnp.int32)
+                first_deg = jnp.argmax(deg, axis=1).astype(jnp.int32)
                 # single stacked summary -> ONE host transfer per chunk
                 out = jnp.stack(
                     [
@@ -235,12 +244,13 @@ class BSGSEngine:
                         bidx2.astype(jnp.int32),
                         n_deg,
                         first_deg,
+                        res.adv_degenerate.astype(jnp.int32),
                     ]
-                )  # (6, T) int32
-                return (nxt.x, nxt.y), out
+                )  # (7, T) int32
+                return (res.adv_x, res.adv_y), out
 
             (px, py), outs = jax.lax.scan(body, (px, py), None, length=K)
-            return px, py, jnp.moveaxis(outs, 0, 1)  # (6, K, T)
+            return px, py, jnp.moveaxis(outs, 0, 1)  # (7, K, T)
 
         return chunk
 
@@ -278,7 +288,7 @@ class BSGSEngine:
         while step < end_step:
             k = min(p.steps_per_chunk, end_step - step)
             px, py, outs = self._chunk_fn(px, py)
-            arr = np.asarray(outs)  # (6, K, T) int32 — one transfer
+            arr = np.asarray(outs)  # (7, K, T) int32 — one transfer
             n_hit, first_u, n_deg, first_deg = arr[0], arr[1], arr[4], arr[5]
             bidx = arr[2].view(np.uint32)
             bidx2 = arr[3].view(np.uint32)
@@ -294,28 +304,26 @@ class BSGSEngine:
                     return found
             self.stats.add(k * p.block_u * self.stride)
             step += p.steps_per_chunk
+            if arr[6][:k].any() and step < end_step:
+                # an advance lane degenerated mid-chunk: the device walk
+                # state beyond that step is invalid — rebase exactly
+                try:
+                    base = self._initial_base(step)
+                    px, py = base.x, base.y
+                except _ImmediateHit as hit:
+                    found += self._try_candidates([hit.scalar])
+                    if found and stop_on_first:
+                        return self._dedupe_found(found)
             if progress_every and (step // p.steps_per_chunk) % progress_every == 0:
                 print(f"[bsgs] step {step}/{end_step} {self.stats.human()}")
         return self._dedupe_found(found)
 
-    def search_scheduled(
-        self,
-        policy: str = "sequential",
-        seed: int = 0,
-        max_chunks: Optional[int] = None,
-        stop_on_first: bool = True,
-        progress_every: int = 0,
-    ) -> List[FoundKey]:
-        """Range scheduling policies (reference's 5 BSGS sub-schedulers,
-        keyhunt.cpp:4012-5616: sequential / backward / both / random /
-        dance) re-expressed as chunk-order permutations.
+    def chunk_order(self, policy: str = "sequential", seed: int = 0) -> List[int]:
+        """Deterministic chunk-order permutation for a scheduling policy.
 
-        Non-sequential orders pay one exact host rebase (scalar_mult +
-        point_add per target) per K-step chunk — amortized to nothing.
-        The mutex range-claiming of the reference is replaced by the
-        deterministic permutation, so multi-worker schedules stay disjoint
-        by construction.
-        """
+        Being a pure function of (policy, seed, n_chunks), a resumed run
+        re-derives the identical order — the checkpoint only stores how
+        many chunks were completed (core/checkpoint.py)."""
         import random as _random
 
         p = self.p
@@ -357,12 +365,77 @@ class BSGSEngine:
                 remaining.remove(c)
         else:
             raise ValueError(f"unknown policy {policy}")
+        return order
+
+    def search_scheduled(
+        self,
+        policy: str = "sequential",
+        seed: int = 0,
+        max_chunks: Optional[int] = None,
+        stop_on_first: bool = True,
+        progress_every: int = 0,
+        checkpoint=None,
+    ) -> List[FoundKey]:
+        """Range scheduling policies (reference's 5 BSGS sub-schedulers,
+        keyhunt.cpp:4012-5616: sequential / backward / both / random /
+        dance) re-expressed as chunk-order permutations.
+
+        Non-sequential orders pay one exact host rebase (scalar_mult +
+        point_add per target) per K-step chunk — amortized to nothing.
+        The mutex range-claiming of the reference is replaced by the
+        deterministic permutation, so multi-worker schedules stay disjoint
+        by construction.
+
+        checkpoint: optional core.CheckpointManager. Progress (count of
+        completed chunks in the deterministic order) is persisted
+        periodically and the search resumes past already-done chunks —
+        the position persistence the reference only had in an ops script
+        (vastai_deploy.sh:88-106).
+        """
+        p = self.p
+        order = self.chunk_order(policy, seed)
+        n_chunks = len(order)
+
+        resume_from = 0
+        ck = None
+        if checkpoint is not None:
+            from ..core.checkpoint import Checkpoint, fingerprint
+
+            params_fp = fingerprint(p.m, p.block_u, p.steps_per_chunk)
+            targets_fp = fingerprint(sorted(self.targets))
+            ck = checkpoint.load()
+            if ck is not None:
+                checkpoint.matches(
+                    ck,
+                    mode="bsgs",
+                    range_start=self.a,
+                    range_end=self.b,
+                    policy=policy,
+                    seed=seed,
+                    params_fp=params_fp,
+                    targets_fp=targets_fp,
+                )
+                resume_from = ck.chunks_done
+                self.stats.add(ck.keys_covered)
+            else:
+                ck = Checkpoint(
+                    mode="bsgs",
+                    range_start=self.a,
+                    range_end=self.b,
+                    policy=policy,
+                    seed=seed,
+                    params_fp=params_fp,
+                    targets_fp=targets_fp,
+                    n_chunks=n_chunks,
+                )
 
         if max_chunks is not None:
-            order = order[:max_chunks]
+            order = order[: resume_from + max_chunks]
 
         found: List[FoundKey] = []
         for i, chunk_idx in enumerate(order):
+            if i < resume_from:
+                continue
             step0 = chunk_idx * p.steps_per_chunk
             k = min(p.steps_per_chunk, self.n_steps - step0)
             try:
@@ -382,8 +455,17 @@ class BSGSEngine:
                 found = self._dedupe_found(found + self._decode_chunk(step0, k, *arrs))
                 if found and stop_on_first:
                     self.stats.add(k * p.block_u * self.stride)
+                    if ck is not None:
+                        ck.chunks_done = i + 1
+                        ck.keys_covered = self.stats.keys_covered
+                        ck.found = [f"{f.private_key:x}" for f in found]
+                        checkpoint.save(ck, force=True)
                     return found
             self.stats.add(k * p.block_u * self.stride)
+            if ck is not None:
+                ck.chunks_done = i + 1
+                ck.keys_covered = self.stats.keys_covered
+                checkpoint.save(ck, force=(i + 1 == len(order)))
             if progress_every and i % progress_every == 0:
                 print(f"[bsgs:{policy}] chunk {i}/{len(order)} {self.stats.human()}")
         return self._dedupe_found(found)

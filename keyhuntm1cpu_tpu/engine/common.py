@@ -73,6 +73,13 @@ class SearchStats:
     def add(self, keys: int, ops: int = 0) -> None:
         self.keys_covered += keys
         self.device_ops += ops
+        # feed the process-global metrics registry (core/metrics.py) so the
+        # dashboard/metrics endpoint reflects live engine progress
+        from ..core.metrics import get_metrics
+
+        m = get_metrics()
+        m.inc("keys_covered", keys * self.multiplier)
+        m.set_gauge("keys_per_sec_engine", self.keys_per_sec)
 
     @property
     def elapsed(self) -> float:

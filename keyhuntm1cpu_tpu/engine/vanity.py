@@ -147,13 +147,15 @@ class VanityEngine:
         self.tab_x = jnp.asarray(tab_x)
         self.tab_y = jnp.asarray(tab_y)
         adv = ecref.scalar_mult(self.window)
-        self.adv_pt = points.point_batch_from_ints([adv] * params.walkers)
+        self.adv_x = fe.from_int(adv[0])
+        self.adv_y = fe.from_int(adv[1])
         self._chunk_fn = self._make_chunk_fn()
 
     def _make_chunk_fn(self):
         W, U, K = self.p.walkers, self.p.block_u, self.p.steps_per_chunk
         chain = self.p.chain_len
-        tab_x, tab_y, adv = self.tab_x, self.tab_y, self.adv_pt
+        tab_x, tab_y = self.tab_x, self.tab_y
+        adv_x, adv_y = self.adv_x, self.adv_y
         bounds = [
             (_h160_to_words_be(lo), _h160_to_words_be(hi))
             for lo, hi in self.intervals
@@ -164,7 +166,10 @@ class VanityEngine:
             def body(carry, _):
                 cx, cy = carry
                 ctr = points.PointBatch(cx, cy, jnp.zeros((W,), dtype=bool))
-                res = walk.xonly_walk(ctr, tab_x, tab_y, symmetric=True, chain_len=chain)
+                res = walk.walk_fused(
+                    ctr, tab_x, tab_y, adv_x, adv_y,
+                    symmetric=True, chain_len=chain,
+                )
                 x_all = jnp.concatenate(
                     [res.x_plus, res.x_minus, cx[:, None, :]], axis=1
                 )
@@ -181,11 +186,10 @@ class VanityEngine:
                     axis=1,
                 )
                 hit = hit & ~degm[..., None]
-                nxt = walk.advance(ctr, adv, chain_len=1)
-                return (nxt.x, nxt.y), hit
+                return (res.adv_x, res.adv_y), (hit, res.adv_degenerate)
 
-            (cx, cy), hits = jax.lax.scan(body, (cx, cy), None, length=K)
-            return cx, cy, hits
+            (cx, cy), (hits, advdeg) = jax.lax.scan(body, (cx, cy), None, length=K)
+            return cx, cy, hits, advdeg
 
         return chunk
 
@@ -218,11 +222,15 @@ class VanityEngine:
         progress_every: int = 0,
     ) -> List[FoundKey]:
         p = self.p
-        pts = []
-        for w in range(p.walkers):
-            c = self.a + w * self.slice_len + p.block_u
-            pts.append(ecref.scalar_mult(c))
-        base = points.point_batch_from_ints(pts)
+
+        def centers_at(step0: int) -> points.PointBatch:
+            pts = []
+            for w in range(p.walkers):
+                c = self.a + w * self.slice_len + step0 * self.window + p.block_u
+                pts.append(ecref.scalar_mult(c))
+            return points.point_batch_from_ints(pts)
+
+        base = centers_at(0)
         cx, cy = base.x, base.y
         total = self.steps_per_walker if max_steps is None else min(
             self.steps_per_walker, max_steps
@@ -232,7 +240,7 @@ class VanityEngine:
         step = 0
         while step < total:
             k = min(p.steps_per_chunk, total - step)
-            cx, cy, hits = self._chunk_fn(cx, cy)
+            cx, cy, hits, advdeg = self._chunk_fn(cx, cy)
             hits_np = np.asarray(hits)
             for s, w, lane, _v in zip(*np.nonzero(hits_np[:k])):
                 cand = self._key_for_lane(step + int(s), int(w), int(lane))
@@ -244,6 +252,9 @@ class VanityEngine:
                         return found
             self.stats.add(k * p.walkers * self.window)
             step += p.steps_per_chunk
+            if bool(np.asarray(advdeg)[:k].any()) and step < total:
+                base = centers_at(step)  # exact rebase after advance fault
+                cx, cy = base.x, base.y
             if progress_every and (step // p.steps_per_chunk) % progress_every == 0:
                 print(f"[vanity] step {step}/{total} {self.stats.human()}")
         return found

@@ -30,7 +30,7 @@ except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 from ..curve import points, walk
-from ..engine.bsgs import BSGSEngine, BSGSParams
+from ..engine.bsgs import BSGSEngine, BSGSParams, _ImmediateHit
 from ..engine.common import FoundKey
 from ..filter import sorted_table as st
 from ..ref import ecref
@@ -62,11 +62,11 @@ class ShardedBSGSEngine(BSGSEngine):
         )
         self._sharded_chunk = self._make_sharded_chunk()
 
-    def _initial_bases_sharded(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """(D, T, 8) x2 initial P_base per shard (host-exact)."""
+    def _initial_bases_sharded(self, step: int = 0) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(D, T, 8) x2 P_base per shard at local step offset `step`."""
         xs, ys = [], []
         for sl in self.slices:
-            base = self._initial_base(sl.step0)
+            base = self._initial_base(sl.step0 + step)
             xs.append(base.x)
             ys.append(base.y)
         px = jnp.stack(xs)  # (D, T, 8)
@@ -77,7 +77,7 @@ class ShardedBSGSEngine(BSGSEngine):
     def _make_sharded_chunk(self):
         tab_x, tab_y = self.tab_x, self.tab_y
         table = self.table
-        big = self.big_step
+        adv_x, adv_y = self.adv_x, self.adv_y
         T = len(self.targets)
         U = self.p.block_u
         K = self.p.steps_per_chunk
@@ -91,7 +91,7 @@ class ShardedBSGSEngine(BSGSEngine):
             def body(carry, _):
                 cx, cy = carry
                 pb = points.PointBatch(cx, cy, jnp.zeros((T,), dtype=bool))
-                res = walk.xonly_walk(pb, tab_x, tab_y, chain_len=chain)
+                res = walk.walk_fused(pb, tab_x, tab_y, adv_x, adv_y, chain_len=chain)
                 qhi, qlo = st.trunc64_from_limbs(res.x_plus)
                 lr = st.lookup(table, qhi.reshape(-1), qlo.reshape(-1))
                 hit = (lr.found | lr.found2).reshape(T, U) & ~res.degenerate
@@ -100,9 +100,11 @@ class ShardedBSGSEngine(BSGSEngine):
                 flat_first = jnp.arange(T, dtype=jnp.int32) * U + first_u
                 bidx = lr.idx[flat_first]
                 bidx2 = jnp.where(lr.found2[flat_first], lr.idx2[flat_first], 0)
-                n_deg = res.degenerate.sum(axis=1).astype(jnp.int32)
-                first_deg = jnp.argmax(res.degenerate, axis=1).astype(jnp.int32)
-                nxt = walk.advance(pb, big, chain_len=1)
+                deg = res.degenerate.at[:, U - 1].set(
+                    res.degenerate[:, U - 1] | res.adv_degenerate
+                )
+                n_deg = deg.sum(axis=1).astype(jnp.int32)
+                first_deg = jnp.argmax(deg, axis=1).astype(jnp.int32)
                 out = jnp.stack(
                     [
                         n_hit,
@@ -111,9 +113,10 @@ class ShardedBSGSEngine(BSGSEngine):
                         bidx2.astype(jnp.int32),
                         n_deg,
                         first_deg,
+                        res.adv_degenerate.astype(jnp.int32),
                     ]
-                )  # (6, T)
-                return (nxt.x, nxt.y), out
+                )  # (7, T)
+                return (res.adv_x, res.adv_y), out
 
             (px, py), outs = jax.lax.scan(body, (px, py), None, length=K)
             outs = jnp.moveaxis(outs, 0, 1)  # (6, K, T)
@@ -143,15 +146,19 @@ class ShardedBSGSEngine(BSGSEngine):
         progress_every: int = 0,
     ) -> List[FoundKey]:
         p = self.p
-        px, py = self._initial_bases_sharded()
+        try:
+            px, py = self._initial_bases_sharded()
+        except _ImmediateHit as hit:
+            return self._try_candidates([hit.scalar])
         total = self.local_steps if max_steps is None else min(self.local_steps, max_steps)
         found: List[FoundKey] = []
         step = 0
         while step < total:
             k = min(p.steps_per_chunk, total - step)
             px, py, outs, interest = self._sharded_chunk(px, py)
+            rebase = False
             if int(interest) > 0:
-                arr = np.asarray(outs)  # (D, 6, K, T), one transfer
+                arr = np.asarray(outs)  # (D, 7, K, T), one transfer
                 for d, sl in enumerate(self.slices):
                     found += self._decode_chunk(
                         sl.step0 + step,
@@ -167,8 +174,18 @@ class ShardedBSGSEngine(BSGSEngine):
                 if found and stop_on_first:
                     self.stats.add(k * self.n_shards * p.block_u * self.stride)
                     return found
+                rebase = bool(arr[:, 6, :k].any())
             self.stats.add(k * self.n_shards * p.block_u * self.stride)
             step += p.steps_per_chunk
+            if rebase and step < total:
+                # some shard's advance degenerated: rebase all shards exactly
+                try:
+                    px, py = self._initial_bases_sharded(step)
+                except _ImmediateHit as hit:
+                    found += self._try_candidates([hit.scalar])
+                    if found and stop_on_first:
+                        return self._dedupe(found)
+                    break
             if progress_every and (step // p.steps_per_chunk) % progress_every == 0:
                 print(f"[bsgs-sharded] local step {step}/{total} {self.stats.human()}")
         return found

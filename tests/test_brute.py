@@ -89,3 +89,35 @@ def test_address_mode_parsing(tmp_path):
     found = eng.search()
     assert sorted(f.private_key for f in found) == [5, 6, 7]
     assert sorted(f.target for f in found) == sorted(addrs)
+
+
+def test_stride_scan():
+    """Stride (-I): only keys a + j*stride are scanned — a key ON the
+    stride lattice is found, one OFF it is not."""
+    stride = 16
+    a = 0x50000
+    on = a + 200 * stride
+    off = on + 1
+    ts = targets_from_ints(
+        "hash160",
+        [hashref.pubkey_to_hash160(ecref.scalar_mult(k)) for k in (on, off)],
+    )
+    params = BruteParams(walkers=2, block_u=64, steps_per_chunk=2, chain_len=8,
+                         stride=stride)
+    eng = BruteEngine(ts, a, a + 0x4000 * stride, mode="rmd160", params=params)
+    found = eng.search()
+    assert sorted(f.private_key for f in found) == [on]
+
+
+def test_random_mode_finds_key():
+    """Random re-basing (-R) still covers the range and recovers a key
+    (deterministic seed makes the test stable)."""
+    key = 0x42424
+    pt = ecref.scalar_mult(key)
+    ts = targets_from_ints("hash160", [hashref.pubkey_to_hash160(pt)])
+    params = BruteParams(walkers=4, block_u=64, steps_per_chunk=2, chain_len=8,
+                         random_mode=True, seed=7)
+    eng = BruteEngine(ts, 0x40000, 0x48000, mode="rmd160", params=params)
+    # enough random chunks to cover a small range with high probability
+    found = eng.search(max_steps=256, stop_on_first=True)
+    assert [f.private_key for f in found] == [key]

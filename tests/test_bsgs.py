@@ -129,3 +129,45 @@ def test_baby_table_matches_golden(shared_engine_table):
         x = ecref.scalar_mult(j)[0]
         assert int(hi[s]) == (x >> 32) & 0xFFFFFFFF
         assert int(lo[s]) == x & 0xFFFFFFFF
+
+
+def test_checkpoint_resume(tmp_path, shared_engine_table):
+    """Interrupted scheduled search resumes past completed chunks and
+    still recovers the key (core/checkpoint.py wired into the engine)."""
+    from keyhuntm1cpu_tpu.core.checkpoint import CheckpointManager
+
+    key = 0xE5F607
+    a, b = 0xE00000, 0xF00000
+    mgr = CheckpointManager(str(tmp_path / "ck.json"), every_s=0)
+
+    eng = BSGSEngine([ecref.scalar_mult(key)], a, b, PARAMS, table=shared_engine_table)
+    # run only 3 chunks then "crash"
+    found = eng.search_scheduled(policy="sequential", max_chunks=3, checkpoint=mgr)
+    assert found == []
+    ck = mgr.load()
+    assert ck.chunks_done == 3
+
+    # fresh engine resumes from chunk 3 and finds the key
+    eng2 = BSGSEngine([ecref.scalar_mult(key)], a, b, PARAMS, table=shared_engine_table)
+    found = eng2.search_scheduled(policy="sequential", checkpoint=mgr)
+    assert [f.private_key for f in found] == [key]
+    assert mgr.load().found == [f"{key:x}"]
+
+
+def test_checkpoint_rejects_mismatched_run(tmp_path, shared_engine_table):
+    from keyhuntm1cpu_tpu.core.checkpoint import CheckpointError, CheckpointManager
+
+    key = 0xE5F607
+    mgr = CheckpointManager(str(tmp_path / "ck.json"), every_s=0)
+    eng = BSGSEngine(
+        [ecref.scalar_mult(key)], 0xE00000, 0xF00000, PARAMS, table=shared_engine_table
+    )
+    eng.search_scheduled(policy="sequential", max_chunks=1, checkpoint=mgr)
+
+    other = BSGSEngine(
+        [ecref.scalar_mult(key)], 0xE00000, 0xF80000, PARAMS, table=shared_engine_table
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(CheckpointError):
+        other.search_scheduled(policy="sequential", checkpoint=mgr)

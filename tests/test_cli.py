@@ -1,0 +1,71 @@
+"""CLI end-to-end: flag parsing through engines to found-key output."""
+
+import json
+import os
+import urllib.request
+
+import pytest
+
+from keyhuntm1cpu_tpu import cli
+from keyhuntm1cpu_tpu.ref import ecref, hashref
+
+
+@pytest.fixture()
+def pubfile(tmp_path):
+    key = 0xA1B2C3
+    pt = ecref.scalar_mult(key)
+    f = tmp_path / "target.pub"
+    f.write_text(f"{2 + (pt[1] & 1):02x}{pt[0]:064x}\n")
+    return str(f), key
+
+
+def test_bsgs_cli_finds_key(tmp_path, pubfile, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    path, key = pubfile
+    rc = cli.main([
+        "-m", "bsgs", "-f", path, "-r", "a00000:b00000",
+        "--m-babies", "512", "-u", "16", "--chunk-steps", "4", "-q",
+    ])
+    assert rc == 0
+    out = (tmp_path / "KEYFOUNDKEYFOUND.txt").read_text()
+    assert f"{key:064x}" in out
+
+
+def test_bsgs_cli_checkpoint_and_policy(tmp_path, pubfile, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    path, key = pubfile
+    ck = str(tmp_path / "ck.json")
+    rc = cli.main([
+        "-m", "bsgs", "-f", path, "-r", "a00000:b00000",
+        "--m-babies", "512", "-u", "16", "--chunk-steps", "4", "-q",
+        "-B", "backward", "--checkpoint", ck, "--max-chunks", "2",
+    ])
+    assert rc == 1  # not found yet (backward starts at the top)
+    assert os.path.exists(ck)
+    # resume to completion
+    rc = cli.main([
+        "-m", "bsgs", "-f", path, "-r", "a00000:b00000",
+        "--m-babies", "512", "-u", "16", "--chunk-steps", "4", "-q",
+        "-B", "backward", "--checkpoint", ck,
+    ])
+    assert rc == 0
+
+
+def test_rmd160_cli(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    key = 0x51234
+    h = hashref.pubkey_to_hash160(ecref.scalar_mult(key), compressed=True)
+    f = tmp_path / "targets.rmd"
+    f.write_text(h.hex() + "\n")
+    rc = cli.main([
+        "-m", "rmd160", "-f", str(f), "-r", "50000:52000",
+        "-w", "2", "-u", "32", "--chunk-steps", "2", "-q",
+    ])
+    assert rc == 0
+    assert f"{key:064x}" in (tmp_path / "KEYFOUNDKEYFOUND.txt").read_text()
+
+
+def test_missing_args_rejected(tmp_path, pubfile):
+    path, _ = pubfile
+    assert cli.main(["-m", "bsgs", "-f", path, "-q"]) == 2  # no -r
+    assert cli.main(["-m", "bsgs", "-r", "1:100", "-q"]) == 2  # no -f
