@@ -71,7 +71,7 @@ def main():
     window = BLOCK_U * stride
     a = PUZZLE63_KEY - 3 * window
     b = PUZZLE63_KEY + 3 * window
-    eng63 = BSGSEngine([pub63], a, b, params, table=eng.table)
+    eng63 = BSGSEngine([pub63], a, b, params, table=eng.table, bitmap=eng.bitmap)
     t0 = time.time()
     found = eng63.search()
     solve_s = time.time() - t0
@@ -89,6 +89,7 @@ def main():
         PUZZLE64_RANGE[1],
         params,
         table=eng.table,
+        bitmap=eng.bitmap,
     )
     # warm up / compile
     px, py = eng64._initial_base(0).x, eng64._initial_base(0).y

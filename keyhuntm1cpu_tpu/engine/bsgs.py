@@ -37,6 +37,7 @@ import numpy as np
 
 from ..curve import points, tables, walk
 from ..field import fe
+from ..filter import bitmap as bmp
 from ..filter import sorted_table as st
 from ..ref import ecref
 from .common import FoundKey, SearchStats, verify_candidate_scalar
@@ -49,6 +50,12 @@ class BSGSParams:
     steps_per_chunk: int = 16  # K: device steps per jit call
     build_block: int = 4096  # baby points per build step
     chain_len: int = 32  # batch-inverse chain length
+    cand_max: int = 256  # compacted survivors per device step (bitmap
+    # cascade, filter/bitmap.py); overflow falls back to exact host rescan
+    bits_log2: Optional[int] = None  # bitmap size (None = log2(m) + 12)
+    pallas: str = "auto"  # "auto" | "on" | "off": fused Pallas walk
+    # kernels (curve/pwalk.py); auto = TPU backend, single target
+    pallas_sb: int = 4  # walk-kernel steps per grid block
 
 
 class BSGSEngine:
@@ -61,6 +68,7 @@ class BSGSEngine:
         range_end: int,
         params: BSGSParams = BSGSParams(),
         table: Optional[st.SortedXTable] = None,
+        bitmap: Optional[bmp.DeviceBitmap] = None,
     ):
         if not (1 <= range_start < range_end <= ecref.N):
             raise ValueError("bad range")
@@ -87,6 +95,12 @@ class BSGSEngine:
         self.adv_y = fe.from_int(big[1])
 
         self.table = table if table is not None else self.build_baby_table()
+        # the bitmap is shareable across engines over the same table (512 MB
+        # at the default sizing — build + upload once, pass around)
+        self.bitmap = bitmap if bitmap is not None else bmp.build_bitmap(
+            np.asarray(self.table.hi), np.asarray(self.table.lo), params.bits_log2
+        )
+        self._host_keys: Optional[Dict[int, List[int]]] = None
         self._chunk_fn = self._make_chunk_fn()
 
     # ------------------------------------------------------------------
@@ -202,30 +216,66 @@ class BSGSEngine:
             raise _ImmediateHit(c_base)
         return points.point_batch_from_ints(pts)
 
+    def _use_pallas(self) -> bool:
+        p = self.p
+        if p.pallas == "off":
+            return False
+        ok_shape = (
+            len(self.targets) == 1
+            and p.block_u % 128 == 0
+            and p.steps_per_chunk % p.pallas_sb == 0
+            # the walk kernel's Montgomery grouping needs whole groups of
+            # 8 sublane rows per block: SB * (U/128) must be a positive
+            # multiple of 8, else ng == 0 and no inversion runs at all
+            and (p.block_u // 128) * p.pallas_sb % 8 == 0
+            and (p.block_u // 128) * p.pallas_sb >= 8
+        )
+        if p.pallas == "on":
+            if not ok_shape:
+                raise ValueError(
+                    "pallas path needs T == 1, block_u % 128 == 0, "
+                    "steps_per_chunk % pallas_sb == 0"
+                )
+            return True
+        return ok_shape and jax.default_backend() != "cpu"
+
     def _make_chunk_fn(self):
-        tab_x, tab_y = self.tab_x, self.tab_y
-        table = self.table
-        adv_x, adv_y = self.adv_x, self.adv_y
+        if self._use_pallas():
+            return self._make_pallas_chunk_fn()
         T = len(self.targets)
         U = self.p.block_u
         K = self.p.steps_per_chunk
+        C = self.p.cand_max
         chain = self.p.chain_len
+        bits_log2 = self.bitmap.bits_log2
 
+        # All device arrays are jit ARGUMENTS, not closure constants:
+        # closure arrays are embedded in the serialized HLO, which (a)
+        # breaks compile-cache reuse across engines with equal shapes and
+        # (b) overflows the remote-compile request with a 512 MB bitmap.
         @jax.jit
-        def chunk(px, py):
+        def chunk_impl(px, py, tab_x, tab_y, adv_x, adv_y, words, thi, tlo, tidx):
+            bitmap = bmp.DeviceBitmap(words, bits_log2)
+            table = st.SortedXTable(thi, tlo, tidx)
+
             def body(carry, _):
                 cx, cy = carry
                 pb = points.PointBatch(cx, cy, jnp.zeros((T,), dtype=bool))
                 res = walk.walk_fused(pb, tab_x, tab_y, adv_x, adv_y, chain_len=chain)
                 qhi, qlo = st.trunc64_from_limbs(res.x_plus)  # (T, U)
-                lr = st.lookup(table, qhi.reshape(-1), qlo.reshape(-1))
-                hit = (lr.found | lr.found2).reshape(T, U) & ~res.degenerate
-                # per-target first-hit summary
-                n_hit = hit.sum(axis=1).astype(jnp.int32)  # (T,)
-                first_u = jnp.argmax(hit, axis=1).astype(jnp.int32)  # (T,)
-                flat_first = jnp.arange(T, dtype=jnp.int32) * U + first_u
-                bidx = lr.idx[flat_first]
-                bidx2 = jnp.where(lr.found2[flat_first], lr.idx2[flat_first], 0)
+                # bitmap cascade: 1 gather/query, exact search only on the
+                # compacted survivors (C-wide instead of T*U-wide)
+                fl = bmp.filtered_lookup(
+                    bitmap, table, qhi.reshape(-1), qlo.reshape(-1), C
+                )
+                deg_flat = res.degenerate.reshape(-1)
+                pos_safe = jnp.minimum(fl.pos, T * U - 1)
+                live = ~deg_flat[pos_safe]
+                cand_pos = jnp.where(
+                    (fl.result.found | fl.result.found2) & live, fl.pos, T * U
+                )
+                cand_j = jnp.where(fl.result.found & live, fl.result.idx, 0)
+                cand_j2 = jnp.where(fl.result.found2 & live, fl.result.idx2, 0)
                 # adv degenerate == walk lane U degenerate (ADV = U*S =
                 # tab[U-1]), so its candidates are already covered by the
                 # deg summary; it additionally flags corrupted walk state
@@ -235,24 +285,102 @@ class BSGSEngine:
                 )
                 n_deg = deg.sum(axis=1).astype(jnp.int32)
                 first_deg = jnp.argmax(deg, axis=1).astype(jnp.int32)
-                # single stacked summary -> ONE host transfer per chunk
-                out = jnp.stack(
+                degsum = jnp.stack(
+                    [n_deg, first_deg, res.adv_degenerate.astype(jnp.int32)]
+                )  # (3, T)
+                # one packed row per step -> ONE host transfer per chunk
+                out = jnp.concatenate(
                     [
-                        n_hit,
-                        first_u,
-                        bidx.astype(jnp.int32),
-                        bidx2.astype(jnp.int32),
-                        n_deg,
-                        first_deg,
-                        res.adv_degenerate.astype(jnp.int32),
+                        cand_pos.astype(jnp.int32),
+                        cand_j.astype(jnp.int32),
+                        cand_j2.astype(jnp.int32),
+                        degsum.reshape(-1),
+                        fl.n_candidates[None],
                     ]
-                )  # (7, T) int32
+                )  # (3C + 3T + 1,)
                 return (res.adv_x, res.adv_y), out
 
             (px, py), outs = jax.lax.scan(body, (px, py), None, length=K)
-            return px, py, jnp.moveaxis(outs, 0, 1)  # (7, K, T)
+            return px, py, outs  # (K, 3C + 3T + 1)
+
+        def chunk(px, py):
+            return chunk_impl(
+                px, py, self.tab_x, self.tab_y, self.adv_x, self.adv_y,
+                self.bitmap.words, self.table.hi, self.table.lo, self.table.idx,
+            )
 
         return chunk
+
+    def _make_pallas_chunk_fn(self):
+        """Fused-kernel chunk (curve/pwalk.py): Jacobian advance chain +
+        parallel walk blocks in Pallas, bitmap cascade in XLA. Same packed
+        summary layout as the XLA chunk, so decode paths are shared."""
+        from ..curve import pwalk
+
+        U = self.p.block_u
+        K = self.p.steps_per_chunk
+        C = self.p.cand_max
+        SB = self.p.pallas_sb
+        bits_log2 = self.bitmap.bits_log2
+
+        @jax.jit
+        def chunk_impl(px_bm, py_bm, tab_x_lm, tab_y_lm, ax, ay,
+                       words, thi, tlo, tidx):
+            bitmap = bmp.DeviceBitmap(words, bits_log2)
+            table = st.SortedXTable(thi, tlo, tidx)
+            res = pwalk.pallas_chunk(
+                px_bm[0], py_bm[0], tab_x_lm, tab_y_lm, ax, ay, K=K, U=U, SB=SB
+            )
+            deg = res.degenerate
+            deg = deg.at[:, U - 1].set(deg[:, U - 1] | res.adv_degenerate)
+
+            def per_step(qh, ql, deg_row, adeg):
+                fl = bmp.filtered_lookup(bitmap, table, qh, ql, C)
+                live = ~deg_row[jnp.minimum(fl.pos, U - 1)]
+                cand_pos = jnp.where(
+                    (fl.result.found | fl.result.found2) & live, fl.pos, U
+                )
+                cand_j = jnp.where(fl.result.found & live, fl.result.idx, 0)
+                cand_j2 = jnp.where(fl.result.found2 & live, fl.result.idx2, 0)
+                n_deg = deg_row.sum()[None].astype(jnp.int32)
+                first_deg = jnp.argmax(deg_row)[None].astype(jnp.int32)
+                return jnp.concatenate(
+                    [
+                        cand_pos.astype(jnp.int32),
+                        cand_j.astype(jnp.int32),
+                        cand_j2.astype(jnp.int32),
+                        n_deg,
+                        first_deg,
+                        adeg[None].astype(jnp.int32),
+                        fl.n_candidates[None],
+                    ]
+                )  # (3C + 3 + 1,)
+
+            outs = jax.vmap(per_step)(res.qhi, res.qlo, deg, res.adv_degenerate)
+            return res.next_x[None], res.next_y[None], outs
+
+        def chunk(px, py):
+            return chunk_impl(
+                px, py, self._tab_x_lm, self._tab_y_lm,
+                self.adv_x, self.adv_y,
+                self.bitmap.words, self.table.hi, self.table.lo, self.table.idx,
+            )
+
+        # limb-major table layout for the kernels (device-side transpose)
+        self._tab_x_lm = jnp.transpose(self.tab_x, (1, 0)).reshape(8, U // 128, 128)
+        self._tab_y_lm = jnp.transpose(self.tab_y, (1, 0)).reshape(8, U // 128, 128)
+        return chunk
+
+    def _split_summary(self, arr: np.ndarray):
+        """(K, 3C+3T+1) -> (cand_pos, cand_j, cand_j2, degsum, ncand)."""
+        C = self.p.cand_max
+        T = len(self.targets)
+        cand_pos = arr[:, :C]
+        cand_j = arr[:, C : 2 * C].view(np.uint32)
+        cand_j2 = arr[:, 2 * C : 3 * C].view(np.uint32)
+        degsum = arr[:, 3 * C : 3 * C + 3 * T].reshape(-1, 3, T)
+        ncand = arr[:, 3 * C + 3 * T]
+        return cand_pos, cand_j, cand_j2, degsum, ncand
 
     def _center(self, step: int, u: int) -> int:
         """Center scalar for device step `step`, offset u in 1..U."""
@@ -285,18 +413,21 @@ class BSGSEngine:
         total = self.n_steps if max_steps is None else min(self.n_steps, max_steps)
         step = start_step
         end_step = start_step + total
+        TU = len(self.targets) * p.block_u
         while step < end_step:
             k = min(p.steps_per_chunk, end_step - step)
             px, py, outs = self._chunk_fn(px, py)
-            arr = np.asarray(outs)  # (7, K, T) int32 — one transfer
-            n_hit, first_u, n_deg, first_deg = arr[0], arr[1], arr[4], arr[5]
-            bidx = arr[2].view(np.uint32)
-            bidx2 = arr[3].view(np.uint32)
+            arr = np.asarray(outs)  # (K, 3C+3T+1) int32 — one transfer
+            cand_pos, cand_j, cand_j2, degsum, ncand = self._split_summary(arr)
             # only the first k steps of the chunk are within range
-            interesting = (n_hit[:k].any() or n_deg[:k].any())
+            interesting = (
+                (cand_pos[:k] < TU).any()
+                or degsum[:k, 0].any()
+                or (ncand[:k] > p.cand_max).any()
+            )
             if interesting:
                 found += self._decode_chunk(
-                    step, k, n_hit, first_u, bidx, bidx2, n_deg, first_deg
+                    step, k, cand_pos, cand_j, cand_j2, degsum, ncand
                 )
                 found = self._dedupe_found(found)
                 if found and stop_on_first:
@@ -304,7 +435,7 @@ class BSGSEngine:
                     return found
             self.stats.add(k * p.block_u * self.stride)
             step += p.steps_per_chunk
-            if arr[6][:k].any() and step < end_step:
+            if degsum[:k, 2].any() and step < end_step:
                 # an advance lane degenerated mid-chunk: the device walk
                 # state beyond that step is invalid — rebase exactly
                 try:
@@ -447,11 +578,14 @@ class BSGSEngine:
                 continue
             _, _, outs = self._chunk_fn(base.x, base.y)
             arr = np.asarray(outs)
-            arrs = [
-                arr[0], arr[1], arr[2].view(np.uint32),
-                arr[3].view(np.uint32), arr[4], arr[5],
-            ]
-            if arrs[0][:k].any() or arrs[4][:k].any():
+            arrs = self._split_summary(arr)
+            cand_pos, degsum, ncand = arrs[0], arrs[3], arrs[4]
+            interesting = (
+                (cand_pos[:k] < len(self.targets) * p.block_u).any()
+                or degsum[:k, 0].any()
+                or (ncand[:k] > p.cand_max).any()
+            )
+            if interesting:
                 found = self._dedupe_found(found + self._decode_chunk(step0, k, *arrs))
                 if found and stop_on_first:
                     self.stats.add(k * p.block_u * self.stride)
@@ -478,24 +612,63 @@ class BSGSEngine:
         return list(seen.values())
 
     def _decode_chunk(
-        self, step0, k, n_hit, first_u, bidx, bidx2, n_deg, first_deg
+        self, step0, k, cand_pos, cand_j, cand_j2, degsum, ncand
     ) -> List[FoundKey]:
         found = []
         T = len(self.targets)
+        U = self.p.block_u
         for s in range(k):
+            if ncand[s] > self.p.cand_max:
+                # survivor overflow (fp burst): exact host rescan of this step
+                found += self._host_rescan_step(step0 + s)
+            for c in np.nonzero(cand_pos[s] < T * U)[0]:
+                pos = int(cand_pos[s, c])
+                t, u0 = divmod(pos, U)
+                u = u0 + 1
+                cands = []
+                for j in (int(cand_j[s, c]), int(cand_j2[s, c])):
+                    if j:
+                        cands += self._candidates_for_hit(step0 + s, u, j)
+                found += self._try_candidates(cands, t)
             for t in range(T):
-                if n_hit[s, t] > 0:
-                    u = int(first_u[s, t]) + 1
-                    cands = []
-                    for j in (int(bidx[s, t]), int(bidx2[s, t])):
-                        if j:
-                            cands += self._candidates_for_hit(step0 + s, u, j)
-                    found += self._try_candidates(cands, t)
-                if n_deg[s, t] > 0:
-                    u = int(first_deg[s, t]) + 1
+                if degsum[s, 0, t] > 0:
+                    u = int(degsum[s, 1, t]) + 1
                     found += self._try_candidates(
                         self._candidates_for_degenerate(step0 + s, u), t
                     )
+        return found
+
+    def _host_rescan_step(self, step: int) -> List[FoundKey]:
+        """Exact host-side membership scan of one device step — the
+        fallback when more than cand_max bitmap survivors occur (the
+        compaction would have dropped some). Incremental python-int walk:
+        U point adds per target."""
+        if self._host_keys is None:
+            hi = np.asarray(self.table.hi).astype(np.uint64)
+            lo = np.asarray(self.table.lo).astype(np.uint64)
+            idx = np.asarray(self.table.idx)
+            keys = ((hi << np.uint64(32)) | lo).tolist()
+            d: Dict[int, List[int]] = {}
+            for key, j in zip(keys, idx.tolist()):
+                d.setdefault(key, []).append(int(j))
+            self._host_keys = d
+        found: List[FoundKey] = []
+        U = self.p.block_u
+        neg_stride = ecref.point_neg(ecref.scalar_mult(self.stride))
+        mask64 = (1 << 64) - 1
+        for t, q in enumerate(self.targets):
+            c = self._center(step, 1)
+            neg = ecref.scalar_mult((-c) % ecref.N)
+            pt = ecref.point_add(q, neg)
+            for u in range(1, U + 1):
+                if pt is None:  # Q == c*G exactly
+                    found += self._try_candidates([c], t)
+                    pt = neg_stride
+                else:
+                    for j in self._host_keys.get(pt[0] & mask64, ()):
+                        found += self._try_candidates([c - j, c + j], t)
+                    pt = ecref.point_add(pt, neg_stride)
+                c += self.stride
         return found
 
     def _try_candidates(self, cands: Sequence[int], t: int = 0) -> List[FoundKey]:

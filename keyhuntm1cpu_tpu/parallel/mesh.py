@@ -32,6 +32,7 @@ except AttributeError:  # pragma: no cover
 from ..curve import points, walk
 from ..engine.bsgs import BSGSEngine, BSGSParams, _ImmediateHit
 from ..engine.common import FoundKey
+from ..filter import bitmap as bmp
 from ..filter import sorted_table as st
 from ..ref import ecref
 from .partition import RangePartitioner, RangeSlice
@@ -75,16 +76,19 @@ class ShardedBSGSEngine(BSGSEngine):
         return jax.device_put(px, sharding), jax.device_put(py, sharding)
 
     def _make_sharded_chunk(self):
-        tab_x, tab_y = self.tab_x, self.tab_y
-        table = self.table
-        adv_x, adv_y = self.adv_x, self.adv_y
         T = len(self.targets)
         U = self.p.block_u
         K = self.p.steps_per_chunk
         chain = self.p.chain_len
+        C = self.p.cand_max
+        bits_log2 = self.bitmap.bits_log2
 
-        def local_chunk(px, py):
-            """px/py: (1, T, 8) local shard state."""
+        def local_chunk(px, py, tab_x, tab_y, adv_x, adv_y, words, thi, tlo, tidx):
+            """px/py: (1, T, 8) local shard state; tables/bitmap are
+            replicated args (P() specs) — closures would embed them in the
+            serialized HLO (remote compile rejects a 512 MB payload)."""
+            bitmap = bmp.DeviceBitmap(words, bits_log2)
+            table = st.SortedXTable(thi, tlo, tidx)
             px = px.reshape(T, 8)
             py = py.reshape(T, 8)
 
@@ -93,42 +97,51 @@ class ShardedBSGSEngine(BSGSEngine):
                 pb = points.PointBatch(cx, cy, jnp.zeros((T,), dtype=bool))
                 res = walk.walk_fused(pb, tab_x, tab_y, adv_x, adv_y, chain_len=chain)
                 qhi, qlo = st.trunc64_from_limbs(res.x_plus)
-                lr = st.lookup(table, qhi.reshape(-1), qlo.reshape(-1))
-                hit = (lr.found | lr.found2).reshape(T, U) & ~res.degenerate
-                n_hit = hit.sum(axis=1).astype(jnp.int32)
-                first_u = jnp.argmax(hit, axis=1).astype(jnp.int32)
-                flat_first = jnp.arange(T, dtype=jnp.int32) * U + first_u
-                bidx = lr.idx[flat_first]
-                bidx2 = jnp.where(lr.found2[flat_first], lr.idx2[flat_first], 0)
+                fl = bmp.filtered_lookup(
+                    bitmap, table, qhi.reshape(-1), qlo.reshape(-1), C
+                )
+                deg_flat = res.degenerate.reshape(-1)
+                pos_safe = jnp.minimum(fl.pos, T * U - 1)
+                live = ~deg_flat[pos_safe]
+                cand_pos = jnp.where(
+                    (fl.result.found | fl.result.found2) & live, fl.pos, T * U
+                )
+                cand_j = jnp.where(fl.result.found & live, fl.result.idx, 0)
+                cand_j2 = jnp.where(fl.result.found2 & live, fl.result.idx2, 0)
                 deg = res.degenerate.at[:, U - 1].set(
                     res.degenerate[:, U - 1] | res.adv_degenerate
                 )
                 n_deg = deg.sum(axis=1).astype(jnp.int32)
                 first_deg = jnp.argmax(deg, axis=1).astype(jnp.int32)
-                out = jnp.stack(
+                degsum = jnp.stack(
+                    [n_deg, first_deg, res.adv_degenerate.astype(jnp.int32)]
+                )
+                out = jnp.concatenate(
                     [
-                        n_hit,
-                        first_u,
-                        bidx.astype(jnp.int32),
-                        bidx2.astype(jnp.int32),
-                        n_deg,
-                        first_deg,
-                        res.adv_degenerate.astype(jnp.int32),
+                        cand_pos.astype(jnp.int32),
+                        cand_j.astype(jnp.int32),
+                        cand_j2.astype(jnp.int32),
+                        degsum.reshape(-1),
+                        fl.n_candidates[None],
                     ]
-                )  # (7, T)
+                )  # (3C + 3T + 1,)
                 return (res.adv_x, res.adv_y), out
 
             (px, py), outs = jax.lax.scan(body, (px, py), None, length=K)
-            outs = jnp.moveaxis(outs, 0, 1)  # (6, K, T)
-            # replicated any-interesting flag aggregated over ICI
-            local_interest = outs[0].sum() + outs[4].sum()
+            # outs: (K, 3C+3T+1); replicated interest flag over ICI
+            cand_pos = outs[:, :C]
+            degsum_n = outs[:, 3 * C : 3 * C + T]
+            ncand = outs[:, 3 * C + 3 * T]
+            local_interest = (
+                (cand_pos < T * U).sum() + degsum_n.sum() + (ncand > C).sum()
+            )
             total_interest = jax.lax.psum(local_interest, "shard")
             return px[None], py[None], outs[None], total_interest
 
         smapped = shard_map(
             local_chunk,
             mesh=self.mesh,
-            in_specs=(P("shard"), P("shard")),
+            in_specs=(P("shard"), P("shard")) + (P(),) * 8,
             out_specs=(
                 P("shard"),
                 P("shard"),
@@ -137,7 +150,15 @@ class ShardedBSGSEngine(BSGSEngine):
             ),
             check_vma=False,
         )
-        return jax.jit(smapped)
+        jitted = jax.jit(smapped)
+
+        def chunk(px, py):
+            return jitted(
+                px, py, self.tab_x, self.tab_y, self.adv_x, self.adv_y,
+                self.bitmap.words, self.table.hi, self.table.lo, self.table.idx,
+            )
+
+        return chunk
 
     def search_sharded(
         self,
@@ -158,23 +179,15 @@ class ShardedBSGSEngine(BSGSEngine):
             px, py, outs, interest = self._sharded_chunk(px, py)
             rebase = False
             if int(interest) > 0:
-                arr = np.asarray(outs)  # (D, 7, K, T), one transfer
+                arr = np.asarray(outs)  # (D, K, 3C+3T+1), one transfer
                 for d, sl in enumerate(self.slices):
-                    found += self._decode_chunk(
-                        sl.step0 + step,
-                        k,
-                        arr[d, 0],
-                        arr[d, 1],
-                        arr[d, 2].view(np.uint32),
-                        arr[d, 3].view(np.uint32),
-                        arr[d, 4],
-                        arr[d, 5],
-                    )
+                    parts = self._split_summary(arr[d])
+                    found += self._decode_chunk(sl.step0 + step, k, *parts)
+                    rebase = rebase or bool(parts[3][:k, 2].any())
                 found = self._dedupe(found)
                 if found and stop_on_first:
                     self.stats.add(k * self.n_shards * p.block_u * self.stride)
                     return found
-                rebase = bool(arr[:, 6, :k].any())
             self.stats.add(k * self.n_shards * p.block_u * self.stride)
             step += p.steps_per_chunk
             if rebase and step < total:

@@ -34,17 +34,18 @@ class BSGSService:
 
     def __init__(self, params: BSGSParams, table: Optional[st.SortedXTable] = None):
         self.params = params
-        if table is None:
-            # build once with a throwaway engine
-            boot = BSGSEngine([ecref.G], 1, 2, params)
-            table = boot.table
-        self.table = table
-        self._lock = threading.Lock()
+        boot = BSGSEngine([ecref.G], 1, 2, params, table=table)
+        self.table = boot.table
+        self.bitmap = boot.bitmap  # resident in HBM alongside the table
+
+    _lock = threading.Lock()
 
     def solve(self, pubkey_hex: str, a: int, b: int) -> Optional[int]:
         pt = ecref.parse_pubkey(pubkey_hex)
         with self._lock:  # one search at a time (device is serial anyway)
-            eng = BSGSEngine([pt], a, b, self.params, table=self.table)
+            eng = BSGSEngine(
+                [pt], a, b, self.params, table=self.table, bitmap=self.bitmap
+            )
             found = eng.search(stop_on_first=True)
         for f in found:
             if a <= f.private_key < b:

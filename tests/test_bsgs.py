@@ -171,3 +171,18 @@ def test_checkpoint_rejects_mismatched_run(tmp_path, shared_engine_table):
 
     with _pytest.raises(CheckpointError):
         other.search_scheduled(policy="sequential", checkpoint=mgr)
+
+
+def test_overflow_rescan_recovers_key(shared_engine_table):
+    """With a deliberately flooded bitmap (tiny bits_log2) and cand_max=1,
+    survivor compaction overflows and the exact host rescan must still
+    recover the key."""
+    key = 0xB4C5D6
+    a, b = 0xB00000, 0xC00000
+    params = BSGSParams(
+        m=512, block_u=16, steps_per_chunk=4, build_block=128, chain_len=8,
+        cand_max=1, bits_log2=5,  # 32-bit bitmap -> ~every probe survives
+    )
+    eng = BSGSEngine([ecref.scalar_mult(key)], a, b, params, table=shared_engine_table)
+    found = eng.search()
+    assert [f.private_key for f in found] == [key]

@@ -100,3 +100,86 @@ def test_bloom_checksum_detects_corruption(tmp_path):
         pass
     # skippable like the reference's -6 flag
     BloomFilter.load(path, verify_checksum=False)
+
+
+class TestBitmapCascade:
+    def test_probe_no_false_negatives(self):
+        import numpy as np
+
+        from keyhuntm1cpu_tpu.filter import bitmap as bmp
+
+        rng = np.random.default_rng(0)
+        hi = rng.integers(0, 2**32, size=1000, dtype=np.uint32)
+        lo = rng.integers(0, 2**32, size=1000, dtype=np.uint32)
+        bm = bmp.build_bitmap(hi, lo, bits_log2=22)
+        import jax.numpy as jnp
+
+        mask = bmp.probe(bm, jnp.asarray(hi), jnp.asarray(lo))
+        assert bool(mask.all())
+
+    def test_probe_rejects_most_nonmembers(self):
+        import numpy as np
+
+        from keyhuntm1cpu_tpu.filter import bitmap as bmp
+
+        rng = np.random.default_rng(1)
+        hi = rng.integers(0, 2**32, size=1000, dtype=np.uint32)
+        lo = rng.integers(0, 2**32, size=1000, dtype=np.uint32)
+        bm = bmp.build_bitmap(hi, lo, bits_log2=22)
+        import jax.numpy as jnp
+
+        qlo = rng.integers(0, 2**32, size=20000, dtype=np.uint32)
+        qhi = rng.integers(0, 2**32, size=20000, dtype=np.uint32)
+        fp = float(bmp.probe(bm, jnp.asarray(qhi), jnp.asarray(qlo)).mean())
+        assert fp < 0.005  # load 1000/2^22 ≈ 0.024%
+
+    def test_filtered_lookup_matches_exact(self):
+        import numpy as np
+        import jax.numpy as jnp
+
+        from keyhuntm1cpu_tpu.filter import bitmap as bmp
+        from keyhuntm1cpu_tpu.filter import sorted_table as st
+
+        rng = np.random.default_rng(2)
+        m = 4096
+        hi = rng.integers(0, 2**32, size=m, dtype=np.uint32)
+        lo = rng.integers(0, 2**32, size=m, dtype=np.uint32)
+        idx = np.arange(1, m + 1, dtype=np.uint32)
+        tab = st.build_sorted_table(hi.copy(), lo.copy(), idx)
+        bm = bmp.build_bitmap(np.asarray(tab.hi), np.asarray(tab.lo), 24)
+        # queries: 50 members at known positions + misses
+        B = 1024
+        qhi = rng.integers(0, 2**32, size=B, dtype=np.uint32)
+        qlo = rng.integers(0, 2**32, size=B, dtype=np.uint32)
+        members = rng.choice(m, size=50, replace=False)
+        qpos = rng.choice(B, size=50, replace=False)
+        qhi[qpos] = hi[members]
+        qlo[qpos] = lo[members]
+        fl = bmp.filtered_lookup(bm, tab, jnp.asarray(qhi), jnp.asarray(qlo), 256)
+        pos = np.asarray(fl.pos)
+        found = np.asarray(fl.result.found)
+        got = set(pos[found].tolist())
+        exact = st.lookup(tab, jnp.asarray(qhi), jnp.asarray(qlo))
+        want = set(np.nonzero(np.asarray(exact.found))[0].tolist())
+        assert got == want
+        assert set(qpos.tolist()) <= got
+
+    def test_overflow_flag(self):
+        import numpy as np
+        import jax.numpy as jnp
+
+        from keyhuntm1cpu_tpu.filter import bitmap as bmp
+        from keyhuntm1cpu_tpu.filter import sorted_table as st
+
+        # every query a member, cand_max smaller than member count
+        rng = np.random.default_rng(3)
+        m = 512
+        hi = rng.integers(0, 2**32, size=m, dtype=np.uint32)
+        lo = rng.integers(0, 2**32, size=m, dtype=np.uint32)
+        idx = np.arange(1, m + 1, dtype=np.uint32)
+        tab = st.build_sorted_table(hi.copy(), lo.copy(), idx)
+        bm = bmp.build_bitmap(np.asarray(tab.hi), np.asarray(tab.lo), 20)
+        fl = bmp.filtered_lookup(
+            bm, tab, jnp.asarray(np.asarray(tab.hi)), jnp.asarray(np.asarray(tab.lo)), 64
+        )
+        assert int(fl.n_candidates) == m  # > cand_max -> caller rescans
