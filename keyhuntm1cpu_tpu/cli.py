@@ -21,7 +21,7 @@ from .core.log import get_logger
 from .engine.bsgs import BSGSEngine, BSGSParams
 from .engine.brute import BruteEngine, BruteParams
 from .engine.common import write_found_key
-from .utils.targets import parse_target_file
+from .utils.targets import parse_target_file, parse_target_file_cached
 
 BRUTE_MODES = ("address", "rmd160", "xpoint", "eth")
 
@@ -176,7 +176,7 @@ def _run(args, log) -> int:
         a, b = args.range
         kind = {"address": "address", "rmd160": "rmd160",
                 "xpoint": "xpoint", "eth": "eth"}[args.mode]
-        targets = parse_target_file(args.file, kind)
+        targets = parse_target_file_cached(args.file, kind)
         mode = args.mode
         if mode == "address" and args.uncompressed:
             mode = "address_u"

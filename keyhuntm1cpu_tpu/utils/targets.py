@@ -110,3 +110,81 @@ def parse_target_file(path: str, kind: str) -> TargetSet:
 
 def targets_from_ints(kind: str, values: Sequence[bytes], labels=None) -> TargetSet:
     return TargetSet(kind=kind, raw=list(values), labels=labels or [v.hex() for v in values])
+
+
+# ---------------------------------------------------------------------------
+# Parsed-target cache (reference data_<sha>.dat, keyhunt.cpp:6578-6678):
+# large target files are parsed once; reloads keyed by the file's content
+# hash skip base58/hex decoding entirely. Versioned npz + sha256 checksum
+# instead of the reference's raw-struct dump (SURVEY.md §7.4).
+# ---------------------------------------------------------------------------
+
+_CACHE_VERSION = 1
+
+
+def _file_digest(path: str) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def cache_path_for(path: str, kind: str) -> str:
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.abspath(path)) or ".",
+        f"data_{_file_digest(path)[:8]}_{kind}.npz",
+    )
+
+
+def parse_target_file_cached(path: str, kind: str) -> TargetSet:
+    """parse_target_file with a content-addressed on-disk cache."""
+    import hashlib
+
+    import numpy as np
+
+    cpath = cache_path_for(path, kind)
+    try:
+        with np.load(cpath, allow_pickle=False) as z:
+            if int(z["version"]) == _CACHE_VERSION:
+                raw_arr = z["raw"]
+                digest = hashlib.sha256(raw_arr.tobytes()).hexdigest()
+                if digest == str(z["checksum"]):
+                    raw = [bytes(r) for r in raw_arr]
+                    labels = [str(s) for s in z["labels"]]
+                    pubs = z["pubkeys"]
+                    pubkeys = [
+                        (
+                            int.from_bytes(bytes(p[:32]), "big"),
+                            int.from_bytes(bytes(p[32:]), "big"),
+                        )
+                        for p in pubs
+                    ] if len(pubs) else []
+                    return TargetSet(str(z["kind"]), raw, labels, pubkeys)
+    except (OSError, KeyError, ValueError):
+        pass
+    ts = parse_target_file(path, kind)
+    width = len(ts.raw[0]) if ts.raw else 20
+    raw_arr = np.frombuffer(b"".join(ts.raw), dtype=np.uint8).reshape(-1, width)
+    pub_arr = np.frombuffer(
+        b"".join(
+            x.to_bytes(32, "big") + y.to_bytes(32, "big") for x, y in ts.pubkeys
+        ),
+        dtype=np.uint8,
+    ).reshape(-1, 64) if ts.pubkeys else np.zeros((0, 64), dtype=np.uint8)
+    import hashlib as _hl
+
+    np.savez(
+        cpath,
+        version=np.int64(_CACHE_VERSION),
+        kind=ts.kind,
+        raw=raw_arr,
+        labels=np.asarray(ts.labels),
+        pubkeys=pub_arr,
+        checksum=_hl.sha256(raw_arr.tobytes()).hexdigest(),
+    )
+    return ts

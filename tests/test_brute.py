@@ -121,3 +121,33 @@ def test_random_mode_finds_key():
     # enough random chunks to cover a small range with high probability
     found = eng.search(max_steps=256, stop_on_first=True)
     assert [f.private_key for f in found] == [key]
+
+
+def test_target_cache_roundtrip(tmp_path, monkeypatch):
+    """Content-addressed target cache (reference data_<sha>.dat analog)."""
+    from keyhuntm1cpu_tpu.utils.targets import (
+        cache_path_for,
+        parse_target_file_cached,
+    )
+
+    f = tmp_path / "targets.rmd"
+    h1 = hashref.pubkey_to_hash160(ecref.scalar_mult(1))
+    h2 = hashref.pubkey_to_hash160(ecref.scalar_mult(2))
+    f.write_text(h1.hex() + "\n" + h2.hex() + "\n")
+    ts1 = parse_target_file_cached(str(f), "rmd160")
+    import os
+
+    cp = cache_path_for(str(f), "rmd160")
+    assert os.path.exists(cp)
+    ts2 = parse_target_file_cached(str(f), "rmd160")  # from cache
+    assert ts2.raw == ts1.raw == [h1, h2]
+    assert ts2.labels == ts1.labels
+    assert ts2.kind == "hash160"
+
+    # pubkey kind preserves parsed points through the cache
+    pf = tmp_path / "t.pub"
+    pt = ecref.scalar_mult(99)
+    pf.write_text(f"{2 + (pt[1] & 1):02x}{pt[0]:064x}\n")
+    p1 = parse_target_file_cached(str(pf), "pubkey")
+    p2 = parse_target_file_cached(str(pf), "pubkey")
+    assert p1.pubkeys == p2.pubkeys == [pt]

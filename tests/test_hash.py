@@ -114,3 +114,21 @@ def test_eth_key1_fixture(xy):
     words = keccak256_pubkey64(x, y)
     w = np.stack([np.asarray(v) for v in words], axis=-1)
     assert _words_to_bytes_le(w[0]).hex() == "7e5f4552091a69125d5dfcb7b8c2659029395bdf"
+
+
+class TestSHA512:
+    def test_matches_hashlib_various_lengths(self):
+        import hashlib
+
+        import numpy as np
+
+        from keyhuntm1cpu_tpu.hash.sha512 import sha512_msgs
+
+        rng = np.random.default_rng(0)
+        for length in (0, 1, 55, 64, 111, 112, 128, 200, 300):
+            b = 5
+            msgs = rng.integers(0, 256, size=(b, length), dtype=np.uint8)
+            got = sha512_msgs(msgs)
+            for i in range(b):
+                want = hashlib.sha512(msgs[i].tobytes()).digest()
+                assert got[i].tobytes() == want, f"len={length} row={i}"
