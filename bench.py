@@ -21,10 +21,13 @@ import os
 import sys
 import time
 
-M = int(os.environ.get("BENCH_M", 1 << 22))
+M = int(os.environ.get("BENCH_M", 1 << 24))
 BLOCK_U = int(os.environ.get("BENCH_U", 8192))
 CHUNK_K = int(os.environ.get("BENCH_K", 64))
 BENCH_SECONDS = float(os.environ.get("BENCH_SECONDS", 20.0))
+CAND_MAX = int(os.environ.get("BENCH_CAND", 128))
+BITS_LOG2 = os.environ.get("BENCH_BITS")
+SB = int(os.environ.get("BENCH_SB", 4))
 CACHE = os.environ.get("BENCH_TABLE_CACHE", f"/root/repo/.baby_m{M}.npz")
 
 PUZZLE63_KEY = 0x7CCE5EFDACCF6808
@@ -46,7 +49,11 @@ def main():
     from keyhuntm1cpu_tpu.ref import ecref
 
     log(f"devices: {jax.devices()}")
-    params = BSGSParams(m=M, block_u=BLOCK_U, steps_per_chunk=CHUNK_K, build_block=4096)
+    params = BSGSParams(
+        m=M, block_u=BLOCK_U, steps_per_chunk=CHUNK_K, build_block=4096,
+        cand_max=CAND_MAX, bits_log2=int(BITS_LOG2) if BITS_LOG2 else None,
+        pallas_sb=SB,
+    )
 
     # --- table (cached across bench runs) -----------------------------
     table = None
@@ -95,6 +102,12 @@ def main():
     px, py = eng64._initial_base(0).x, eng64._initial_base(0).y
     px, py, outs = eng64._chunk_fn(px, py)
     jax.block_until_ready(outs)
+    profile_dir = os.environ.get("BENCH_PROFILE")
+    if profile_dir:
+        # JAX profiler trace of the hot loop (reference has only a 1 Hz
+        # printf stats loop; SURVEY.md §5 calls for real profiling here).
+        # View with tensorboard or xprof.
+        jax.profiler.start_trace(profile_dir)
     t0 = time.time()
     chunks = 0
     inflight = []  # bounded pipeline: <=2 outstanding chunks so the
@@ -108,6 +121,9 @@ def main():
         chunks += 1
     jax.block_until_ready(outs)
     elapsed = time.time() - t0
+    if profile_dir:
+        jax.profiler.stop_trace()
+        log(f"profiler trace written to {profile_dir}")
     steps = chunks * CHUNK_K
     keys_per_sec = steps * BLOCK_U * stride / elapsed
     pts_per_sec = steps * BLOCK_U / elapsed

@@ -93,6 +93,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="minikey scan prefix base (reference -C)")
     p.add_argument("--max-chunks", type=int, default=None,
                    help="stop after N device chunks (smoke tests)")
+    p.add_argument("--notify-cmd", default=None,
+                   help="shell command run once per found key; the key hex "
+                        "and target are appended as arguments (capability of "
+                        "the reference ops layer's webhook notifications, "
+                        "vastai_deploy.sh:50-83, without assuming egress)")
     return p
 
 
@@ -241,6 +246,17 @@ def _run(args, log) -> int:
     for f in found:
         write_found_key(f)
         log.result(f"FOUND {f.private_key:064x} -> {f.target}")
+        if args.notify_cmd:
+            import subprocess
+
+            try:
+                subprocess.run(
+                    [*args.notify_cmd.split(), f"{f.private_key:064x}", f.target],
+                    timeout=30,
+                    check=False,
+                )
+            except Exception as e:  # notification failure never loses the key
+                log.warn(f"notify command failed: {e}")
     if not found:
         log.plus("no key found in range")
     if metrics_srv is not None:

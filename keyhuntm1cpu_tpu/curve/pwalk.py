@@ -57,16 +57,19 @@ LANES = 128
 
 
 def _mixed_add(X, Y, Z, qx, qy):
-    """Jacobian P + affine Q (madd-2007-bl shape, 8M+3S). Returns
-    (X3, Y3, Z3, h_zero) — h_zero flags x(Q) == x(P) (doubling/infinity),
-    where the result is garbage and the caller must treat the lane as
-    degenerate."""
+    """Jacobian P + affine Q (madd-2007-bl shape, 8M+3S) with a
+    branch-free Jacobian DOUBLING fallback (dbl-2009-l, a=0) for the
+    P == Q case — the baby-table build chain hits it deterministically
+    at its first advance (ub*G + ub*G). Returns (X3, Y3, Z3, inf) where
+    `inf` flags P == -Q (sum is the point at infinity): the result is
+    garbage and the caller must treat the lane as degenerate."""
     z2 = ft.sqr(Z)
     u2 = ft.mul(qx, z2)
     s2 = ft.mul(qy, ft.mul(Z, z2))
     h = ft.sub(u2, X)
     r = ft.sub(s2, Y)
     h_zero = ft.is_zero(h)
+    is_dbl = h_zero & ft.eq(s2, Y)
     h = ft.select(h_zero, ft.one_like(h), h)
     hh = ft.sqr(h)
     v = ft.mul(X, hh)
@@ -74,7 +77,20 @@ def _mixed_add(X, Y, Z, qx, qy):
     x3 = ft.sub(ft.sub(ft.sqr(r), hhh), ft.dbl(v))
     y3 = ft.sub(ft.mul(r, ft.sub(v, x3)), ft.mul(Y, hhh))
     z3 = ft.mul(Z, h)
-    return x3, y3, z3, h_zero
+    # doubling lane: 2P for a = 0 (secp256k1)
+    a_ = ft.sqr(X)
+    b_ = ft.sqr(Y)
+    c_ = ft.sqr(b_)
+    t = ft.sqr(ft.add(X, b_))
+    d_ = ft.dbl(ft.sub(ft.sub(t, a_), c_))
+    e_ = ft.add(ft.dbl(a_), a_)
+    xd = ft.sub(ft.sqr(e_), ft.dbl(d_))
+    yd = ft.sub(ft.mul(e_, ft.sub(d_, xd)), ft.dbl(ft.dbl(ft.dbl(c_))))
+    zd = ft.dbl(ft.mul(Y, Z))
+    x3 = ft.select(is_dbl, xd, x3)
+    y3 = ft.select(is_dbl, yd, y3)
+    z3 = ft.select(is_dbl, zd, z3)
+    return x3, y3, z3, h_zero & ~is_dbl
 
 
 def _advance_kernel(px_ref, py_ref, advx_ref, advy_ref,

@@ -116,6 +116,15 @@ class BSGSEngine:
         blocks are disjoint by construction).
         """
         p = self.p
+        if (
+            p.pallas != "off"
+            and jax.default_backend() != "cpu"
+            and p.build_block % 128 == 0
+            and (p.build_block // 128) * p.pallas_sb % 8 == 0
+            and (p.build_block // 128) * p.pallas_sb >= 8
+            and p.m > p.build_block
+        ):
+            return self._build_baby_table_pallas()
         ub = p.build_block
         n_blocks = math.ceil(p.m / ub)
         btab_x, btab_y = tables.step_table(ecref.G, ub)
@@ -164,6 +173,63 @@ class BSGSEngine:
                 x = ecref.scalar_mult(j)[0]
                 his[ub + int(flat)] = (x >> 32) & 0xFFFFFFFF
                 los[ub + int(flat)] = x & 0xFFFFFFFF
+
+        return st.build_sorted_table(his[: p.m], los[: p.m], idxs[: p.m])
+
+    def _build_baby_table_pallas(self) -> st.SortedXTable:
+        """Baby-table build on the Pallas walk kernels (~50x the XLA
+        build): blocks 1..n-1 are one long advance chain with ADV = Ub*G
+        (kernel A's branch-free doubling lane handles the block-1 case
+        Ub*G + Ub*G), walked in chunks of K blocks."""
+        from ..curve import pwalk
+
+        p = self.p
+        ub = p.build_block
+        n_blocks = math.ceil(p.m / ub)
+        btab_x, btab_y = tables.step_table(ecref.G, ub)
+        tx = pwalk.table_to_limb_major(btab_x)
+        ty = pwalk.table_to_limb_major(btab_y)
+        adv = ecref.scalar_mult(ub)
+        ax = jnp.asarray(fe.int_to_limbs(adv[0]))
+        ay = jnp.asarray(fe.int_to_limbs(adv[1]))
+
+        his = np.empty(n_blocks * ub, dtype=np.uint32)
+        los = np.empty(n_blocks * ub, dtype=np.uint32)
+        idxs = (np.arange(n_blocks * ub, dtype=np.uint64) + 1).astype(np.uint32)
+        his[:ub] = btab_x[:, 1]
+        los[:ub] = btab_x[:, 0]
+
+        base = ecref.scalar_mult(ub)
+        px = jnp.asarray(fe.int_to_limbs(base[0]))
+        py = jnp.asarray(fe.int_to_limbs(base[1]))
+        kmax = 32
+        done = 1
+        while done < n_blocks:
+            k = min(kmax, n_blocks - done)
+            # kernel chain length must be a multiple of 8 (Montgomery
+            # groups of 8 sublane rows); run padded, keep the first k
+            k_run = -(-k // 8) * 8
+            res = _build_chunk_impl(
+                px, py, tx, ty, ax, ay, K=k_run, U=ub, SB=p.pallas_sb
+            )
+            lo = np.asarray(res.qlo)[:k].reshape(-1)
+            hi = np.asarray(res.qhi)[:k].reshape(-1)
+            his[done * ub : (done + k) * ub] = hi
+            los[done * ub : (done + k) * ub] = lo
+            deg = np.asarray(res.degenerate)[:k].reshape(k, ub)
+            if deg.any():
+                # walk-lane degeneracies (e.g. the doubling lane of block
+                # 1 at u = Ub): patch those entries exactly on host
+                for s, u0 in zip(*np.nonzero(deg)):
+                    j = (done + int(s)) * ub + int(u0) + 1
+                    x = ecref.scalar_mult(j)[0]
+                    his[j - 1] = (x >> 32) & 0xFFFFFFFF
+                    los[j - 1] = x & 0xFFFFFFFF
+            assert not bool(np.asarray(res.adv_degenerate).any()), (
+                "advance chain hit infinity during table build"
+            )
+            px, py = res.next_x, res.next_y
+            done += k
 
         return st.build_sorted_table(his[: p.m], los[: p.m], idxs[: p.m])
 
@@ -249,64 +315,11 @@ class BSGSEngine:
         chain = self.p.chain_len
         bits_log2 = self.bitmap.bits_log2
 
-        # All device arrays are jit ARGUMENTS, not closure constants:
-        # closure arrays are embedded in the serialized HLO, which (a)
-        # breaks compile-cache reuse across engines with equal shapes and
-        # (b) overflows the remote-compile request with a 512 MB bitmap.
-        @jax.jit
-        def chunk_impl(px, py, tab_x, tab_y, adv_x, adv_y, words, thi, tlo, tidx):
-            bitmap = bmp.DeviceBitmap(words, bits_log2)
-            table = st.SortedXTable(thi, tlo, tidx)
-
-            def body(carry, _):
-                cx, cy = carry
-                pb = points.PointBatch(cx, cy, jnp.zeros((T,), dtype=bool))
-                res = walk.walk_fused(pb, tab_x, tab_y, adv_x, adv_y, chain_len=chain)
-                qhi, qlo = st.trunc64_from_limbs(res.x_plus)  # (T, U)
-                # bitmap cascade: 1 gather/query, exact search only on the
-                # compacted survivors (C-wide instead of T*U-wide)
-                fl = bmp.filtered_lookup(
-                    bitmap, table, qhi.reshape(-1), qlo.reshape(-1), C
-                )
-                deg_flat = res.degenerate.reshape(-1)
-                pos_safe = jnp.minimum(fl.pos, T * U - 1)
-                live = ~deg_flat[pos_safe]
-                cand_pos = jnp.where(
-                    (fl.result.found | fl.result.found2) & live, fl.pos, T * U
-                )
-                cand_j = jnp.where(fl.result.found & live, fl.result.idx, 0)
-                cand_j2 = jnp.where(fl.result.found2 & live, fl.result.idx2, 0)
-                # adv degenerate == walk lane U degenerate (ADV = U*S =
-                # tab[U-1]), so its candidates are already covered by the
-                # deg summary; it additionally flags corrupted walk state
-                # (the engine rebases exactly at the next chunk boundary).
-                deg = res.degenerate.at[:, U - 1].set(
-                    res.degenerate[:, U - 1] | res.adv_degenerate
-                )
-                n_deg = deg.sum(axis=1).astype(jnp.int32)
-                first_deg = jnp.argmax(deg, axis=1).astype(jnp.int32)
-                degsum = jnp.stack(
-                    [n_deg, first_deg, res.adv_degenerate.astype(jnp.int32)]
-                )  # (3, T)
-                # one packed row per step -> ONE host transfer per chunk
-                out = jnp.concatenate(
-                    [
-                        cand_pos.astype(jnp.int32),
-                        cand_j.astype(jnp.int32),
-                        cand_j2.astype(jnp.int32),
-                        degsum.reshape(-1),
-                        fl.n_candidates[None],
-                    ]
-                )  # (3C + 3T + 1,)
-                return (res.adv_x, res.adv_y), out
-
-            (px, py), outs = jax.lax.scan(body, (px, py), None, length=K)
-            return px, py, outs  # (K, 3C + 3T + 1)
-
         def chunk(px, py):
-            return chunk_impl(
+            return _xla_chunk_impl(
                 px, py, self.tab_x, self.tab_y, self.adv_x, self.adv_y,
                 self.bitmap.words, self.table.hi, self.table.lo, self.table.idx,
+                T=T, U=U, K=K, C=C, chain=chain, bits_log2=bits_log2,
             )
 
         return chunk
@@ -315,60 +328,23 @@ class BSGSEngine:
         """Fused-kernel chunk (curve/pwalk.py): Jacobian advance chain +
         parallel walk blocks in Pallas, bitmap cascade in XLA. Same packed
         summary layout as the XLA chunk, so decode paths are shared."""
-        from ..curve import pwalk
-
         U = self.p.block_u
         K = self.p.steps_per_chunk
         C = self.p.cand_max
         SB = self.p.pallas_sb
         bits_log2 = self.bitmap.bits_log2
-
-        @jax.jit
-        def chunk_impl(px_bm, py_bm, tab_x_lm, tab_y_lm, ax, ay,
-                       words, thi, tlo, tidx):
-            bitmap = bmp.DeviceBitmap(words, bits_log2)
-            table = st.SortedXTable(thi, tlo, tidx)
-            res = pwalk.pallas_chunk(
-                px_bm[0], py_bm[0], tab_x_lm, tab_y_lm, ax, ay, K=K, U=U, SB=SB
-            )
-            deg = res.degenerate
-            deg = deg.at[:, U - 1].set(deg[:, U - 1] | res.adv_degenerate)
-
-            def per_step(qh, ql, deg_row, adeg):
-                fl = bmp.filtered_lookup(bitmap, table, qh, ql, C)
-                live = ~deg_row[jnp.minimum(fl.pos, U - 1)]
-                cand_pos = jnp.where(
-                    (fl.result.found | fl.result.found2) & live, fl.pos, U
-                )
-                cand_j = jnp.where(fl.result.found & live, fl.result.idx, 0)
-                cand_j2 = jnp.where(fl.result.found2 & live, fl.result.idx2, 0)
-                n_deg = deg_row.sum()[None].astype(jnp.int32)
-                first_deg = jnp.argmax(deg_row)[None].astype(jnp.int32)
-                return jnp.concatenate(
-                    [
-                        cand_pos.astype(jnp.int32),
-                        cand_j.astype(jnp.int32),
-                        cand_j2.astype(jnp.int32),
-                        n_deg,
-                        first_deg,
-                        adeg[None].astype(jnp.int32),
-                        fl.n_candidates[None],
-                    ]
-                )  # (3C + 3 + 1,)
-
-            outs = jax.vmap(per_step)(res.qhi, res.qlo, deg, res.adv_degenerate)
-            return res.next_x[None], res.next_y[None], outs
-
-        def chunk(px, py):
-            return chunk_impl(
-                px, py, self._tab_x_lm, self._tab_y_lm,
-                self.adv_x, self.adv_y,
-                self.bitmap.words, self.table.hi, self.table.lo, self.table.idx,
-            )
-
         # limb-major table layout for the kernels (device-side transpose)
         self._tab_x_lm = jnp.transpose(self.tab_x, (1, 0)).reshape(8, U // 128, 128)
         self._tab_y_lm = jnp.transpose(self.tab_y, (1, 0)).reshape(8, U // 128, 128)
+
+        def chunk(px, py):
+            return _pallas_chunk_impl(
+                px, py, self._tab_x_lm, self._tab_y_lm,
+                self.adv_x, self.adv_y,
+                self.bitmap.words, self.table.hi, self.table.lo, self.table.idx,
+                U=U, K=K, C=C, SB=SB, bits_log2=bits_log2,
+            )
+
         return chunk
 
     def _split_summary(self, arr: np.ndarray):
@@ -701,3 +677,112 @@ def host_baby_table(m: int) -> st.SortedXTable:
     bx, _ = tables.step_table(ecref.G, m)
     idx = (np.arange(m, dtype=np.uint64) + 1).astype(np.uint32)
     return st.build_sorted_table(bx[:, 1].copy(), bx[:, 0].copy(), idx)
+
+
+# ---------------------------------------------------------------------------
+# Module-level jitted chunk implementations. Static config comes in via
+# static_argnames and all device arrays are ARGUMENTS: (a) jax.jit caches
+# the trace per config (per-engine closures re-traced these ~20 kop graphs
+# for ~30 s on every engine construction — deadly for bsgsd's
+# engine-per-request pattern), (b) closure arrays embed in the serialized
+# HLO, breaking compile-cache reuse and overflowing the remote-compile
+# request with a 512 MB bitmap.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("T", "U", "K", "C", "chain", "bits_log2"))
+def _xla_chunk_impl(px, py, tab_x, tab_y, adv_x, adv_y, words, thi, tlo, tidx,
+                    *, T, U, K, C, chain, bits_log2):
+    bitmap = bmp.DeviceBitmap(words, bits_log2)
+    table = st.SortedXTable(thi, tlo, tidx)
+
+    def body(carry, _):
+        cx, cy = carry
+        pb = points.PointBatch(cx, cy, jnp.zeros((T,), dtype=bool))
+        res = walk.walk_fused(pb, tab_x, tab_y, adv_x, adv_y, chain_len=chain)
+        qhi, qlo = st.trunc64_from_limbs(res.x_plus)  # (T, U)
+        # bitmap cascade: 1 gather/query, exact search only on the
+        # compacted survivors (C-wide instead of T*U-wide)
+        fl = bmp.filtered_lookup(
+            bitmap, table, qhi.reshape(-1), qlo.reshape(-1), C
+        )
+        deg_flat = res.degenerate.reshape(-1)
+        pos_safe = jnp.minimum(fl.pos, T * U - 1)
+        live = ~deg_flat[pos_safe]
+        cand_pos = jnp.where(
+            (fl.result.found | fl.result.found2) & live, fl.pos, T * U
+        )
+        cand_j = jnp.where(fl.result.found & live, fl.result.idx, 0)
+        cand_j2 = jnp.where(fl.result.found2 & live, fl.result.idx2, 0)
+        # adv degenerate == walk lane U degenerate (ADV = U*S = tab[U-1]),
+        # so its candidates are already covered by the deg summary; it
+        # additionally flags corrupted walk state (the engine rebases
+        # exactly at the next chunk boundary).
+        deg = res.degenerate.at[:, U - 1].set(
+            res.degenerate[:, U - 1] | res.adv_degenerate
+        )
+        n_deg = deg.sum(axis=1).astype(jnp.int32)
+        first_deg = jnp.argmax(deg, axis=1).astype(jnp.int32)
+        degsum = jnp.stack(
+            [n_deg, first_deg, res.adv_degenerate.astype(jnp.int32)]
+        )  # (3, T)
+        # one packed row per step -> ONE host transfer per chunk
+        out = jnp.concatenate(
+            [
+                cand_pos.astype(jnp.int32),
+                cand_j.astype(jnp.int32),
+                cand_j2.astype(jnp.int32),
+                degsum.reshape(-1),
+                fl.n_candidates[None],
+            ]
+        )  # (3C + 3T + 1,)
+        return (res.adv_x, res.adv_y), out
+
+    (px, py), outs = jax.lax.scan(body, (px, py), None, length=K)
+    return px, py, outs  # (K, 3C + 3T + 1)
+
+
+@partial(jax.jit, static_argnames=("K", "U", "SB"))
+def _build_chunk_impl(px, py, tx, ty, ax, ay, *, K, U, SB):
+    from ..curve import pwalk
+
+    return pwalk.pallas_chunk(px, py, tx, ty, ax, ay, K=K, U=U, SB=SB)
+
+
+@partial(jax.jit, static_argnames=("U", "K", "C", "SB", "bits_log2"))
+def _pallas_chunk_impl(px_bm, py_bm, tab_x_lm, tab_y_lm, ax, ay,
+                       words, thi, tlo, tidx, *, U, K, C, SB, bits_log2):
+    from ..curve import pwalk
+
+    bitmap = bmp.DeviceBitmap(words, bits_log2)
+    table = st.SortedXTable(thi, tlo, tidx)
+    res = pwalk.pallas_chunk(
+        px_bm[0], py_bm[0], tab_x_lm, tab_y_lm, ax, ay, K=K, U=U, SB=SB
+    )
+    deg = res.degenerate
+    deg = deg.at[:, U - 1].set(deg[:, U - 1] | res.adv_degenerate)
+
+    def per_step(qh, ql, deg_row, adeg):
+        fl = bmp.filtered_lookup(bitmap, table, qh, ql, C)
+        live = ~deg_row[jnp.minimum(fl.pos, U - 1)]
+        cand_pos = jnp.where(
+            (fl.result.found | fl.result.found2) & live, fl.pos, U
+        )
+        cand_j = jnp.where(fl.result.found & live, fl.result.idx, 0)
+        cand_j2 = jnp.where(fl.result.found2 & live, fl.result.idx2, 0)
+        n_deg = deg_row.sum()[None].astype(jnp.int32)
+        first_deg = jnp.argmax(deg_row)[None].astype(jnp.int32)
+        return jnp.concatenate(
+            [
+                cand_pos.astype(jnp.int32),
+                cand_j.astype(jnp.int32),
+                cand_j2.astype(jnp.int32),
+                n_deg,
+                first_deg,
+                adeg[None].astype(jnp.int32),
+                fl.n_candidates[None],
+            ]
+        )  # (3C + 3 + 1,)
+
+    outs = jax.vmap(per_step)(res.qhi, res.qlo, deg, res.adv_degenerate)
+    return res.next_x[None], res.next_y[None], outs
