@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
+from functools import partial
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -37,6 +38,7 @@ import numpy as np
 
 from ..curve import points, tables, walk
 from ..field import fe
+from ..filter import bitmap as bmp
 from ..filter import sorted_table as st
 from ..hash import (
     hash160_from_x_both_parities,
@@ -61,6 +63,8 @@ class BruteParams:
     # {a, a+stride, a+2*stride, ...}; the walk table becomes multiples of
     # stride*G so device cost is unchanged (keyhunt.cpp stride handling
     # in thread_process, :2586-2590)
+    cand_max: int = 256  # compacted probe survivors per device step
+    # (bitmap cascade, filter/bitmap.py); overflow -> exact host rescan
     random_mode: bool = False  # reference -R: walkers re-base to random
     # window-aligned positions every chunk instead of scanning sequentially
     # (keyhunt.cpp:2547-2568 random base claims)
@@ -84,6 +88,7 @@ class BruteEngine:
         self.mode = "rmd160" if mode == "address" else mode
         self.targets = targets
         self.table = targets.build_table()
+        self.bitmap = targets.build_bitmap()
         self.a = range_start
         self.b = range_end
         self.p = params
@@ -139,107 +144,23 @@ class BruteEngine:
         W = self.p.walkers
         U = self.p.block_u
         K = self.p.steps_per_chunk
+        C = self.p.cand_max
         chain = self.p.chain_len
         mode = self.mode
-        table = self.table
-        tab_x, tab_y = self.tab_x, self.tab_y
-
-        def queries_from_x(x_all):
-            """x_all: (W, npts, 8) -> bool hit mask (W, npts, V) and the
-            matched target row (V variants per point)."""
-            if mode == "xpoint":
-                qhi, qlo = st.trunc64_from_limbs(x_all)
-                lr = st.lookup(table, qhi.reshape(-1), qlo.reshape(-1))
-                hit = (lr.found | lr.found2).reshape(*x_all.shape[:-1], 1)
-                row = lr.idx.reshape(*x_all.shape[:-1], 1)
-                return hit, row
-            if mode == "rmd160":
-                even, odd = hash160_from_x_both_parities(x_all)
-                he = st.lookup(table, even[1].reshape(-1), even[0].reshape(-1))
-                ho = st.lookup(table, odd[1].reshape(-1), odd[0].reshape(-1))
-                hit = jnp.stack(
-                    [
-                        (he.found | he.found2).reshape(x_all.shape[:-1]),
-                        (ho.found | ho.found2).reshape(x_all.shape[:-1]),
-                    ],
-                    axis=-1,
-                )
-                row = jnp.stack(
-                    [
-                        he.idx.reshape(x_all.shape[:-1]),
-                        ho.idx.reshape(x_all.shape[:-1]),
-                    ],
-                    axis=-1,
-                )
-                return hit, row
-            raise AssertionError
-
-        def queries_from_xy(x_all, y_all):
-            if mode == "eth":
-                words = keccak256_pubkey64(x_all, y_all)
-            else:  # address_u
-                words = hash160_from_xy(x_all, y_all)
-            lr = st.lookup(table, words[1].reshape(-1), words[0].reshape(-1))
-            hit = (lr.found | lr.found2).reshape(*x_all.shape[:-1], 1)
-            row = lr.idx.reshape(*x_all.shape[:-1], 1)
-            return hit, row
-
         needs_y = mode in ("eth", "address_u")
-        endo = self.p.endo
-        beta = fe.from_int(ecref.BETA)
-        beta2 = fe.from_int(ecref.BETA * ecref.BETA % ecref.P)
-        adv_x, adv_y = self.adv_x, self.adv_y
+        n_endo = 3 if self.p.endo else 1
+        # query sets per point: endo variants x (2 parities for rmd160)
+        self.n_qsets = n_endo * (2 if mode == "rmd160" else 1)
+        nq = self.n_qsets
+        bits_log2 = self.bitmap.bits_log2
 
-        def endo_variants(x_all):
-            """[(x, endo_power)] lanes: phi^e(P) = (beta^e x, y) = lambda^e k G."""
-            variants = [x_all]
-            if endo:
-                variants.append(fe.mul_mod_p(x_all, beta))
-                variants.append(fe.mul_mod_p(x_all, beta2))
-            return variants
-
-        @jax.jit
         def chunk(cx, cy):
-            def body(carry, _):
-                cx, cy = carry
-                ctr = points.PointBatch(cx, cy, jnp.zeros((W,), dtype=bool))
-                res = walk.walk_fused(
-                    ctr, tab_x, tab_y, adv_x, adv_y,
-                    symmetric=True, need_y=needs_y, chain_len=chain,
-                )
-                x_all = jnp.concatenate(
-                    [res.x_plus, res.x_minus, cx[:, None, :]], axis=1
-                )
-                hits, rows = [], []
-                if needs_y:
-                    y_all = jnp.concatenate(
-                        [res.y_plus, res.y_minus, cy[:, None, :]], axis=1
-                    )
-                    for xv in endo_variants(x_all):
-                        h, r = queries_from_xy(xv, y_all)
-                        hits.append(h)
-                        rows.append(r)
-                else:
-                    for xv in endo_variants(x_all):
-                        h, r = queries_from_x(xv)
-                        hits.append(h)
-                        rows.append(r)
-                hit = jnp.concatenate(hits, axis=-1)
-                row = jnp.concatenate(rows, axis=-1)
-                # mask degenerate lanes (both + and - outputs invalid)
-                degm = jnp.concatenate(
-                    [res.degenerate, res.degenerate, jnp.zeros((W, 1), dtype=bool)],
-                    axis=1,
-                )
-                hit = hit & ~degm[..., None]
-                # deg summary: U walk lanes + 1 advance lane
-                deg = jnp.concatenate(
-                    [res.degenerate, res.adv_degenerate[:, None]], axis=1
-                )
-                return (res.adv_x, res.adv_y), (hit, row, deg)
-
-            (cx, cy), outs = jax.lax.scan(body, (cx, cy), None, length=K)
-            return cx, cy, outs
+            return _brute_chunk_impl(
+                cx, cy, self.tab_x, self.tab_y, self.adv_x, self.adv_y,
+                self.bitmap.words, self.table.hi, self.table.lo, self.table.idx,
+                W=W, U=U, K=K, C=C, chain=chain, mode=mode,
+                needs_y=needs_y, n_endo=n_endo, nq=nq, bits_log2=bits_log2,
+            )
 
         return chunk
 
@@ -297,6 +218,12 @@ class BruteEngine:
         total = self.steps_per_walker if max_steps is None else min(
             self.steps_per_walker, max_steps
         )
+        W = p.walkers
+        U = p.block_u
+        C = p.cand_max
+        npts = self.window
+        lam_pow = (1, ecref.LAMBDA, ecref.LAMBDA * ecref.LAMBDA % ecref.N)
+        parities = 2 if self.mode == "rmd160" else 1
         found: List[FoundKey] = []
         seen = set()
         step = 0
@@ -316,44 +243,50 @@ class BruteEngine:
                 bases = [int(s0) * self.window for s0 in starts]
                 base_pts = self._centers_for_bases(bases)
                 cx, cy = base_pts.x, base_pts.y
-            cx, cy, (hit, row, deg) = self._chunk_fn(cx, cy)
-            hit_np = np.asarray(hit)  # (K, W, npts, V)
-            deg_np = np.asarray(deg)  # (K, W, U)
-            if hit_np[:k].any():
-                row_np = np.asarray(row)
-                base_v = 2 if self.mode == "rmd160" else 1
-                lam_pow = (1, ecref.LAMBDA, ecref.LAMBDA * ecref.LAMBDA % ecref.N)
-                for s, w, lane, v in zip(*np.nonzero(hit_np[:k])):
-                    cand = self._key_for_lane(bases[int(w)], int(s), int(lane))
-                    e = int(v) // base_v  # endomorphism lane: key = lambda^e * k
+            cx, cy, outs = self._chunk_fn(cx, cy)
+            arr = np.asarray(outs)  # (K, 2C + 3W + 1) — one transfer
+            cand_pos = arr[:, :C]
+            cand_row = arr[:, C : 2 * C].view(np.uint32)
+            n_deg = arr[:, 2 * C : 2 * C + W]
+            first_deg = arr[:, 2 * C + W : 2 * C + 2 * W]
+            adv_deg = arr[:, 2 * C + 2 * W : 2 * C + 3 * W]
+            ncand = arr[:, 2 * C + 3 * W]
+            total_q = self.n_qsets * W * npts
+            for s in range(k):
+                if ncand[s] > C:
+                    found += self._host_rescan_step(bases, s)
+                for c in np.nonzero(cand_pos[s] < total_q)[0]:
+                    pos = int(cand_pos[s, c])
+                    q, rem = divmod(pos, W * npts)
+                    w, lane = divmod(rem, npts)
+                    e = q // parities  # endomorphism power
+                    cand = self._key_for_lane(bases[w], s, lane)
                     if e:
                         cand = cand * lam_pow[e] % ecref.N
-                    fk = self._verify(cand, int(row_np[s, w, lane, v]))
+                    fk = self._verify(cand, int(cand_row[s, c]))
                     if fk and fk.private_key not in seen:
                         seen.add(fk.private_key)
                         found.append(fk)
                         if stop_on_first:
                             return found
-            rebase = False
-            if deg_np[:k].any():
-                # degenerate lane u0 < U: x(center) == x((u0+1)*stride*G),
-                # i.e. the center scalar c is +-(u0+1)*stride mod n. The
-                # +-(u0+1) walk outputs are invalid, so enumerate everything
-                # they could have covered exactly: c itself, and the
-                # doubling lane c + (u0+1)*stride = 2c (c - that is 0 = no
-                # key). Lane u0 == U is the fused advance (offset
-                # (2U+1)*stride): same algebra, plus the walk state is
-                # invalid from that step on -> exact host rebase below.
-                for s, w, u0 in zip(*np.nonzero(deg_np[:k])):
-                    c = self._key_for_lane(bases[int(w)], int(s), 2 * p.block_u)
-                    off = int(u0) + 1 if int(u0) < p.block_u else self.window
-                    d = off * self.stride % ecref.N
-                    for cand in (d, ecref.N - d, (2 * c) % ecref.N):
-                        fk = self._verify(cand, 0)
-                        if fk and fk.private_key not in seen:
-                            seen.add(fk.private_key)
-                            found.append(fk)
-                rebase = bool(deg_np[:k, :, p.block_u].any())
+                for w in range(W):
+                    offs = []
+                    if n_deg[s, w] > 0:
+                        offs.append(int(first_deg[s, w]) + 1)
+                    if adv_deg[s, w]:
+                        offs.append(self.window)
+                    for off in offs:
+                        # degenerate lane: x(center) == x(off*stride*G),
+                        # so the center scalar c is +-off*stride mod n;
+                        # also the doubling lane 2c.
+                        c0 = self._key_for_lane(bases[w], s, 2 * U)
+                        d = off * self.stride % ecref.N
+                        for cand in (d, ecref.N - d, (2 * c0) % ecref.N):
+                            fk = self._verify(cand, 0)
+                            if fk and fk.private_key not in seen:
+                                seen.add(fk.private_key)
+                                found.append(fk)
+            rebase = bool(adv_deg[:k].any())
             self.stats.add(k * p.walkers * self.window)
             step += p.steps_per_chunk
             if rng is None:
@@ -364,3 +297,111 @@ class BruteEngine:
             if progress_every and (step // p.steps_per_chunk) % progress_every == 0:
                 print(f"[brute] step {step}/{total} {self.stats.human()}")
         return found
+
+    def _host_rescan_step(self, bases: Sequence[int], s: int) -> List[FoundKey]:
+        """Exact host re-scan of one device step (probe-survivor overflow):
+        every key in every walker's window is derived and verified against
+        the full target set with python-int math."""
+        found = []
+        for w in range(self.p.walkers):
+            for lane in range(self.window):
+                cand = self._key_for_lane(bases[w], s, lane)
+                fk = self._verify(cand, 0)
+                if fk:
+                    found.append(fk)
+        return found
+
+
+# ---------------------------------------------------------------------------
+# Module-level jitted chunk (same discipline as engine/bsgs.py: static
+# config via static_argnames, device arrays as arguments, traced once per
+# config per process).
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "W", "U", "K", "C", "chain", "mode", "needs_y", "n_endo", "nq",
+        "bits_log2",
+    ),
+)
+def _brute_chunk_impl(cx, cy, tab_x, tab_y, adv_x, adv_y, words, thi, tlo, tidx,
+                      *, W, U, K, C, chain, mode, needs_y, n_endo, nq,
+                      bits_log2):
+    bitmap = bmp.DeviceBitmap(words, bits_log2)
+    table = st.SortedXTable(thi, tlo, tidx)
+    npts = 2 * U + 1
+    beta = fe.from_int(ecref.BETA)
+    beta2 = fe.from_int(ecref.BETA * ecref.BETA % ecref.P)
+
+    def body(carry, _):
+        cx, cy = carry
+        ctr = points.PointBatch(cx, cy, jnp.zeros((W,), dtype=bool))
+        res = walk.walk_fused(
+            ctr, tab_x, tab_y, adv_x, adv_y,
+            symmetric=True, need_y=needs_y, chain_len=chain,
+        )
+        x_all = jnp.concatenate(
+            [res.x_plus, res.x_minus, cx[:, None, :]], axis=1
+        )  # (W, npts, 8)
+        variants = [x_all]
+        if n_endo == 3:
+            variants.append(fe.mul_mod_p(x_all, beta))
+            variants.append(fe.mul_mod_p(x_all, beta2))
+        qhis, qlos = [], []
+        if mode == "xpoint":
+            for xv in variants:
+                qhi, qlo = st.trunc64_from_limbs(xv)
+                qhis.append(qhi.reshape(-1))
+                qlos.append(qlo.reshape(-1))
+        elif mode == "rmd160":
+            for xv in variants:
+                even, odd = hash160_from_x_both_parities(xv)
+                qhis.append(even[1].reshape(-1))
+                qlos.append(even[0].reshape(-1))
+                qhis.append(odd[1].reshape(-1))
+                qlos.append(odd[0].reshape(-1))
+        else:  # eth / address_u hash x||y
+            y_all = jnp.concatenate(
+                [res.y_plus, res.y_minus, cy[:, None, :]], axis=1
+            )
+            for xv in variants:
+                wds = (
+                    keccak256_pubkey64(xv, y_all)
+                    if mode == "eth"
+                    else hash160_from_xy(xv, y_all)
+                )
+                qhis.append(wds[1].reshape(-1))
+                qlos.append(wds[0].reshape(-1))
+        qhi = jnp.concatenate(qhis)  # (nq * W * npts,)
+        qlo = jnp.concatenate(qlos)
+        fl = bmp.filtered_lookup(bitmap, table, qhi, qlo, C)
+        # mask hits on degenerate walk lanes (garbage x): lane layout is
+        # [0..U-1]=+u, [U..2U-1]=-u (both invalid when deg[u]), [2U]=center
+        degm = jnp.concatenate(
+            [res.degenerate, res.degenerate, jnp.zeros((W, 1), dtype=bool)],
+            axis=1,
+        ).reshape(-1)  # (W * npts,)
+        total = nq * W * npts
+        pos_safe = jnp.minimum(fl.pos, total - 1)
+        live = ~degm[pos_safe % (W * npts)]
+        hitmask = (fl.result.found | fl.result.found2) & live
+        cand_pos = jnp.where(hitmask, fl.pos, total)
+        cand_row = jnp.where(hitmask, fl.result.idx, 0)
+        n_deg = res.degenerate.sum(axis=1).astype(jnp.int32)  # (W,)
+        first_deg = jnp.argmax(res.degenerate, axis=1).astype(jnp.int32)
+        out = jnp.concatenate(
+            [
+                cand_pos.astype(jnp.int32),
+                cand_row.astype(jnp.int32),
+                n_deg,
+                first_deg,
+                res.adv_degenerate.astype(jnp.int32),
+                fl.n_candidates[None],
+            ]
+        )  # (2C + 3W + 1,)
+        return (res.adv_x, res.adv_y), out
+
+    (cx, cy), outs = jax.lax.scan(body, (cx, cy), None, length=K)
+    return cx, cy, outs  # (K, 2C + 3W + 1)

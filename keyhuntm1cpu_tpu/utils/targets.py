@@ -30,6 +30,16 @@ class TargetSet:
     labels: List[str]  # original text form for reporting
     pubkeys: List[Tuple[int, int]] = field(default_factory=list)  # pubkey kind
 
+    def build_bitmap(self, bits_log2: Optional[int] = None):
+        """Device bitmap over the 64-bit target keys (filter/bitmap.py) —
+        the brute engines' level-1 membership probe."""
+        from ..filter import bitmap as bmp
+
+        t = self.build_table()
+        return bmp.build_bitmap(
+            np.asarray(t.hi), np.asarray(t.lo), bits_log2
+        )
+
     def build_table(self) -> st.SortedXTable:
         his, los = [], []
         for b in self.raw:
