@@ -28,6 +28,7 @@ Modes:
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import List, Optional, Sequence, Tuple
@@ -153,6 +154,11 @@ class BruteEngine:
         self.n_qsets = n_endo * (2 if mode == "rmd160" else 1)
         nq = self.n_qsets
         bits_log2 = self.bitmap.bits_log2
+        use_phash = (
+            mode == "rmd160"
+            and jax.default_backend() != "cpu"
+            and os.environ.get("KEYHUNT_PALLAS_HASH", "auto") not in ("0", "off")
+        )
 
         def chunk(cx, cy):
             return _brute_chunk_impl(
@@ -160,6 +166,7 @@ class BruteEngine:
                 self.bitmap.words, self.table.hi, self.table.lo, self.table.idx,
                 W=W, U=U, K=K, C=C, chain=chain, mode=mode,
                 needs_y=needs_y, n_endo=n_endo, nq=nq, bits_log2=bits_log2,
+                use_phash=use_phash,
             )
 
         return chunk
@@ -323,12 +330,12 @@ class BruteEngine:
     jax.jit,
     static_argnames=(
         "W", "U", "K", "C", "chain", "mode", "needs_y", "n_endo", "nq",
-        "bits_log2",
+        "bits_log2", "use_phash",
     ),
 )
 def _brute_chunk_impl(cx, cy, tab_x, tab_y, adv_x, adv_y, words, thi, tlo, tidx,
                       *, W, U, K, C, chain, mode, needs_y, n_endo, nq,
-                      bits_log2):
+                      bits_log2, use_phash=False):
     bitmap = bmp.DeviceBitmap(words, bits_log2)
     table = st.SortedXTable(thi, tlo, tidx)
     npts = 2 * U + 1
@@ -357,11 +364,22 @@ def _brute_chunk_impl(cx, cy, tab_x, tab_y, adv_x, adv_y, words, thi, tlo, tidx,
                 qlos.append(qlo.reshape(-1))
         elif mode == "rmd160":
             for xv in variants:
-                even, odd = hash160_from_x_both_parities(xv)
-                qhis.append(even[1].reshape(-1))
-                qlos.append(even[0].reshape(-1))
-                qhis.append(odd[1].reshape(-1))
-                qlos.append(odd[0].reshape(-1))
+                if use_phash:
+                    from ..hash import phash
+
+                    (le, he), (lo_, ho_) = phash.hash160_x2_from_batch(
+                        xv.reshape(-1, 8)
+                    )
+                    qhis.append(he)
+                    qlos.append(le)
+                    qhis.append(ho_)
+                    qlos.append(lo_)
+                else:
+                    even, odd = hash160_from_x_both_parities(xv)
+                    qhis.append(even[1].reshape(-1))
+                    qlos.append(even[0].reshape(-1))
+                    qhis.append(odd[1].reshape(-1))
+                    qlos.append(odd[0].reshape(-1))
         else:  # eth / address_u hash x||y
             y_all = jnp.concatenate(
                 [res.y_plus, res.y_minus, cy[:, None, :]], axis=1

@@ -1,0 +1,175 @@
+"""Pallas fused hash160 (sha256 -> ripemd160), both parities, limb-major.
+
+The XLA hash pipeline (hash/sha256.py + hash/ripemd160.py) runs its rounds
+as lax.scans — ~150 serial HLO steps each paying dispatch overhead. Here
+the full double pipeline (two 33-byte sha256 compressions + two ripemd160
+compressions) is one straight-line kernel over (8, S, 128) limb-major X
+tiles: ~6k cheap vector ops, fully parallel over lanes. Round constants
+are python ints (traced as immediates); rotation amounts are compile-time
+so no dynamic shifts.
+
+Reference capability: GetHash160_fromX both-parity hashing
+(SECP256K1.cpp:746-790), the hot path of keyhunt address/rmd160 modes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .ripemd160 import _IV, _K1, _K2, _R1, _R2, _S1, _S2
+from .sha256 import _H0, _K
+
+LANES = 128
+SUBLANES = 8
+MASK8 = 0xFF
+
+
+def _rotr(x, n: int):
+    return (x >> n) | (x << (32 - n))
+
+
+def _rol(x, n: int):
+    return (x << n) | (x >> (32 - n))
+
+
+def _sha256_compress_unrolled(w: List[jnp.ndarray]) -> List[jnp.ndarray]:
+    """One SHA-256 compression, statically unrolled; w: 16 tile words."""
+    a, b, c, d, e, f, g, h = [jnp.full_like(w[0], np.uint32(hv)) for hv in _H0]
+    wbuf = list(w)
+    for i in range(64):
+        if i < 16:
+            wi = wbuf[i]
+        else:
+            w15 = wbuf[i - 15]
+            w2 = wbuf[i - 2]
+            sig0 = _rotr(w15, 7) ^ _rotr(w15, 18) ^ (w15 >> 3)
+            sig1 = _rotr(w2, 17) ^ _rotr(w2, 19) ^ (w2 >> 10)
+            wi = wbuf[i - 16] + sig0 + wbuf[i - 7] + sig1
+            wbuf.append(wi)
+        s1 = _rotr(e, 6) ^ _rotr(e, 11) ^ _rotr(e, 25)
+        ch = (e & f) ^ (~e & g)
+        t1 = h + s1 + ch + np.uint32(_K[i]) + wi
+        s0 = _rotr(a, 2) ^ _rotr(a, 13) ^ _rotr(a, 22)
+        maj = (a & b) ^ (a & c) ^ (b & c)
+        t2 = s0 + maj
+        h, g, f, e, d, c, b, a = g, f, e, d + t1, c, b, a, t1 + t2
+    iv = [jnp.full_like(w[0], np.uint32(hv)) for hv in _H0]
+    return [x + y for x, y in zip([a, b, c, d, e, f, g, h], iv)]
+
+
+def _bswap(x):
+    return (
+        ((x & MASK8) << 24)
+        | ((x & 0xFF00) << 8)
+        | ((x >> 8) & 0xFF00)
+        | (x >> 24)
+    )
+
+
+def _ripemd160_32_unrolled(sha_be: List[jnp.ndarray]) -> List[jnp.ndarray]:
+    """RIPEMD-160 of the 32-byte sha digest (8 BE tile words), unrolled."""
+    zero = jnp.zeros_like(sha_be[0])
+    x = [_bswap(wd) for wd in sha_be]
+    x.append(zero + 0x80)
+    x += [zero] * 5
+    x.append(zero + 256)
+    x.append(zero)
+
+    fns = [
+        lambda p, q, r: p ^ q ^ r,
+        lambda p, q, r: (p & q) | (~p & r),
+        lambda p, q, r: (p | ~q) ^ r,
+        lambda p, q, r: (p & r) | (q & ~r),
+        lambda p, q, r: p ^ (q | ~r),
+    ]
+    a1, b1, c1, d1, e1 = [zero + np.uint32(v) for v in _IV]
+    a2, b2, c2, d2, e2 = [zero + np.uint32(v) for v in _IV]
+    for j in range(80):
+        g = j // 16
+        t = _rol(a1 + fns[g](b1, c1, d1) + x[_R1[j]] + np.uint32(_K1[g]), _S1[j]) + e1
+        a1, e1, d1, c1, b1 = e1, d1, _rol(c1, 10), b1, t
+        t = _rol(a2 + fns[4 - g](b2, c2, d2) + x[_R2[j]] + np.uint32(_K2[g]), _S2[j]) + e2
+        a2, e2, d2, c2, b2 = e2, d2, _rol(c2, 10), b2, t
+    h0, h1, h2, h3, h4 = (np.uint32(v) for v in _IV)
+    return [
+        h1 + c1 + d2,
+        h2 + d1 + e2,
+        h3 + e1 + a2,
+        h4 + a1 + b2,
+        h0 + b1 + c2,
+    ]
+
+
+def _sha_words_from_x(xl: List[jnp.ndarray], prefix: int) -> List[jnp.ndarray]:
+    """16 BE schedule words of the 33-byte message [prefix || X_be];
+    xl: 8 LE limb tiles (same splicing as hash/sha256.py:86-101)."""
+    zero = jnp.zeros_like(xl[0])
+    w = [(zero + (prefix << 24)) | (xl[7] >> 8)]
+    for k in range(1, 8):
+        w.append(((xl[8 - k] & MASK8) << 24) | (xl[7 - k] >> 8))
+    w.append(((xl[0] & MASK8) << 24) | (0x80 << 16))
+    w += [zero] * 6
+    w.append(zero + 33 * 8)
+    return w
+
+
+def _hash160x2_kernel(x_ref, le_ref, he_ref, lo_ref, ho_ref):
+    xl = [x_ref[i] for i in range(8)]
+    for prefix, lref, href in ((2, le_ref, he_ref), (3, lo_ref, ho_ref)):
+        digest = _ripemd160_32_unrolled(
+            _sha256_compress_unrolled(_sha_words_from_x(xl, prefix))
+        )
+        # target packing: lo = digest bytes 0..3 LE = word 0; hi = word 1
+        lref[:, :] = digest[0]
+        href[:, :] = digest[1]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def hash160_x2_tiles(x_lm: jnp.ndarray, interpret: bool = False):
+    """x_lm: (8, rows, 128) limb-major X tiles, rows % 8 == 0. Returns
+    (lo_even, hi_even, lo_odd, hi_odd), each (rows, 128) uint32 — the
+    64-bit truncated hash160 keys of both compressed-pubkey parities."""
+    rows = x_lm.shape[1]
+    in_spec = pl.BlockSpec((8, SUBLANES, LANES), lambda g: (0, g, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((SUBLANES, LANES), lambda g: (g, 0),
+                            memory_space=pltpu.VMEM)
+    out_shapes = tuple(
+        jax.ShapeDtypeStruct((rows, LANES), jnp.uint32) for _ in range(4)
+    )
+    return pl.pallas_call(
+        _hash160x2_kernel,
+        out_shape=out_shapes,
+        grid=(rows // SUBLANES,),
+        in_specs=[in_spec],
+        out_specs=(out_spec,) * 4,
+        interpret=interpret,
+    )(x_lm)
+
+
+def hash160_x2_from_batch(x_bm: jnp.ndarray):
+    """(B, 8) batch-major X -> ((lo_e, hi_e), (lo_o, hi_o)) flat (B,) words.
+
+    Pads B to a whole (8, 128) tile; drop-in for the trunc64 part of
+    hash160_from_x_both_parities.
+    """
+    b = x_bm.shape[0]
+    tile = SUBLANES * LANES
+    pad = (-b) % tile
+    if pad:
+        x_bm = jnp.concatenate(
+            [x_bm, jnp.zeros((pad, 8), dtype=jnp.uint32)], axis=0
+        )
+    rows = x_bm.shape[0] // LANES
+    lm = jnp.transpose(x_bm, (1, 0)).reshape(8, rows, LANES)
+    le, he, lo, ho = hash160_x2_tiles(lm)
+    flat = lambda a: a.reshape(-1)[:b]
+    return (flat(le), flat(he)), (flat(lo), flat(ho))

@@ -118,5 +118,33 @@ def main():
     print(f"pallas walk: {n*K*U/dt:.3e} points/s (U={U}, K={K}, SB={SB})")
 
 
+def validate_hash_and_inv():
+    """Pallas hash160 + inversion kernels vs host/golden (real TPU)."""
+    from keyhuntm1cpu_tpu.hash.phash import hash160_x2_from_batch
+    from keyhuntm1cpu_tpu.field import pinv
+    from keyhuntm1cpu_tpu.ref import hashref
+
+    keys = list(range(1, 129))
+    xs = [ecref.scalar_mult(k)[0] for k in keys]
+    x_bm = jnp.asarray(np.stack([fe.int_to_limbs(x) for x in xs]))
+    (le, he), (lo, ho) = hash160_x2_from_batch(x_bm)
+    le, he, lo, ho = (np.asarray(v) for v in (le, he, lo, ho))
+    for i, k in enumerate(keys):
+        x = ecref.scalar_mult(k)[0]
+        for odd, l, h in ((False, le, he), (True, lo, ho)):
+            dig = hashref.hash160(bytes([3 if odd else 2]) + x.to_bytes(32, "big"))
+            assert int(l[i]) == int.from_bytes(dig[0:4], "little"), (k, odd)
+            assert int(h[i]) == int.from_bytes(dig[4:8], "little"), (k, odd)
+    print("pallas hash160 x2 bit-exact vs host on keys 1..128")
+
+    rng = np.random.default_rng(3)
+    vals = [int.from_bytes(rng.bytes(32), "little") % fe.P_INT for _ in range(300)]
+    a = jnp.asarray(np.stack([fe.int_to_limbs(v) for v in vals]))
+    got = [fe.limbs_to_int(r) for r in np.asarray(pinv.inv_batch(a))]
+    assert got == [pow(v, fe.P_INT - 2, fe.P_INT) for v in vals]
+    print("pallas inversion bit-exact on 300 random elements")
+
+
 if __name__ == "__main__":
     main()
+    validate_hash_and_inv()

@@ -132,3 +132,4 @@ class TestSHA512:
             for i in range(b):
                 want = hashlib.sha512(msgs[i].tobytes()).digest()
                 assert got[i].tobytes() == want, f"len={length} row={i}"
+
