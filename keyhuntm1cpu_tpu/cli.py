@@ -17,6 +17,7 @@ import argparse
 import sys
 
 from .core.checkpoint import CheckpointManager
+from .core.errors import KeyhuntError
 from .core.log import get_logger
 from .engine.bsgs import BSGSEngine, BSGSParams
 from .engine.brute import BruteEngine, BruteParams
@@ -38,6 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
         prog="keyhunt-tpu",
         description="TPU-native secp256k1 key search (BSGS + brute modes)",
     )
+    p.add_argument("--config", default=None,
+                   help="JSON config file (core/config.py); flags override "
+                        "file values, KEYHUNT_* env overrides both")
     p.add_argument("-m", "--mode", required=True,
                    choices=["bsgs", "address", "rmd160", "xpoint", "eth",
                             "minikeys", "vanity"],
@@ -105,8 +109,28 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     log = get_logger()
     try:
+        if args.config:
+            from .core.config import load_config
+
+            cfg = load_config(args.config)
+            # file/env provide defaults; explicit flags keep priority
+            # (argparse defaults are overwritten only when untouched)
+            defaults = build_parser().parse_args([
+                "-m", args.mode, *(["-f", args.file] if args.file else []),
+            ])
+            for attr, key in (
+                ("m_babies", "m_babies"), ("block_u", "block_u"),
+                ("chunk_steps", "steps_per_chunk"), ("walkers", "walkers"),
+                ("stride", "stride"), ("policy", "bsgs_policy"),
+                ("seed", "seed"), ("checkpoint", "checkpoint_file"),
+                ("metrics_port", "metrics_port"), ("quiet", "quiet"),
+            ):
+                if getattr(args, attr) == getattr(defaults, attr):
+                    v = getattr(cfg, key)
+                    if v is not None:
+                        setattr(args, attr, v)
         return _run(args, log)
-    except (ValueError, FileNotFoundError) as e:
+    except (ValueError, FileNotFoundError, KeyhuntError) as e:
         log.error(str(e))
         return 2
 

@@ -69,3 +69,27 @@ def test_missing_args_rejected(tmp_path, pubfile):
     path, _ = pubfile
     assert cli.main(["-m", "bsgs", "-f", path, "-q"]) == 2  # no -r
     assert cli.main(["-m", "bsgs", "-r", "1:100", "-q"]) == 2  # no -f
+
+
+def test_config_file_defaults(tmp_path, pubfile, monkeypatch):
+    """--config supplies defaults; explicit flags still win."""
+    import json
+
+    monkeypatch.chdir(tmp_path)
+    path, key = pubfile
+    cfg = tmp_path / "cfg.json"
+    cfg.write_text(json.dumps(
+        {"m_babies": 512, "block_u": 16, "steps_per_chunk": 4, "quiet": True}
+    ))
+    rc = cli.main([
+        "--config", str(cfg), "-m", "bsgs", "-f", path, "-r", "a00000:b00000",
+    ])
+    assert rc == 0
+    assert f"{key:064x}" in (tmp_path / "KEYFOUNDKEYFOUND.txt").read_text()
+
+
+def test_config_file_missing(tmp_path, pubfile):
+    path, _ = pubfile
+    rc = cli.main(["--config", "/nonexistent.json", "-m", "bsgs",
+                   "-f", path, "-r", "1:2"])
+    assert rc == 2
