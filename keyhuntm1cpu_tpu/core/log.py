@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import sys
 import threading
-import time
 from typing import IO, List, Optional
 
 LEVELS = {"debug": 10, "info": 20, "plus": 25, "warn": 30, "error": 40, "quiet": 100}

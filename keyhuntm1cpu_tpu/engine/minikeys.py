@@ -29,7 +29,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..curve import points, tables
-from ..field import fe
 from ..filter import sorted_table as st
 from ..hash.hash160 import hash160_from_x_parity, hash160_from_xy
 from ..hash.sha256 import sha256_block_words

@@ -16,7 +16,6 @@ host-count-specific.
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -34,7 +33,6 @@ from ..engine.bsgs import BSGSEngine, BSGSParams, _ImmediateHit
 from ..engine.common import FoundKey
 from ..filter import bitmap as bmp
 from ..filter import sorted_table as st
-from ..ref import ecref
 from .partition import RangePartitioner, RangeSlice
 
 

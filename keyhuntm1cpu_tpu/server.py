@@ -32,11 +32,23 @@ from .ref import ecref
 class BSGSService:
     """Resident baby table + serialized request execution."""
 
-    def __init__(self, params: BSGSParams, table: Optional[st.SortedXTable] = None):
+    def __init__(self, params: BSGSParams, table: Optional[st.SortedXTable] = None,
+                 warm: bool = True):
         self.params = params
         boot = BSGSEngine([ecref.G], 1, 2, params, table=table)
         self.table = boot.table
         self.bitmap = boot.bitmap  # resident in HBM alongside the table
+        if warm:
+            # compile the chunk program at boot so the FIRST request does
+            # not pay the trace+compile latency (the reference preloads its
+            # tables for the same reason, BSGSD.md:98-102)
+            a = 1 << 40
+            eng = BSGSEngine(
+                [ecref.scalar_mult(3)], a,
+                a + 2 * params.block_u * 2 * params.m,
+                params, table=self.table, bitmap=self.bitmap,
+            )
+            eng.search(max_steps=1)
 
     _lock = threading.Lock()
 
