@@ -62,11 +62,13 @@ class WorkCoordinator:
         align: int = 1,
         lease_s: float = 120.0,
         stop_on_first: bool = True,
+        state_file: Optional[str] = None,
     ):
         if range_start >= range_end:
             raise ValueError("bad range")
         self.lease_s = lease_s
         self.stop_on_first = stop_on_first
+        self.state_file = state_file
         self._lock = threading.Lock()
         self._pending: Deque[WorkUnit] = deque()
         self._assigned: Dict[int, Tuple[WorkUnit, _Lease]] = {}
@@ -86,6 +88,50 @@ class WorkCoordinator:
             uid += 1
             a = b
         self.n_units = uid
+        # elastic recovery (the reference's WorkCoordinator declares
+        # timeout reassignment but persists nothing, distributed.h:167-169;
+        # its ops script greps logs instead, vastai_deploy.sh:88-106):
+        # completed units + found keys survive a coordinator restart.
+        if state_file:
+            self._restore_state()
+
+    def _restore_state(self) -> None:
+        import json as _json
+        import os as _os
+
+        if not self.state_file or not _os.path.exists(self.state_file):
+            return
+        try:
+            with open(self.state_file) as f:
+                st = _json.load(f)
+        except (OSError, ValueError):
+            return
+        completed = {int(k): v for k, v in st.get("completed", {}).items()}
+        with self._lock:
+            self._completed = completed
+            self._found = list(st.get("found", []))
+            self._stopped = bool(st.get("stopped", False))
+            self._pending = deque(
+                u for u in self._pending if u.unit_id not in completed
+            )
+
+    def _persist_state_locked(self) -> None:
+        if not self.state_file:
+            return
+        import json as _json
+        import os as _os
+
+        tmp = f"{self.state_file}.tmp.{_os.getpid()}"
+        with open(tmp, "w") as f:
+            _json.dump(
+                {
+                    "completed": {str(k): v for k, v in self._completed.items()},
+                    "found": self._found,
+                    "stopped": self._stopped,
+                },
+                f,
+            )
+        _os.replace(tmp, self.state_file)
 
     # -- worker API -------------------------------------------------------
 
@@ -135,6 +181,7 @@ class WorkCoordinator:
                                     "unit_id": unit_id})
             if found and self.stop_on_first:
                 self._stopped = True
+            self._persist_state_locked()
             return {"ok": True, "stop": self._stopped}
 
     # -- introspection ------------------------------------------------------
@@ -243,11 +290,15 @@ def main(argv=None):
     p.add_argument("--lease-s", type=float, default=120.0)
     p.add_argument("--keep-going", action="store_true",
                    help="do not stop on first found key")
+    p.add_argument("--state-file", default=None,
+                   help="persist completed units + found keys; restores "
+                        "on restart (elastic recovery)")
     args = p.parse_args(argv)
     a, b = (int(x, 16) for x in args.range.split(":", 1))
     coord = WorkCoordinator(a, b, args.units, align=args.align,
                             lease_s=args.lease_s,
-                            stop_on_first=not args.keep_going)
+                            stop_on_first=not args.keep_going,
+                            state_file=args.state_file)
     print(f"[+] coordinating {coord.n_units} units over "
           f"{args.range} on {args.ip}:{args.port}")
     with CoordinatorServer((args.ip, args.port), coord) as srv:

@@ -127,3 +127,30 @@ class TestEndToEnd:
             assert coord.found_keys() == []
         finally:
             srv.shutdown()
+
+
+class TestElasticRecovery:
+    def test_coordinator_restart_restores_progress(self, tmp_path):
+        sf = str(tmp_path / "coord.json")
+        c1 = WorkCoordinator(0, 100, n_units=4, stop_on_first=False,
+                             state_file=sf)
+        r1 = c1.request_work("w")
+        c1.report("w", r1["unit"]["unit_id"], "done")
+        r2 = c1.request_work("w")
+        c1.report("w", r2["unit"]["unit_id"], "found", found=["beef"])
+        # "crash" -> new coordinator over the same range and state file
+        c2 = WorkCoordinator(0, 100, n_units=4, stop_on_first=False,
+                             state_file=sf)
+        st = c2.status()
+        assert st["completed"] == 2
+        assert st["pending"] == 2
+        assert [f["private_key"] for f in c2.found_keys()] == ["beef"]
+        # remaining units are exactly the not-yet-done ones
+        remaining = set()
+        while True:
+            r = c2.request_work("w2")
+            if r["unit"] is None:
+                break
+            remaining.add(r["unit"]["unit_id"])
+        done_ids = {r1["unit"]["unit_id"], r2["unit"]["unit_id"]}
+        assert remaining == {0, 1, 2, 3} - done_ids
