@@ -35,13 +35,13 @@ class DeviceBitmap(NamedTuple):
 
 
 def default_bits_log2(m: int) -> int:
-    """fp = m/2^b = 2^-12, capped at 2^32 bits (512 MB HBM). The cap must
-    keep expected survivors-per-step well under cand_max: at m = 2^24 a
-    2^30 cap gives fp = 2^-6 -> ~128 survivors per 8192-query step, which
-    saturates the compaction and forces host rescans; 2^32 keeps it at
-    ~32. (Probe latency is nearly size-independent: 180T vs 176T keys/s
-    for 2^30 vs 2^34 at m = 2^22.)"""
-    return min(32, max(16, int(np.ceil(np.log2(max(m, 2)))) + 12))
+    """fp = m/2^b = 2^-12, capped at 2^34 bits (2 GB HBM). The cap must
+    keep expected survivors comfortably under the compaction budgets:
+    the pallas path compacts once per K=64-step chunk (chunk_cand_max
+    1024), so fp must satisfy K * U * fp << 1024 — at m = 2^24 that
+    needs 2^34 (fp 2^-10 -> ~512/chunk). Probe latency is nearly
+    size-independent (180T vs 176T keys/s for 2^30 vs 2^34 at m=2^22)."""
+    return min(34, max(16, int(np.ceil(np.log2(max(m, 2)))) + 12))
 
 
 def build_bitmap(
