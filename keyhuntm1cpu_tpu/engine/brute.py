@@ -155,7 +155,7 @@ class BruteEngine:
         nq = self.n_qsets
         bits_log2 = self.bitmap.bits_log2
         use_phash = (
-            mode == "rmd160"
+            mode in ("rmd160", "eth", "address_u")
             and jax.default_backend() != "cpu"
             and os.environ.get("KEYHUNT_PALLAS_HASH", "auto") not in ("0", "off")
         )
@@ -385,13 +385,25 @@ def _brute_chunk_impl(cx, cy, tab_x, tab_y, adv_x, adv_y, words, thi, tlo, tidx,
                 [res.y_plus, res.y_minus, cy[:, None, :]], axis=1
             )
             for xv in variants:
-                wds = (
-                    keccak256_pubkey64(xv, y_all)
-                    if mode == "eth"
-                    else hash160_from_xy(xv, y_all)
-                )
-                qhis.append(wds[1].reshape(-1))
-                qlos.append(wds[0].reshape(-1))
+                if use_phash:
+                    from ..hash import phash
+
+                    fn = (
+                        phash.keccak_eth_from_batch
+                        if mode == "eth"
+                        else phash.hash160_u_from_batch
+                    )
+                    lo_, hi_ = fn(xv.reshape(-1, 8), y_all.reshape(-1, 8))
+                    qhis.append(hi_)
+                    qlos.append(lo_)
+                else:
+                    wds = (
+                        keccak256_pubkey64(xv, y_all)
+                        if mode == "eth"
+                        else hash160_from_xy(xv, y_all)
+                    )
+                    qhis.append(wds[1].reshape(-1))
+                    qlos.append(wds[0].reshape(-1))
         qhi = jnp.concatenate(qhis)  # (nq * W * npts,)
         qlo = jnp.concatenate(qlos)
         fl = bmp.filtered_lookup(bitmap, table, qhi, qlo, C)

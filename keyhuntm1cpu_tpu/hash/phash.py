@@ -173,3 +173,200 @@ def hash160_x2_from_batch(x_bm: jnp.ndarray):
     le, he, lo, ho = hash160_x2_tiles(lm)
     flat = lambda a: a.reshape(-1)[:b]
     return (flat(le), flat(he)), (flat(lo), flat(ho))
+
+
+# ---------------------------------------------------------------------------
+# Keccak-256 of X||Y (ETH addresses) — unrolled kernel over (hi, lo) pairs
+# ---------------------------------------------------------------------------
+
+from .keccak import _RC, _ROT  # round constants / rotation offsets
+
+
+def _k_rol64(hi, lo, n: int):
+    n %= 64
+    if n == 0:
+        return hi, lo
+    if n == 32:
+        return lo, hi
+    if n < 32:
+        return ((hi << n) | (lo >> (32 - n)), (lo << n) | (hi >> (32 - n)))
+    m = n - 32
+    return ((lo << m) | (hi >> (32 - m)), (hi << m) | (lo >> (32 - m)))
+
+
+def _keccak_f_unrolled(state):
+    """state: 5x5 list of (hi, lo) tile pairs; 24 unrolled rounds."""
+    for rc in _RC:
+        rc_hi, rc_lo = np.uint32(rc >> 32), np.uint32(rc & 0xFFFFFFFF)
+        c = []
+        for x in range(5):
+            h = state[x][0][0] ^ state[x][1][0] ^ state[x][2][0] ^ state[x][3][0] ^ state[x][4][0]
+            l = state[x][0][1] ^ state[x][1][1] ^ state[x][2][1] ^ state[x][3][1] ^ state[x][4][1]
+            c.append((h, l))
+        d = []
+        for x in range(5):
+            rh, rl = _k_rol64(c[(x + 1) % 5][0], c[(x + 1) % 5][1], 1)
+            d.append((c[(x - 1) % 5][0] ^ rh, c[(x - 1) % 5][1] ^ rl))
+        a = [
+            [(state[x][y][0] ^ d[x][0], state[x][y][1] ^ d[x][1]) for y in range(5)]
+            for x in range(5)
+        ]
+        b = [[None] * 5 for _ in range(5)]
+        for x in range(5):
+            for y in range(5):
+                b[y][(2 * x + 3 * y) % 5] = _k_rol64(a[x][y][0], a[x][y][1], _ROT[x][y])
+        state = [[None] * 5 for _ in range(5)]
+        for x in range(5):
+            for y in range(5):
+                nh = b[x][y][0] ^ (~b[(x + 1) % 5][y][0] & b[(x + 2) % 5][y][0])
+                nl = b[x][y][1] ^ (~b[(x + 1) % 5][y][1] & b[(x + 2) % 5][y][1])
+                state[x][y] = (nh, nl)
+        state[0][0] = (state[0][0][0] ^ rc_hi, state[0][0][1] ^ rc_lo)
+    return state
+
+
+def _keccak_pubkey_kernel(x_ref, y_ref, lo_ref, hi_ref):
+    """ETH: keccak256(X_be || Y_be), output the 64-bit truncated address
+    key (digest bytes 12..19 as two LE words — the target packing)."""
+    xl = [x_ref[i] for i in range(8)]
+    yl = [y_ref[i] for i in range(8)]
+    zero = jnp.zeros_like(xl[0])
+    state = [[(zero, zero)] * 5 for _ in range(5)]
+
+    def set_lane(idx, lane):
+        state[idx % 5][idx // 5] = lane
+
+    for k in range(4):
+        set_lane(k, (_bswap(xl[6 - 2 * k]), _bswap(xl[7 - 2 * k])))
+    for k in range(4):
+        set_lane(4 + k, (_bswap(yl[6 - 2 * k]), _bswap(yl[7 - 2 * k])))
+    set_lane(8, (zero, zero + 1))
+    set_lane(16, (zero + np.uint32(0x80000000), zero))
+    state = _keccak_f_unrolled(state)
+    l1 = state[1 % 5][0]
+    l2 = state[2 % 5][0]
+    lo_ref[:, :] = l1[0]  # digest bytes 12..15 LE
+    hi_ref[:, :] = l2[1]  # digest bytes 16..19 LE
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def keccak_eth_tiles(x_lm, y_lm, interpret: bool = False):
+    """(8, rows, 128) X/Y limb-major -> (lo, hi) ETH target keys."""
+    rows = x_lm.shape[1]
+    in_spec = pl.BlockSpec((8, SUBLANES, LANES), lambda g: (0, g, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((SUBLANES, LANES), lambda g: (g, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _keccak_pubkey_kernel,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((rows, LANES), jnp.uint32) for _ in range(2)
+        ),
+        grid=(rows // SUBLANES,),
+        in_specs=[in_spec, in_spec],
+        out_specs=(out_spec,) * 2,
+        interpret=interpret,
+    )(x_lm, y_lm)
+
+
+def keccak_eth_from_batch(x_bm, y_bm):
+    """(B, 8) x2 batch-major -> (lo, hi) flat (B,) ETH target keys."""
+    b = x_bm.shape[0]
+    tile = SUBLANES * LANES
+    pad = (-b) % tile
+    if pad:
+        z = jnp.zeros((pad, 8), dtype=jnp.uint32)
+        x_bm = jnp.concatenate([x_bm, z], axis=0)
+        y_bm = jnp.concatenate([y_bm, z], axis=0)
+    rows = x_bm.shape[0] // LANES
+    xl = jnp.transpose(x_bm, (1, 0)).reshape(8, rows, LANES)
+    yl = jnp.transpose(y_bm, (1, 0)).reshape(8, rows, LANES)
+    lo, hi = keccak_eth_tiles(xl, yl)
+    return lo.reshape(-1)[:b], hi.reshape(-1)[:b]
+
+
+# ---------------------------------------------------------------------------
+# Uncompressed hash160 (04 || X || Y): two-block sha256 + ripemd160
+# ---------------------------------------------------------------------------
+
+
+def _sha256_compress_chain(state, w):
+    """One compression continuing from `state` (8 tile words)."""
+    a, b, c, d, e, f, g, h = state
+    wbuf = list(w)
+    for i in range(64):
+        if i < 16:
+            wi = wbuf[i]
+        else:
+            w15 = wbuf[i - 15]
+            w2 = wbuf[i - 2]
+            sig0 = _rotr(w15, 7) ^ _rotr(w15, 18) ^ (w15 >> 3)
+            sig1 = _rotr(w2, 17) ^ _rotr(w2, 19) ^ (w2 >> 10)
+            wi = wbuf[i - 16] + sig0 + wbuf[i - 7] + sig1
+            wbuf.append(wi)
+        s1 = _rotr(e, 6) ^ _rotr(e, 11) ^ _rotr(e, 25)
+        ch = (e & f) ^ (~e & g)
+        t1 = h + s1 + ch + np.uint32(_K[i]) + wi
+        s0 = _rotr(a, 2) ^ _rotr(a, 13) ^ _rotr(a, 22)
+        maj = (a & b) ^ (a & c) ^ (b & c)
+        t2 = s0 + maj
+        h, g, f, e, d, c, b, a = g, f, e, d + t1, c, b, a, t1 + t2
+    return [x + y for x, y in zip([a, b, c, d, e, f, g, h], state)]
+
+
+def _hash160_u_kernel(x_ref, y_ref, lo_ref, hi_ref):
+    """hash160(04 || X_be || Y_be): 65-byte message, two sha256 blocks
+    (same splicing as hash/sha256.py sha256_65_from_xy)."""
+    xl = [x_ref[i] for i in range(8)]
+    yl = [y_ref[i] for i in range(8)]
+    zero = jnp.zeros_like(xl[0])
+    w = [(zero + (4 << 24)) | (xl[7] >> 8)]
+    for k in range(1, 8):
+        w.append(((xl[8 - k] & MASK8) << 24) | (xl[7 - k] >> 8))
+    w.append(((xl[0] & MASK8) << 24) | (yl[7] >> 8))
+    for k in range(1, 7):
+        w.append(((yl[8 - k] & MASK8) << 24) | (yl[7 - k] >> 8))
+    w.append(((yl[1] & MASK8) << 24) | (yl[0] >> 8))
+    state = [jnp.full_like(xl[0], np.uint32(hv)) for hv in _H0]
+    state = _sha256_compress_chain(state, w)
+    w2 = [((yl[0] & MASK8) << 24) | np.uint32(0x80 << 16)]
+    w2 += [zero] * 14
+    w2.append(zero + 65 * 8)
+    digest = _ripemd160_32_unrolled(_sha256_compress_chain(state, w2))
+    lo_ref[:, :] = digest[0]
+    hi_ref[:, :] = digest[1]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def hash160_u_tiles(x_lm, y_lm, interpret: bool = False):
+    rows = x_lm.shape[1]
+    in_spec = pl.BlockSpec((8, SUBLANES, LANES), lambda g: (0, g, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((SUBLANES, LANES), lambda g: (g, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _hash160_u_kernel,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((rows, LANES), jnp.uint32) for _ in range(2)
+        ),
+        grid=(rows // SUBLANES,),
+        in_specs=[in_spec, in_spec],
+        out_specs=(out_spec,) * 2,
+        interpret=interpret,
+    )(x_lm, y_lm)
+
+
+def hash160_u_from_batch(x_bm, y_bm):
+    """(B, 8) x2 -> (lo, hi) flat (B,) uncompressed-hash160 target keys."""
+    b = x_bm.shape[0]
+    tile = SUBLANES * LANES
+    pad = (-b) % tile
+    if pad:
+        z = jnp.zeros((pad, 8), dtype=jnp.uint32)
+        x_bm = jnp.concatenate([x_bm, z], axis=0)
+        y_bm = jnp.concatenate([y_bm, z], axis=0)
+    rows = x_bm.shape[0] // LANES
+    xl = jnp.transpose(x_bm, (1, 0)).reshape(8, rows, LANES)
+    yl = jnp.transpose(y_bm, (1, 0)).reshape(8, rows, LANES)
+    lo, hi = hash160_u_tiles(xl, yl)
+    return lo.reshape(-1)[:b], hi.reshape(-1)[:b]
