@@ -219,10 +219,17 @@ def _run(args, log) -> int:
             seed=args.seed,
         )
         eng = BruteEngine(targets, a, b, mode=mode, params=params)
+        # --max-chunks counts device CHUNKS everywhere; brute engines count
+        # device steps, so convert (chunk = chunk_steps device steps)
+        max_steps = (
+            args.max_chunks * args.chunk_steps
+            if args.max_chunks is not None
+            else None
+        )
         found = eng.search(
             stop_on_first=not args.all,
             progress_every=progress,
-            max_steps=args.max_chunks,
+            max_steps=max_steps,
         )
     elif args.mode == "minikeys":
         from .engine.minikeys import MinikeyEngine, MinikeyParams
@@ -261,7 +268,11 @@ def _run(args, log) -> int:
         )
         found = eng.search(
             stop_on_first=not args.all,
-            max_steps=args.max_chunks,
+            max_steps=(
+                args.max_chunks * args.chunk_steps
+                if args.max_chunks is not None
+                else None
+            ),
             progress_every=progress,
         )
 

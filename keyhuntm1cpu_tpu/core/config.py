@@ -124,6 +124,22 @@ def _coerce(value: str, target_type):
     return value
 
 
+def _field_types() -> dict:
+    """Resolved (Optional-unwrapped) annotation type per Config field.
+
+    Under `from __future__ import annotations` dataclass field .type is a
+    STRING, so type-based dispatch must resolve annotations first."""
+    import typing
+
+    out = {}
+    for name, hint in typing.get_type_hints(Config).items():
+        if typing.get_origin(hint) is typing.Union:  # Optional[T]
+            args = [a for a in typing.get_args(hint) if a is not type(None)]
+            hint = args[0] if len(args) == 1 else str
+        out[name] = hint if hint in (int, float, bool, str) else str
+    return out
+
+
 def load_config(path: Optional[str] = None, env: bool = True, **overrides) -> Config:
     """Config resolution order: defaults < file < KEYHUNT_* env < overrides."""
     d: dict = {}
@@ -134,15 +150,16 @@ def load_config(path: Optional[str] = None, env: bool = True, **overrides) -> Co
         except (OSError, json.JSONDecodeError) as e:
             raise ConfigError(f"cannot load config {path}: {e}")
     if env:
-        fields_by_name = {f.name: f for f in dataclasses.fields(Config)}
-        for name, f in fields_by_name.items():
+        types = _field_types()
+        for f in dataclasses.fields(Config):
+            name = f.name
             v = os.environ.get(_ENV_PREFIX + name.upper())
             if v is not None:
-                base = f.type if isinstance(f.type, type) else None
-                # optional[int] fields: coerce by default value's type or int
-                t = type(f.default) if f.default is not None else int
-                if base in (int, float, bool, str):
-                    t = base
-                d[name] = _coerce(v, t)
+                try:
+                    d[name] = _coerce(v, types.get(name, str))
+                except ValueError as e:
+                    raise ConfigError(
+                        f"bad value for {_ENV_PREFIX}{name.upper()}: {e}"
+                    )
     d.update({k: v for k, v in overrides.items() if v is not None})
     return Config.from_dict(d).validate()

@@ -163,6 +163,35 @@ def advance_chain(px, py, adv_x, adv_y, K: int, interpret: bool = False):
 # ---------------------------------------------------------------------------
 
 
+def _group_inverse_inplace(dens, prefs, ng: int) -> None:
+    """Grouped-Montgomery batch inverse of the (8, ng*8, 128) denominators
+    in `dens`, IN PLACE (dens becomes the inverses), using `prefs` as the
+    prefix-product scratch. ONE addition-chain inversion total. Zero
+    denominators must have been masked to 1 by the caller."""
+    first = dens[:, pl.ds(0, 8), :]
+    prefs[:, pl.ds(0, 8), :] = first
+
+    def fwd(gi, carry):
+        nxt = ft.mul(carry, dens[:, pl.ds(gi * 8, 8), :])
+        prefs[:, pl.ds(gi * 8, 8), :] = nxt
+        return nxt
+
+    total = jax.lax.fori_loop(1, ng, fwd, first)
+    running = ft.inv(total)
+
+    def bwd(i, carry):
+        gi = ng - 1 - i
+        x = dens[:, pl.ds(gi * 8, 8), :]
+        pv = prefs[:, pl.ds((gi - 1) * 8, 8), :]
+        inv_gi = ft.mul(carry, pv)
+        carry = ft.mul(carry, x)
+        dens[:, pl.ds(gi * 8, 8), :] = inv_gi  # reuse dens as the inverse buffer
+        return carry
+
+    running = jax.lax.fori_loop(0, ng - 1, bwd, running)
+    dens[:, pl.ds(0, 8), :] = running
+
+
 def _walk_kernel(bx_ref, by_ref, tabx_ref, taby_ref,
                  qlo_ref, qhi_ref, deg_ref, dens, prefs, SB: int, U: int):
     """One grid block: SB steps x U offsets. tab: (8, U/128, 128).
@@ -187,31 +216,7 @@ def _walk_kernel(bx_ref, by_ref, tabx_ref, taby_ref,
         return 0
 
     jax.lax.fori_loop(0, SB, build, 0)
-
-    # grouped-Montgomery inverse over the whole block: groups of 8 rows
-    ng = (SB * rows) // 8
-    first = dens[:, pl.ds(0, 8), :]
-    prefs[:, pl.ds(0, 8), :] = first
-
-    def fwd(gi, carry):
-        nxt = ft.mul(carry, dens[:, pl.ds(gi * 8, 8), :])
-        prefs[:, pl.ds(gi * 8, 8), :] = nxt
-        return nxt
-
-    total = jax.lax.fori_loop(1, ng, fwd, first)
-    running = ft.inv(total)
-
-    def bwd(i, carry):
-        gi = ng - 1 - i
-        x = dens[:, pl.ds(gi * 8, 8), :]
-        pv = prefs[:, pl.ds((gi - 1) * 8, 8), :]
-        inv_gi = ft.mul(carry, pv)
-        carry = ft.mul(carry, x)
-        dens[:, pl.ds(gi * 8, 8), :] = inv_gi  # reuse dens as the inverse buffer
-        return carry
-
-    running = jax.lax.fori_loop(0, ng - 1, bwd, running)
-    dens[:, pl.ds(0, 8), :] = running
+    _group_inverse_inplace(dens, prefs, (SB * rows) // 8)
 
     def emit(s, _):
         bx = jnp.broadcast_to(bx_ref[:, pl.ds(g * SB + s, 1), :], tx.shape)

@@ -171,10 +171,19 @@ class WorkCoordinator:
                found: Optional[List[str]] = None) -> dict:
         with self._lock:
             self._workers[worker_id] = time.time()
-            entry = self._assigned.pop(unit_id, None)
+            entry = self._assigned.get(unit_id)
+            owns = entry is not None and entry[1].worker_id == worker_id
             if status == "done" or status == "found":
+                # accept completion from any worker (idempotent search):
+                # drop both the lease and any reclaimed duplicate so the
+                # unit is not re-searched after a late report
                 self._completed[unit_id] = status
-            elif entry is not None:  # failed: requeue
+                self._assigned.pop(unit_id, None)
+                self._pending = deque(
+                    u for u in self._pending if u.unit_id != unit_id
+                )
+            elif owns:  # failed: requeue only if the reporter still owns it
+                self._assigned.pop(unit_id, None)
                 self._pending.appendleft(entry[0])
             for k in found or []:
                 self._found.append({"private_key": k, "worker": worker_id,

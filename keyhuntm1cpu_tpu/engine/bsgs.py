@@ -376,6 +376,13 @@ class BSGSEngine:
                 interesting = True
                 for s_ in range(k):  # compaction overflow: exact host rescan
                     found += self._host_rescan_step(step0 + s_)
+            # steps after a mid-chunk advance degeneracy hold garbage walk
+            # state (the chain was patched to stay invertible): rescan them
+            # exactly so a second key in those windows cannot be missed
+            adv_first = int(np.argmax(degsum[2, :k])) if degsum[2, :k].any() else k
+            for s_ in range(adv_first + 1, k):
+                interesting = True
+                found += self._host_rescan_step(step0 + s_)
             for c in np.nonzero(cand_pos < K * U)[0]:
                 pos = int(cand_pos[c])
                 s_, u0 = divmod(pos, U)
@@ -406,6 +413,13 @@ class BSGSEngine:
         )
         found = self._decode_chunk(step0, k, *parts) if interesting else []
         rebase = bool(degsum[:k, 2].any())
+        if rebase:
+            # steps after the first advance degeneracy hold garbage walk
+            # state for that target's lane; rescan them exactly (host)
+            adv_steps = np.nonzero(degsum[:k, 2].any(axis=-1))[0]
+            for s_ in range(int(adv_steps[0]) + 1, k):
+                interesting = True
+                found += self._host_rescan_step(step0 + s_)
         return found, rebase, interesting
 
     def _split_summary(self, arr: np.ndarray):
@@ -620,7 +634,16 @@ class BSGSEngine:
             if ck is not None:
                 ck.chunks_done = i + 1
                 ck.keys_covered = self.stats.keys_covered
-                checkpoint.save(ck, force=(i + 1 == len(order)))
+                if new_found:
+                    # persist keys found with --all immediately: a crash
+                    # after this save must not lose them (resume skips
+                    # the completed chunk, so they'd never be re-derived)
+                    ck.found = sorted(
+                        set(ck.found) | {f"{f.private_key:x}" for f in found}
+                    )
+                checkpoint.save(
+                    ck, force=bool(new_found) or (i + 1 == len(order))
+                )
             if progress_every and i % progress_every == 0:
                 print(f"[bsgs:{policy}] chunk {i}/{len(order)} {self.stats.human()}")
         return self._dedupe_found(found)
