@@ -1,0 +1,253 @@
+"""Fused Pallas brute-force pipeline: walk + hash + membership in ONE kernel.
+
+Round-1 brute modes ran the XLA group walk, Pallas hash kernels, and an
+HBM bitmap-cascade membership — three HBM round trips plus one random
+gather per query, which capped them at the ~45M-gathers/s wall (CPU-class
+keys/s). This module removes the wall entirely: target sets in the wild
+are small (tens to thousands of 20-byte entries), so membership becomes a
+VMEM/SMEM broadcast-compare *inside* the walk kernel. Zero gathers, zero
+hash-word HBM traffic — only a packed per-point hit word leaves the chip.
+
+Structure (mirrors curve/pwalk.py's two-kernel BSGS design):
+- kernel A (reused from pwalk): Jacobian advance chain, K bases per chunk.
+- kernel B (here): per grid block of SB steps x U offsets:
+    1. dx = tab_x - base_x, grouped-Montgomery batch inverse (one
+       addition-chain powering per block),
+    2. full affine x3 (and y3 for uncompressed/eth modes),
+    3. in-kernel hashing (hash/phash.py pure tile functions): hash160 of
+       both compressed parities / keccak256(x||y) / hash160(04||x||y) /
+       none for xpoint,
+    4. compare each 64-bit query word pair against all T target words
+       (SMEM-resident), OR-accumulate into a per-point hit bit-field.
+  Output: one uint32 per walk point — bits 0..nq-1 = query-set match,
+  bit 30 = degenerate walk lane (host re-verifies that key exactly).
+
+Candidate positions are compacted once per chunk in XLA (no false
+positives beyond 64-bit truncation collisions, so the compaction budget
+never overflows in practice) and verified exactly on the host.
+
+Reference capability: thread_process hash160/xpoint hot loop
+(keyhunt.cpp:2511-3099) + GetHash160_fromX both-parity hashing
+(SECP256K1.cpp:746-790), re-designed TPU-first rather than translated.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..field import fe_tiles as ft
+from ..hash import phash
+from ..ref import ecref
+from . import pwalk
+
+LANES = 128
+
+MODES = ("xpoint", "rmd160", "eth", "address_u")
+
+
+def n_qsets(mode: str, n_endo: int) -> int:
+    """Query-set pairs emitted per walk point."""
+    per = 2 if mode == "rmd160" else 1
+    return per * n_endo
+
+
+def _const_tile(like: jnp.ndarray, value: int) -> jnp.ndarray:
+    """(8,)+tile field-element constant from a python int (Mosaic cannot
+    capture array constants; 32-bit python int literals are fine)."""
+    z = jnp.zeros_like(like[0])
+    return jnp.stack(
+        [z + np.uint32((value >> (32 * i)) & 0xFFFFFFFF) for i in range(8)]
+    )
+
+
+def _brute_kernel(bx_ref, by_ref, tabx_ref, taby_ref, tgt_ref,
+                  hit_ref, dens, prefs,
+                  SB: int, U: int, mode: str, n_endo: int, T: int):
+    """One grid block: SB steps x U offsets; emits packed hit words."""
+    rows = U // LANES
+    g = pl.program_id(0)
+    tx = tabx_ref[:, :, :]  # (8, rows, 128)
+    ty = taby_ref[:, :, :]
+    needs_y = mode in ("eth", "address_u")
+
+    def build(s, _):
+        bx = jnp.broadcast_to(bx_ref[:, pl.ds(g * SB + s, 1), :], tx.shape)
+        dx = ft.sub(tx, bx)
+        degrow = ft.is_zero(dx)
+        dx = ft.select(degrow, ft.one_like(dx), dx)
+        dens[:, pl.ds(s * rows, rows), :] = dx
+        return 0
+
+    jax.lax.fori_loop(0, SB, build, 0)
+    pwalk._group_inverse_inplace(dens, prefs, (SB * rows) // 8)
+
+    if n_endo == 3:
+        beta = _const_tile(tx, ecref.BETA)
+        beta2 = _const_tile(tx, ecref.BETA * ecref.BETA % ecref.P)
+
+    def emit(s, _):
+        bx = jnp.broadcast_to(bx_ref[:, pl.ds(g * SB + s, 1), :], tx.shape)
+        by = jnp.broadcast_to(by_ref[:, pl.ds(g * SB + s, 1), :], ty.shape)
+        degrow = ft.is_zero(ft.sub(tx, bx))  # (rows, 128)
+        inv_s = dens[:, pl.ds(s * rows, rows), :]
+        lam = ft.mul(ft.sub(ty, by), inv_s)
+        x3 = ft.sub(ft.sub(ft.sqr(lam), bx), tx)
+        if needs_y:
+            y3 = ft.sub(ft.mul(lam, ft.sub(bx, x3)), by)
+            yl = [y3[i] for i in range(8)]
+        hit = jnp.zeros_like(x3[0])  # (rows, 128) uint32
+        q = 0
+        for e in range(n_endo):
+            if e == 0:
+                xv = x3
+            else:
+                # GLV: psi^e(x, y) = (beta^e * x, y) represents lambda^e*k
+                xv = ft.mul(x3, beta if e == 1 else beta2)
+            xl = [xv[i] for i in range(8)]
+            if mode == "xpoint":
+                pairs = [(xv[0], xv[1])]
+            elif mode == "rmd160":
+                pairs = [
+                    phash.hash160_parity_words(xl, 2),
+                    phash.hash160_parity_words(xl, 3),
+                ]
+            elif mode == "eth":
+                pairs = [phash.keccak_eth_words(xl, yl)]
+            else:  # address_u
+                pairs = [phash.hash160_u_words(xl, yl)]
+            for lo_w, hi_w in pairs:
+                m = jnp.zeros_like(lo_w, dtype=jnp.bool_)
+                for t in range(T):
+                    m = m | ((lo_w == tgt_ref[0, t]) & (hi_w == tgt_ref[1, t]))
+                hit = hit | (m.astype(jnp.uint32) << q)
+                q += 1
+        # degenerate lanes produced garbage x3: suppress their hash hits,
+        # flag for exact host verification of that key instead
+        hit = jnp.where(degrow, jnp.uint32(1) << 30, hit)
+        hit_ref[pl.ds(s, 1)] = hit[None]
+        return 0
+
+    jax.lax.fori_loop(0, SB, emit, 0)
+
+
+def brute_walk_blocks(bases_x, bases_y, tab_x, tab_y, tgt,
+                      U: int, SB: int, mode: str, n_endo: int,
+                      interpret: bool = False) -> jnp.ndarray:
+    """bases: (8, K, 128); tab: (8, U/128, 128); tgt: (2, T) uint32.
+    Returns packed hit words (K, U/128, 128) uint32."""
+    K = bases_x.shape[1]
+    assert K % SB == 0, (K, SB)
+    rows = U // LANES
+    if (SB * rows) % 8 != 0 or SB * rows < 8:
+        raise ValueError(
+            f"brute_walk_blocks needs SB*U/128 to be a positive multiple "
+            f"of 8 (got SB={SB}, U={U})"
+        )
+    T = tgt.shape[1]
+    grid = (K // SB,)
+    base_spec = pl.BlockSpec((8, K, LANES), lambda g: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    tab_spec = pl.BlockSpec((8, rows, LANES), lambda g: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    tgt_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out_spec = pl.BlockSpec((SB, rows, LANES), lambda g: (g, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_brute_kernel, SB=SB, U=U, mode=mode,
+                          n_endo=n_endo, T=T),
+        out_shape=jax.ShapeDtypeStruct((K, rows, LANES), jnp.uint32),
+        grid=grid,
+        in_specs=[base_spec, base_spec, tab_spec, tab_spec, tgt_spec],
+        out_specs=out_spec,
+        scratch_shapes=[
+            pltpu.VMEM((8, SB * rows, LANES), jnp.uint32),
+            pltpu.VMEM((8, SB * rows, LANES), jnp.uint32),
+        ],
+        interpret=interpret,
+    )(bases_x, bases_y, tab_x, tab_y, tgt)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("K", "U", "SB", "C", "mode", "n_endo", "interpret"),
+)
+def pallas_brute_chunk(px, py, tab_x_lm, tab_y_lm, ax, ay, tgt,
+                       *, K, U, SB, C, mode, n_endo, interpret=False):
+    """px/py: (8,) limbs of the chunk's base point ((start)*G). tgt:
+    (2, T) uint32 target words. Returns (next_x, next_y, out) where
+    `out` is ONE packed int32 summary vector (single host transfer):
+        [cand_pos (C), cand_bits (C), n_deg (K), first_deg (K),
+         adv_deg (K), n_candidates (1)]
+    """
+    rep = lambda v: jnp.broadcast_to(v[:, None, None], (8, 1, LANES))
+    bx, by, nx, ny, adeg = pwalk.advance_chain(
+        rep(px), rep(py), rep(ax), rep(ay), K, interpret=interpret
+    )
+    hits = brute_walk_blocks(
+        bx, by, tab_x_lm, tab_y_lm, tgt, U, SB, mode, n_endo,
+        interpret=interpret,
+    )
+    rows2 = hits.reshape(-1, LANES)  # (K*U/128, 128)
+    qbits2 = rows2 & jnp.uint32((1 << 30) - 1)
+    degf = (rows2 >> 30) & 1
+    # hierarchical compaction: candidates are near-zero (the in-kernel
+    # compare has no false positives), so a full-width nonzero cumsum over
+    # K*U elements (~5 ms measured) is waste. Row-reduce first, compact
+    # the handful of interesting rows, then compact within them.
+    R = max(8, C // 32)  # row budget
+    rowflag = qbits2.max(axis=1)  # (K*U/128,)
+    n_rows_t = (rowflag != 0).sum().astype(jnp.int32)
+    nr = rows2.shape[0]
+    (rsel,) = jnp.nonzero(rowflag != 0, size=R, fill_value=nr)
+    rsel = rsel.astype(jnp.int32)
+    picked = qbits2[jnp.minimum(rsel, nr - 1)]  # (R, 128)
+    picked = jnp.where((rsel < nr)[:, None], picked, 0)
+    mask = (picked != 0).reshape(-1)
+    n = mask.sum().astype(jnp.int32)
+    # row overflow would silently drop candidates: force the host-rescan
+    # path by reporting an overflowing count
+    n = jnp.where(n_rows_t > R, jnp.int32(C + 1), n)
+    (ip,) = jnp.nonzero(mask, size=C, fill_value=R * LANES)
+    ip = ip.astype(jnp.int32)
+    ips = jnp.minimum(ip, R * LANES - 1)
+    bits = picked.reshape(-1)[ips]
+    pos = rsel[ips // LANES] * LANES + ips % LANES
+    pos = jnp.where(ip < R * LANES, pos, K * U)
+    bits = jnp.where(ip < R * LANES, bits, 0)
+    deg = degf.reshape(K, U)
+    n_deg = deg.sum(axis=1).astype(jnp.int32)
+    first_deg = jnp.argmax(deg, axis=1).astype(jnp.int32)
+    out = jnp.concatenate(
+        [
+            pos,
+            bits.astype(jnp.int32),
+            n_deg,
+            first_deg,
+            (adeg[:, 0] != 0).astype(jnp.int32),
+            n[None],
+        ]
+    )  # (2C + 3K + 1,)
+    return nx[:, 0, 0], ny[:, 0, 0], out
+
+
+def pad_targets(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """(2, T_pad) uint32 target words, padded to the next power of two
+    (>= 8) by repeating entry 0 — bounds kernel recompiles per target-set
+    size while keeping the unrolled compare loop tight."""
+    t = len(lo)
+    tp = 8
+    while tp < t:
+        tp *= 2
+    out = np.empty((2, tp), dtype=np.uint32)
+    out[0, :t] = lo
+    out[1, :t] = hi
+    out[0, t:] = lo[0]
+    out[1, t:] = hi[0]
+    return out

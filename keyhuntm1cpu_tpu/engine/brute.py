@@ -70,6 +70,18 @@ class BruteParams:
     # window-aligned positions every chunk instead of scanning sequentially
     # (keyhunt.cpp:2547-2568 random base claims)
     seed: int = 0
+    # fused Pallas pipeline (curve/pbrute.py): walk + hash + membership in
+    # one kernel, zero HBM gathers. Applies when the target set fits the
+    # in-kernel compare budget (<= compare_max entries) and shapes tile.
+    pallas: str = "auto"  # "auto" | "on" | "off"
+    pallas_sb: int = 4  # walk-kernel steps per grid block
+    chunk_cand: int = 1024  # chunk-level compacted candidates (the compare
+    # membership has no false positives beyond 64-bit truncation, so this
+    # never overflows in practice; overflow -> exact host rescan)
+    compare_max: int = 512  # largest target set for in-kernel compares
+    pipeline_depth: int = 8  # chunks dispatched ahead of decode (hides
+    # the ~28 ms host round trip behind device compute; bounded to avoid
+    # unbounded async dispatch through the device tunnel)
 
 
 class BruteEngine:
@@ -122,7 +134,11 @@ class BruteEngine:
         adv = ecref.scalar_mult(self.window * self.stride)
         self.adv_x = fe.from_int(adv[0])
         self.adv_y = fe.from_int(adv[1])
-        self._chunk_fn = self._make_chunk_fn()
+        self._fast = self._use_pallas()
+        if self._fast:
+            self._init_fast(tab_x, tab_y)
+        else:
+            self._chunk_fn = self._make_chunk_fn()
 
     # ------------------------------------------------------------------
 
@@ -170,6 +186,291 @@ class BruteEngine:
             )
 
         return chunk
+
+    # ------------------------------------------------------------------
+    # fused Pallas pipeline (curve/pbrute.py): single advance chain of
+    # K steps x U offsets per chunk, hash + membership in-kernel.
+    # Index algebra: key(j) = a' + j*stride for flat j = s*U + u - 1,
+    # u in 1..U; base scalar of step s is a' - stride + s*U*stride.
+    # ------------------------------------------------------------------
+
+    def _use_pallas(self) -> bool:
+        from ..curve import pbrute
+
+        p = self.p
+        if p.pallas == "off":
+            return False
+        ok = (
+            self.mode in pbrute.MODES
+            and len(self.targets.raw) <= p.compare_max
+            and p.block_u % 128 == 0
+            and p.steps_per_chunk % p.pallas_sb == 0
+            and (p.block_u // 128) * p.pallas_sb % 8 == 0
+            and (p.block_u // 128) * p.pallas_sb >= 8
+        )
+        if p.pallas == "on":
+            if not ok:
+                raise ValueError(
+                    "brute pallas path needs mode in "
+                    f"{pbrute.MODES}, <= {p.compare_max} targets, "
+                    "block_u % 128 == 0, steps_per_chunk % pallas_sb == 0, "
+                    "SB*U/128 a positive multiple of 8"
+                )
+            return True
+        return ok and jax.default_backend() != "cpu"
+
+    def _init_fast(self, tab_x: np.ndarray, tab_y: np.ndarray) -> None:
+        from ..curve import pbrute, pwalk
+
+        p = self.p
+        self._interpret = jax.default_backend() == "cpu"
+        self._n_endo_fast = 3 if (p.endo and self.mode in ("rmd160", "xpoint")) else 1
+        self._parities = 2 if self.mode == "rmd160" else 1
+        self._tab_x_lm = pwalk.table_to_limb_major(tab_x)
+        self._tab_y_lm = pwalk.table_to_limb_major(tab_y)
+        adv = ecref.scalar_mult(p.block_u * self.stride)
+        self._adv_x_f = jnp.asarray(fe.int_to_limbs(adv[0]))
+        self._adv_y_f = jnp.asarray(fe.int_to_limbs(adv[1]))
+        lo, hi = self.targets.target_words()
+        self._tgt_words = jnp.asarray(pbrute.pad_targets(lo, hi))
+        # lattice-shift edge: base(0) = a - stride would be the point at
+        # infinity when a == stride; shift by one stride and host-verify
+        # the single skipped key
+        self._fast_a = self.a
+        self._fast_prefix: List[int] = []
+        if (self.a - self.stride) % ecref.N == 0:
+            self._fast_prefix.append(self.a)
+            self._fast_a = self.a + self.stride
+        self._fast_total_idx = max(
+            0, math.ceil((self.b - self._fast_a) / self.stride)
+        )
+        self._fast_total_steps = math.ceil(self._fast_total_idx / p.block_u)
+
+        def chunk(px, py):
+            return pbrute.pallas_brute_chunk(
+                px, py, self._tab_x_lm, self._tab_y_lm,
+                self._adv_x_f, self._adv_y_f, self._tgt_words,
+                K=p.steps_per_chunk, U=p.block_u, SB=p.pallas_sb,
+                C=p.chunk_cand, mode=self.mode, n_endo=self._n_endo_fast,
+                interpret=self._interpret,
+            )
+
+        self._fast_chunk = chunk
+
+    def _fast_base(self, step0: int):
+        """Device point for the chunk base scalar (None, None) if it is
+        the point at infinity — the caller falls back to a host rescan."""
+        s = (
+            self._fast_a - self.stride
+            + step0 * self.p.block_u * self.stride
+        ) % ecref.N
+        if s == 0:
+            return None, None
+        pt = ecref.scalar_mult(s)
+        return (
+            jnp.asarray(fe.int_to_limbs(pt[0])),
+            jnp.asarray(fe.int_to_limbs(pt[1])),
+        )
+
+    def _fast_key(self, j: int) -> int:
+        return self._fast_a + j * self.stride
+
+    def _search_pallas(
+        self,
+        max_steps: Optional[int] = None,
+        stop_on_first: bool = False,
+        progress_every: int = 0,
+    ) -> List[FoundKey]:
+        p = self.p
+        U, K = p.block_u, p.steps_per_chunk
+        total = (
+            self._fast_total_steps
+            if max_steps is None
+            else min(self._fast_total_steps, max_steps)
+        )
+        found: List[FoundKey] = []
+        seen = set()
+
+        def take(fk: Optional[FoundKey]) -> bool:
+            if fk and fk.private_key not in seen:
+                seen.add(fk.private_key)
+                found.append(fk)
+                return True
+            return False
+
+        for k0 in self._fast_prefix:
+            take(self._verify(k0, 0))
+            if found and stop_on_first:
+                return found
+
+        rng = np.random.default_rng(p.seed) if p.random_mode else None
+        n_chunks = math.ceil(total / K) if total else 0
+        chunks_done = 0
+        depth = p.pipeline_depth
+
+        # bounded pipeline: dispatch up to `depth` chunks ahead so the
+        # per-chunk host round trip (~28 ms through the device tunnel —
+        # the round-1 throughput wall) overlaps device compute. Chunk
+        # i+1's walk state chains on-device; only summaries come back.
+        import collections
+
+        pending: collections.deque = collections.deque()
+        disp_step = 0  # next step to dispatch (sequential mode)
+        disp_chunks = 0  # chunks dispatched (random mode)
+        px = py = None
+        if rng is None and total:
+            px, py = self._fast_base(0)
+
+        def can_dispatch() -> bool:
+            if rng is not None:
+                return disp_chunks < n_chunks
+            return disp_step < total
+
+        while pending or can_dispatch():
+            while can_dispatch() and len(pending) < depth:
+                if rng is not None:
+                    s0 = int(
+                        rng.integers(0, max(1, self._fast_total_steps - K + 1))
+                    )
+                    px, py = self._fast_base(s0)
+                else:
+                    s0 = disp_step
+                if px is None:
+                    pending.append((s0, None))  # base at infinity: host
+                else:
+                    px2, py2, out = self._fast_chunk(px, py)
+                    # start the summary's device->host copy NOW: a blocking
+                    # pull later would pay the full tunnel RTT (~28 ms)
+                    # even when the data is long since computed
+                    out.copy_to_host_async()
+                    pending.append((s0, out))
+                    px, py = px2, py2
+                disp_step = s0 + K
+                disp_chunks += 1
+            step0, out = pending.popleft()
+            if out is None:
+                new_found, k_eff = self._host_rescan_fast(step0, K), K
+            else:
+                arr = np.asarray(out)  # ONE transfer; overlaps device work
+                k_eff, new_found = self._decode_fast(step0, arr)
+            for fk in new_found:
+                take(fk)
+            self.stats.add(max(0, min(k_eff, total - step0)) * U)
+            chunks_done += 1
+            if found and stop_on_first:
+                return found
+            if rng is None and k_eff < K:
+                # advance-chain degeneracy: everything dispatched after
+                # this chunk walked garbage state — discard and restart
+                # the pipeline exactly from the first bad step
+                pending.clear()
+                disp_step = step0 + k_eff
+                if disp_step < total:
+                    px, py = self._fast_base(disp_step)
+            if progress_every and chunks_done % progress_every == 0:
+                print(
+                    f"[brute] chunk {chunks_done}/{n_chunks} {self.stats.human()}"
+                )
+        return found
+
+    def _decode_fast(
+        self, step0: int, arr: np.ndarray
+    ) -> Tuple[int, List[FoundKey]]:
+        """Decode one packed chunk summary -> (valid steps, found keys)."""
+        p = self.p
+        C, K, U = p.chunk_cand, p.steps_per_chunk, p.block_u
+        lam_pow = (1, ecref.LAMBDA, ecref.LAMBDA * ecref.LAMBDA % ecref.N)
+        pos = arr[:C]
+        bits = arr[C : 2 * C].view(np.uint32)
+        n_deg = arr[2 * C : 2 * C + K]
+        first_deg = arr[2 * C + K : 2 * C + 2 * K]
+        adv = arr[2 * C + 2 * K : 2 * C + 3 * K]
+        ncand = int(arr[2 * C + 3 * K])
+        k_eff = int(np.argmax(adv)) + 1 if adv.any() else K
+        found: List[FoundKey] = []
+        if ncand > C:
+            found += self._host_rescan_fast(step0, k_eff)
+        for c in np.nonzero(pos < K * U)[0]:
+            s_local, u0 = divmod(int(pos[c]), U)
+            j = (step0 + s_local) * U + u0
+            if j >= self._fast_total_idx:
+                continue
+            key = self._fast_key(j)
+            b = int(bits[c])
+            q = 0
+            while b:
+                if b & 1:
+                    e = q // self._parities
+                    cand = key * lam_pow[e] % ecref.N
+                    fk = self._verify(cand, 0)
+                    if fk:
+                        found.append(fk)
+                b >>= 1
+                q += 1
+        for s_local in np.nonzero(n_deg > 0)[0]:
+            s_local = int(s_local)
+            if int(n_deg[s_local]) > 1:
+                # more than one degenerate lane (only possible on garbage
+                # post-advance-degeneracy steps): exact rescan of the step
+                found += self._host_rescan_fast(step0 + s_local, 1)
+                continue
+            j = (step0 + s_local) * U + int(first_deg[s_local])
+            if j < self._fast_total_idx:
+                fk = self._verify(self._fast_key(j), 0)
+                if fk:
+                    found.append(fk)
+        return k_eff, found
+
+    def _host_rescan_fast(self, step0: int, k: int) -> List[FoundKey]:
+        """Exact host re-scan of k device steps (incremental python-int
+        walk + per-key artifact compare). Near-never event: candidate
+        compaction overflow or a base point at infinity."""
+        p = self.p
+        j0 = step0 * p.block_u
+        j1 = min((step0 + k) * p.block_u, self._fast_total_idx)
+        lam_pow = (1, ecref.LAMBDA, ecref.LAMBDA * ecref.LAMBDA % ecref.N)
+        rawset = set(self.targets.raw)
+        step_pt = ecref.scalar_mult(self.stride)
+        found: List[FoundKey] = []
+        pt = None
+        key = self._fast_key(j0)
+        for j in range(j0, j1):
+            kk = key % ecref.N
+            if pt is None:
+                pt = ecref.scalar_mult(kk) if kk else None
+            if pt is not None:
+                x, y = pt
+                for e in range(self._n_endo_fast):
+                    xv = x * pow(ecref.BETA, e, ecref.P) % ecref.P
+                    if self.mode == "xpoint":
+                        match = xv.to_bytes(32, "big") in rawset
+                    elif self.mode == "rmd160":
+                        match = any(
+                            hashref.hash160(bytes([pfx]) + xv.to_bytes(32, "big"))
+                            in rawset
+                            for pfx in (2, 3)
+                        )
+                    elif self.mode == "eth":
+                        match = (
+                            hashref.pubkey_to_eth_address((xv, y)) in rawset
+                        )
+                    else:  # address_u
+                        match = (
+                            hashref.pubkey_to_hash160((xv, y), compressed=False)
+                            in rawset
+                        )
+                    if match:
+                        fk = self._verify(kk * lam_pow[e] % ecref.N, 0)
+                        if fk:
+                            found.append(fk)
+            key += self.stride
+            nxt = key % ecref.N
+            pt = (
+                ecref.point_add(pt, step_pt)
+                if pt is not None
+                else (ecref.scalar_mult(nxt) if nxt else None)
+            )
+        return found
 
     # ------------------------------------------------------------------
 
@@ -221,6 +522,8 @@ class BruteEngine:
         stop_on_first: bool = False,
         progress_every: int = 0,
     ) -> List[FoundKey]:
+        if self._fast:
+            return self._search_pallas(max_steps, stop_on_first, progress_every)
         p = self.p
         total = self.steps_per_walker if max_steps is None else min(
             self.steps_per_walker, max_steps

@@ -58,6 +58,10 @@ class BSGSParams:
     pallas: str = "auto"  # "auto" | "on" | "off": fused Pallas walk
     # kernels (curve/pwalk.py); auto = TPU backend, single target
     pallas_sb: int = 4  # walk-kernel steps per grid block
+    pipeline_depth: int = 8  # chunks dispatched ahead of decode: hides the
+    # ~28 ms per-call host round trip (the round-1 wall: chunk dispatch +
+    # summary pull were serialized, leaving the device idle most of the
+    # time); bounded to keep async dispatch through the tunnel in check
 
 
 class BSGSEngine:
@@ -462,12 +466,28 @@ class BSGSEngine:
         found: List[FoundKey] = []
         px, py = base.x, base.y
         total = self.n_steps if max_steps is None else min(self.n_steps, max_steps)
-        step = start_step
         end_step = start_step + total
-        while step < end_step:
-            k = min(p.steps_per_chunk, end_step - step)
-            px, py, outs = self._chunk_fn(px, py)
-            arr = np.asarray(outs)  # one transfer per chunk
+        K = p.steps_per_chunk
+
+        # bounded pipeline: dispatch up to pipeline_depth chunks ahead so
+        # the ~28 ms per-call host round trip (which serialized the round-1
+        # loop — the device sat idle between chunks) overlaps device
+        # compute. Walk state chains on-device; only summaries come back.
+        import collections
+
+        pending: collections.deque = collections.deque()
+        disp = start_step  # next step to dispatch
+        step = start_step  # next step to decode
+        n_done = 0
+        while pending or disp < end_step:
+            while disp < end_step and len(pending) < p.pipeline_depth:
+                px, py, outs = self._chunk_fn(px, py)
+                outs.copy_to_host_async()  # overlap the tunnel RTT
+                pending.append((disp, outs))
+                disp += K
+            step, outs = pending.popleft()
+            k = min(K, end_step - step)
+            arr = np.asarray(outs)  # one transfer; overlaps device work
             new_found, rebase, interesting = self._consume_summary(step, k, arr)
             if new_found:
                 found = self._dedupe_found(found + new_found)
@@ -475,19 +495,23 @@ class BSGSEngine:
                     self.stats.add(k * p.block_u * self.stride)
                     return found
             self.stats.add(k * p.block_u * self.stride)
-            step += p.steps_per_chunk
-            if rebase and step < end_step:
+            n_done += 1
+            if rebase and step + K < end_step:
                 # an advance lane degenerated mid-chunk: the device walk
-                # state beyond that step is invalid — rebase exactly
+                # state beyond that step is invalid — drop everything
+                # dispatched after it and restart exactly
+                pending.clear()
+                disp = step + K
                 try:
-                    base = self._initial_base(step)
+                    base = self._initial_base(disp)
                     px, py = base.x, base.y
                 except _ImmediateHit as hit:
                     found += self._try_candidates([hit.scalar])
                     if found and stop_on_first:
                         return self._dedupe_found(found)
-            if progress_every and (step // p.steps_per_chunk) % progress_every == 0:
-                print(f"[bsgs] step {step}/{end_step} {self.stats.human()}")
+                    disp = end_step  # nothing sane to continue from
+            if progress_every and n_done % progress_every == 0:
+                print(f"[bsgs] step {step + K}/{end_step} {self.stats.human()}")
         return self._dedupe_found(found)
 
     def chunk_order(self, policy: str = "sequential", seed: int = 0) -> List[int]:
@@ -605,19 +629,42 @@ class BSGSEngine:
             order = order[: resume_from + max_chunks]
 
         found: List[FoundKey] = []
+        # bounded pipeline over the deterministic chunk order: every chunk
+        # has an independent host-derived base, so dispatch runs ahead of
+        # decode by pipeline_depth chunks and the ~28 ms round trip per
+        # summary pull overlaps device compute.
+        import collections
+
+        pending: collections.deque = collections.deque()
+        disp_i = resume_from
+
+        def dispatch_upto(limit: int):
+            nonlocal disp_i
+            while disp_i < len(order) and len(pending) < limit:
+                idx = disp_i
+                step0 = order[idx] * p.steps_per_chunk
+                try:
+                    base = self._initial_base(step0)
+                except _ImmediateHit as hit:
+                    pending.append((idx, step0, hit.scalar))
+                else:
+                    _, _, outs = self._chunk_fn(base.x, base.y)
+                    outs.copy_to_host_async()  # overlap the tunnel RTT
+                    pending.append((idx, step0, outs))
+                disp_i += 1
+
         for i, chunk_idx in enumerate(order):
             if i < resume_from:
                 continue
-            step0 = chunk_idx * p.steps_per_chunk
+            dispatch_upto(p.pipeline_depth)
+            idx, step0, outs = pending.popleft()
+            assert idx == i, (idx, i)
             k = min(p.steps_per_chunk, self.n_steps - step0)
-            try:
-                base = self._initial_base(step0)
-            except _ImmediateHit as hit:
-                found += self._try_candidates([hit.scalar])
+            if isinstance(outs, int):  # _ImmediateHit scalar
+                found += self._try_candidates([outs])
                 if found and stop_on_first:
                     return found
                 continue
-            _, _, outs = self._chunk_fn(base.x, base.y)
             arr = np.asarray(outs)
             new_found, _, interesting = self._consume_summary(step0, k, arr)
             if new_found:

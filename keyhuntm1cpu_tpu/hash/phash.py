@@ -121,15 +121,23 @@ def _sha_words_from_x(xl: List[jnp.ndarray], prefix: int) -> List[jnp.ndarray]:
     return w
 
 
+def hash160_parity_words(xl: List[jnp.ndarray], prefix: int):
+    """(lo, hi) 64-bit-truncated hash160 target words of the compressed
+    pubkey [prefix || X]; xl: 8 LE limb tiles. Pure tile function — usable
+    from any kernel. Target packing: lo = digest bytes 0..3 LE = ripemd
+    word 0; hi = word 1."""
+    digest = _ripemd160_32_unrolled(
+        _sha256_compress_unrolled(_sha_words_from_x(xl, prefix))
+    )
+    return digest[0], digest[1]
+
+
 def _hash160x2_kernel(x_ref, le_ref, he_ref, lo_ref, ho_ref):
     xl = [x_ref[i] for i in range(8)]
     for prefix, lref, href in ((2, le_ref, he_ref), (3, lo_ref, ho_ref)):
-        digest = _ripemd160_32_unrolled(
-            _sha256_compress_unrolled(_sha_words_from_x(xl, prefix))
-        )
-        # target packing: lo = digest bytes 0..3 LE = word 0; hi = word 1
-        lref[:, :] = digest[0]
-        href[:, :] = digest[1]
+        lo_w, hi_w = hash160_parity_words(xl, prefix)
+        lref[:, :] = lo_w
+        href[:, :] = hi_w
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -225,11 +233,10 @@ def _keccak_f_unrolled(state):
     return state
 
 
-def _keccak_pubkey_kernel(x_ref, y_ref, lo_ref, hi_ref):
-    """ETH: keccak256(X_be || Y_be), output the 64-bit truncated address
-    key (digest bytes 12..19 as two LE words — the target packing)."""
-    xl = [x_ref[i] for i in range(8)]
-    yl = [y_ref[i] for i in range(8)]
+def keccak_eth_words(xl: List[jnp.ndarray], yl: List[jnp.ndarray]):
+    """(lo, hi) 64-bit-truncated ETH address key of keccak256(X_be||Y_be)
+    (digest bytes 12..19 as two LE words — the target packing). Pure tile
+    function — usable from any kernel."""
     zero = jnp.zeros_like(xl[0])
     state = [[(zero, zero)] * 5 for _ in range(5)]
 
@@ -245,8 +252,17 @@ def _keccak_pubkey_kernel(x_ref, y_ref, lo_ref, hi_ref):
     state = _keccak_f_unrolled(state)
     l1 = state[1 % 5][0]
     l2 = state[2 % 5][0]
-    lo_ref[:, :] = l1[0]  # digest bytes 12..15 LE
-    hi_ref[:, :] = l2[1]  # digest bytes 16..19 LE
+    return l1[0], l2[1]  # digest bytes 12..15 / 16..19 LE
+
+
+def _keccak_pubkey_kernel(x_ref, y_ref, lo_ref, hi_ref):
+    """ETH: keccak256(X_be || Y_be), output the 64-bit truncated address
+    key (digest bytes 12..19 as two LE words — the target packing)."""
+    xl = [x_ref[i] for i in range(8)]
+    yl = [y_ref[i] for i in range(8)]
+    lo_w, hi_w = keccak_eth_words(xl, yl)
+    lo_ref[:, :] = lo_w
+    hi_ref[:, :] = hi_w
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -314,11 +330,10 @@ def _sha256_compress_chain(state, w):
     return [x + y for x, y in zip([a, b, c, d, e, f, g, h], state)]
 
 
-def _hash160_u_kernel(x_ref, y_ref, lo_ref, hi_ref):
-    """hash160(04 || X_be || Y_be): 65-byte message, two sha256 blocks
-    (same splicing as hash/sha256.py sha256_65_from_xy)."""
-    xl = [x_ref[i] for i in range(8)]
-    yl = [y_ref[i] for i in range(8)]
+def hash160_u_words(xl: List[jnp.ndarray], yl: List[jnp.ndarray]):
+    """(lo, hi) 64-bit-truncated hash160(04 || X_be || Y_be) target words:
+    65-byte message, two sha256 blocks (same splicing as
+    hash/sha256.py sha256_65_from_xy). Pure tile function."""
     zero = jnp.zeros_like(xl[0])
     w = [(zero + (4 << 24)) | (xl[7] >> 8)]
     for k in range(1, 8):
@@ -333,8 +348,15 @@ def _hash160_u_kernel(x_ref, y_ref, lo_ref, hi_ref):
     w2 += [zero] * 14
     w2.append(zero + 65 * 8)
     digest = _ripemd160_32_unrolled(_sha256_compress_chain(state, w2))
-    lo_ref[:, :] = digest[0]
-    hi_ref[:, :] = digest[1]
+    return digest[0], digest[1]
+
+
+def _hash160_u_kernel(x_ref, y_ref, lo_ref, hi_ref):
+    xl = [x_ref[i] for i in range(8)]
+    yl = [y_ref[i] for i in range(8)]
+    lo_w, hi_w = hash160_u_words(xl, yl)
+    lo_ref[:, :] = lo_w
+    hi_ref[:, :] = hi_w
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -40,7 +40,11 @@ class TargetSet:
             np.asarray(t.hi), np.asarray(t.lo), bits_log2
         )
 
-    def build_table(self) -> st.SortedXTable:
+    def target_words(self) -> Tuple[np.ndarray, np.ndarray]:
+        """(lo, hi) uint32 arrays of the 64-bit truncated target keys,
+        UNSORTED (row i = raw[i]) — the in-kernel compare membership form
+        (curve/pbrute.py). Packing matches the device hash kernels:
+        hash160 bytes 0..3 / 4..7 LE; xpoint low 64 bits of X."""
         his, los = [], []
         for b in self.raw:
             if self.kind == "xpoint":
@@ -50,10 +54,15 @@ class TargetSet:
             else:
                 los.append(int.from_bytes(b[0:4], "little"))
                 his.append(int.from_bytes(b[4:8], "little"))
-        idx = np.arange(len(self.raw), dtype=np.uint32)
-        return st.build_sorted_table(
-            np.asarray(his, dtype=np.uint32), np.asarray(los, dtype=np.uint32), idx
+        return (
+            np.asarray(los, dtype=np.uint32),
+            np.asarray(his, dtype=np.uint32),
         )
+
+    def build_table(self) -> st.SortedXTable:
+        lo, hi = self.target_words()
+        idx = np.arange(len(self.raw), dtype=np.uint32)
+        return st.build_sorted_table(hi, lo, idx)
 
     def __len__(self) -> int:
         return len(self.raw)

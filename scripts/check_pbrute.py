@@ -1,0 +1,59 @@
+"""Ad-hoc correctness drive of the fused brute pipeline (interpret mode)."""
+import os
+
+pass  # run on the real backend (interpret mode is too slow for these kernels)
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=1")
+
+from keyhuntm1cpu_tpu.engine.brute import BruteEngine, BruteParams
+from keyhuntm1cpu_tpu.ref import ecref, hashref
+from keyhuntm1cpu_tpu.utils.targets import TargetSet
+
+params = BruteParams(
+    block_u=256, steps_per_chunk=4, pallas_sb=4, pallas="on", chunk_cand=64
+)
+
+for mode, mk in (
+    ("rmd160", lambda pt: hashref.pubkey_to_hash160(pt, compressed=True)),
+    ("xpoint", lambda pt: pt[0].to_bytes(32, "big")),
+    ("eth", lambda pt: hashref.pubkey_to_eth_address(pt)),
+    ("address_u", lambda pt: hashref.pubkey_to_hash160(pt, compressed=False)),
+):
+    keys = list(range(1, 33)) + [1000, 4000]
+    raw = [mk(ecref.scalar_mult(k)) for k in keys]
+    kind = {"rmd160": "hash160", "xpoint": "xpoint", "eth": "eth",
+            "address_u": "hash160"}[mode]
+    ts = TargetSet(kind=kind, raw=raw, labels=[f"k{k}" for k in keys])
+    eng = BruteEngine(ts, 1, 4097, mode=mode, params=params)
+    assert eng._fast, mode
+    found = eng.search()
+    got = sorted(f.private_key for f in found)
+    missing = [k for k in keys if k not in got]
+    extra = [k for k in got if k not in keys and ecref.N - k not in keys]
+    print(f"{mode}: found {len(got)}/{len(keys)} missing={missing} extra={extra}")
+    assert not missing, (mode, missing)
+
+# endomorphism lanes: plant lambda*k and lambda^2*k artifacts, scan small k
+lam = ecref.LAMBDA
+keys = [5, 17]
+raw = []
+for k in keys:
+    raw.append(hashref.pubkey_to_hash160(ecref.scalar_mult(k * lam % ecref.N), True))
+    raw.append(
+        hashref.pubkey_to_hash160(
+            ecref.scalar_mult(k * lam * lam % ecref.N), True
+        )
+    )
+ts = TargetSet(kind="hash160", raw=raw, labels=[str(i) for i in range(len(raw))])
+p2 = BruteParams(block_u=256, steps_per_chunk=4, pallas_sb=4, pallas="on",
+                 chunk_cand=64, endo=True)
+eng = BruteEngine(ts, 1, 1025, mode="rmd160", params=p2)
+found = eng.search()
+got = sorted(f.private_key for f in found)
+want = sorted(
+    v
+    for k in keys
+    for v in (k * lam % ecref.N, k * lam * lam % ecref.N)
+)
+print("endo found:", [hex(g) for g in got])
+assert set(want) <= set(got) | {ecref.N - g for g in got}, (want, got)
+print("ALL OK")

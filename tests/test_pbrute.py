@@ -1,0 +1,172 @@
+"""Fused brute pipeline (curve/pbrute.py): host-side logic tests.
+
+The kernels themselves are mul-heavy Pallas code that only runs at speed
+on real TPU hardware (scripts/check_pbrute.py is the on-device bit-exact
+gate, run every round); here we test everything around them: engine
+gating, target-word packing, index algebra, and summary decoding.
+"""
+
+import numpy as np
+import pytest
+
+from keyhuntm1cpu_tpu.curve import pbrute
+from keyhuntm1cpu_tpu.engine.brute import BruteEngine, BruteParams
+from keyhuntm1cpu_tpu.ref import ecref, hashref
+from keyhuntm1cpu_tpu.utils.targets import TargetSet
+
+
+def _targets(keys, mode="rmd160"):
+    mk = {
+        "rmd160": lambda pt: hashref.pubkey_to_hash160(pt, compressed=True),
+        "xpoint": lambda pt: pt[0].to_bytes(32, "big"),
+    }[mode]
+    kind = {"rmd160": "hash160", "xpoint": "xpoint"}[mode]
+    raw = [mk(ecref.scalar_mult(k)) for k in keys]
+    return TargetSet(kind=kind, raw=raw, labels=[str(k) for k in keys])
+
+
+def test_pad_targets():
+    lo = np.arange(5, dtype=np.uint32)
+    hi = np.arange(5, dtype=np.uint32) + 100
+    out = pbrute.pad_targets(lo, hi)
+    assert out.shape == (2, 8)
+    assert list(out[0, :5]) == list(lo)
+    assert (out[0, 5:] == lo[0]).all() and (out[1, 5:] == hi[0]).all()
+    out = pbrute.pad_targets(np.arange(9, dtype=np.uint32), np.arange(9, dtype=np.uint32))
+    assert out.shape == (2, 16)
+
+
+def test_auto_gate_off_on_cpu():
+    ts = _targets([1, 2, 3])
+    eng = BruteEngine(ts, 1, 1 << 20, mode="rmd160",
+                      params=BruteParams(block_u=256, steps_per_chunk=4,
+                                         pallas="auto"))
+    assert not eng._fast  # auto never picks the kernel path on CPU
+
+
+def test_on_gate_validates_shapes():
+    ts = _targets([1, 2, 3])
+    with pytest.raises(ValueError):
+        BruteEngine(ts, 1, 1 << 20, mode="rmd160",
+                    params=BruteParams(block_u=100, pallas="on"))
+
+
+def _fast_engine(keys=(1, 2, 3), mode="rmd160", a=1, b=1 << 16, **kw):
+    params = BruteParams(block_u=256, steps_per_chunk=4, pallas_sb=4,
+                         pallas="on", chunk_cand=64, **kw)
+    return BruteEngine(_targets(list(keys), mode), a, b, mode=mode, params=params)
+
+
+def test_fast_index_algebra_and_prefix_shift():
+    eng = _fast_engine()
+    # a=1, stride=1: base(0) = 0 -> lattice shifts one stride, key 1
+    # becomes a host-verified prefix key
+    assert eng._fast_prefix == [1]
+    assert eng._fast_a == 2
+    assert eng._fast_key(0) == 2
+    assert eng._fast_key(255) == 257
+    eng2 = _fast_engine(a=100)
+    assert eng2._fast_prefix == [] and eng2._fast_key(0) == 100
+
+
+def test_fast_base_point():
+    eng = _fast_engine(a=100)
+    px, py = eng._fast_base(0)
+    want = ecref.scalar_mult(99)  # a - stride
+    import keyhuntm1cpu_tpu.field.fe as fe
+
+    assert list(np.asarray(px)) == list(fe.int_to_limbs(want[0]))
+    assert list(np.asarray(py)) == list(fe.int_to_limbs(want[1]))
+
+
+def _mk_summary(C, K, U, hits=(), degs=(), adv=(), ncand=None):
+    """hits: (flat_pos, qbits); degs: (step, u0, n); adv: step indices."""
+    arr = np.zeros(2 * C + 3 * K + 1, dtype=np.int32)
+    arr[:C] = K * U
+    for i, (pos, bits) in enumerate(hits):
+        arr[i] = pos
+        arr[C + i] = np.int32(np.uint32(bits))
+    for s, u0, n in degs:
+        arr[2 * C + s] = n
+        arr[2 * C + K + s] = u0
+    for s in adv:
+        arr[2 * C + 2 * K + s] = 1
+    arr[2 * C + 3 * K] = len(hits) if ncand is None else ncand
+    return arr
+
+
+def test_decode_fast_hit():
+    eng = _fast_engine(keys=[300], a=100)
+    C, K, U = eng.p.chunk_cand, eng.p.steps_per_chunk, eng.p.block_u
+    # key 300 = a + j*stride -> j = 200; step 0, u0 = 200
+    arr = _mk_summary(C, K, U, hits=[(200, 0b01)])
+    k_eff, found = eng._decode_fast(0, arr)
+    assert k_eff == K
+    assert [f.private_key for f in found] == [300]
+
+
+def test_decode_fast_hit_second_parity_bit():
+    # parity bit 1 (odd prefix) maps to the same key candidate: the host
+    # verifies +-k exactly, so either bit recovers it
+    eng = _fast_engine(keys=[300], a=100)
+    C, K, U = eng.p.chunk_cand, eng.p.steps_per_chunk, eng.p.block_u
+    arr = _mk_summary(C, K, U, hits=[(200, 0b10)])
+    _, found = eng._decode_fast(0, arr)
+    assert [f.private_key for f in found] == [300]
+
+
+def test_decode_fast_endo_bits():
+    lam = ecref.LAMBDA
+    key = 321
+    want = key * lam % ecref.N
+    eng = _fast_engine(keys=[want], a=100, endo=True)
+    C, K, U = eng.p.chunk_cand, eng.p.steps_per_chunk, eng.p.block_u
+    # walk covers key=321 at j=221; endo variant e=1 -> qset bits 2/3
+    arr = _mk_summary(C, K, U, hits=[(221, 0b0100)])
+    _, found = eng._decode_fast(0, arr)
+    assert [f.private_key for f in found] == [want]
+
+
+def test_decode_fast_degenerate_lane():
+    eng = _fast_engine(keys=[105], a=100)
+    C, K, U = eng.p.chunk_cand, eng.p.steps_per_chunk, eng.p.block_u
+    # degenerate lane at step 0, u0 = 5 -> key 105 verified exactly
+    arr = _mk_summary(C, K, U, degs=[(0, 5, 1)])
+    k_eff, found = eng._decode_fast(0, arr)
+    assert [f.private_key for f in found] == [105]
+
+
+def test_decode_fast_adv_degeneracy_truncates():
+    eng = _fast_engine(a=100)
+    C, K, U = eng.p.chunk_cand, eng.p.steps_per_chunk, eng.p.block_u
+    arr = _mk_summary(C, K, U, adv=[1])
+    k_eff, _ = eng._decode_fast(0, arr)
+    assert k_eff == 2  # steps 0..1 valid, rest to be re-walked
+
+
+def test_decode_fast_overflow_rescans(monkeypatch):
+    eng = _fast_engine(keys=[300], a=100)
+    C, K, U = eng.p.chunk_cand, eng.p.steps_per_chunk, eng.p.block_u
+    calls = []
+    monkeypatch.setattr(
+        eng, "_host_rescan_fast",
+        lambda s0, k: calls.append((s0, k)) or [],
+    )
+    arr = _mk_summary(C, K, U, ncand=C + 1)
+    eng._decode_fast(3, arr)
+    assert calls == [(3, K)]
+
+
+def test_host_rescan_fast_finds_keys():
+    eng = _fast_engine(keys=[150, 260], a=100)
+    found = eng._host_rescan_fast(0, 1)  # j in [0, 256) = keys 100..355
+    got = sorted(f.private_key for f in found)
+    assert got == [150, 260]
+
+
+def test_host_rescan_fast_xpoint_endo():
+    lam = ecref.LAMBDA
+    want = 123 * lam % ecref.N
+    eng = _fast_engine(keys=[want], mode="xpoint", a=100, endo=True)
+    found = eng._host_rescan_fast(0, 1)
+    assert want in [f.private_key for f in found]
