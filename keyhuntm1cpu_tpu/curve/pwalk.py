@@ -308,3 +308,59 @@ def table_to_limb_major(tab_bm: np.ndarray) -> jnp.ndarray:
     """(U, 8) host batch-major table -> (8, U/128, 128) device limb-major."""
     u = tab_bm.shape[0]
     return jnp.asarray(np.ascontiguousarray(tab_bm.T).reshape(8, u // LANES, LANES))
+
+
+# ---------------------------------------------------------------------------
+# Multi-target chunk: T independent walks sharing ONE advance-chain kernel
+# ---------------------------------------------------------------------------
+
+
+class PallasChunkMultiResult(NamedTuple):
+    next_x: jnp.ndarray  # (T, 8) uint32 limbs
+    next_y: jnp.ndarray
+    qhi: jnp.ndarray  # (T*K, U) uint32, block index = t*K + s
+    qlo: jnp.ndarray
+    degenerate: jnp.ndarray  # (T*K, U) bool
+    adv_degenerate: jnp.ndarray  # (T, K) bool
+
+
+def pallas_chunk_multi(px_bm, py_bm, tab_x_lm, tab_y_lm, adv_x_lm, adv_y_lm,
+                       K: int, U: int, T: int, SB: int = 4,
+                       interpret: bool = False) -> PallasChunkMultiResult:
+    """px/py: (T, 8) limbs, one target walk base per row (T <= 128).
+
+    The advance chain is elementwise across lanes, so ALL T chains run in
+    ONE kernel-A call with target t in lane t (the lane replication of the
+    single-target path was redundant compute anyway). The walk kernel then
+    grids over T*K blocks — total query count scales with T, matching the
+    reference's per-pubkey hot loop (keyhunt.cpp:3859-3869), but the
+    serial chain cost is shared.
+    """
+    if T > LANES:
+        raise ValueError(f"pallas multi-target supports T <= {LANES}")
+    # lane-pack: lane t carries target t; pad lanes repeat target 0
+    pad = jnp.broadcast_to(px_bm[0][:, None], (8, LANES - T))
+    px_l = jnp.concatenate([jnp.transpose(px_bm, (1, 0)), pad], axis=1)[:, None, :]
+    pad = jnp.broadcast_to(py_bm[0][:, None], (8, LANES - T))
+    py_l = jnp.concatenate([jnp.transpose(py_bm, (1, 0)), pad], axis=1)[:, None, :]
+    rep = lambda v: jnp.broadcast_to(v[:, None, None], (8, 1, LANES))
+    bx, by, nx, ny, adeg = advance_chain(
+        px_l, py_l, rep(adv_x_lm), rep(adv_y_lm), K, interpret=interpret
+    )
+    # per-target lane-broadcast bases: (8, T*K, 128), block i = t*K + s
+    bxs = [jnp.broadcast_to(bx[:, :, t : t + 1], bx.shape[:2] + (LANES,))
+           for t in range(T)]
+    bys = [jnp.broadcast_to(by[:, :, t : t + 1], by.shape[:2] + (LANES,))
+           for t in range(T)]
+    bx_all = jnp.concatenate(bxs, axis=1)
+    by_all = jnp.concatenate(bys, axis=1)
+    qlo, qhi, deg = walk_blocks(bx_all, by_all, tab_x_lm, tab_y_lm, U, SB=SB,
+                                interpret=interpret)
+    return PallasChunkMultiResult(
+        jnp.transpose(nx[:, 0, :T], (1, 0)),
+        jnp.transpose(ny[:, 0, :T], (1, 0)),
+        qhi.reshape(T * K, U),
+        qlo.reshape(T * K, U),
+        deg.reshape(T * K, U) != 0,
+        jnp.transpose(adeg[:, :T], (1, 0)) != 0,
+    )

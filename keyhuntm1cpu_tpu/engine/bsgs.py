@@ -208,34 +208,49 @@ class BSGSEngine:
         base = ecref.scalar_mult(ub)
         px = jnp.asarray(fe.int_to_limbs(base[0]))
         py = jnp.asarray(fe.int_to_limbs(base[1]))
-        kmax = 32
-        done = 1
-        while done < n_blocks:
-            k = min(kmax, n_blocks - done)
-            # kernel chain length must be a multiple of 8 (Montgomery
-            # groups of 8 sublane rows); run padded, keep the first k
-            k_run = -(-k // 8) * 8
-            res = _build_chunk_impl(
-                px, py, tx, ty, ax, ay, K=k_run, U=ub, SB=p.pallas_sb
-            )
-            lo = np.asarray(res.qlo)[:k].reshape(-1)
-            hi = np.asarray(res.qhi)[:k].reshape(-1)
-            his[done * ub : (done + k) * ub] = hi
-            los[done * ub : (done + k) * ub] = lo
-            deg = np.asarray(res.degenerate)[:k].reshape(k, ub)
+        # whole-multiple-of-8 chain lengths only (Montgomery groups of 8
+        # sublane rows). Chunk pulls are pipelined with async host copies:
+        # each blocking pull pays the ~28 ms tunnel RTT even when computed,
+        # so kmax 32 -> 128 plus the pipeline cuts the m = 2^26 build from
+        # ~480 s (round 1) to device-compute + transfer time.
+        kmax = 128
+        pending: List[Tuple[int, int, object]] = []
+
+        def drain(entry):
+            done_, k_, res_ = entry
+            lo = np.asarray(res_.qlo)[:k_].reshape(-1)
+            hi = np.asarray(res_.qhi)[:k_].reshape(-1)
+            his[done_ * ub : (done_ + k_) * ub] = hi
+            los[done_ * ub : (done_ + k_) * ub] = lo
+            deg = np.asarray(res_.degenerate)[:k_].reshape(k_, ub)
             if deg.any():
                 # walk-lane degeneracies (e.g. the doubling lane of block
                 # 1 at u = Ub): patch those entries exactly on host
                 for s, u0 in zip(*np.nonzero(deg)):
-                    j = (done + int(s)) * ub + int(u0) + 1
+                    j = (done_ + int(s)) * ub + int(u0) + 1
                     x = ecref.scalar_mult(j)[0]
                     his[j - 1] = (x >> 32) & 0xFFFFFFFF
                     los[j - 1] = x & 0xFFFFFFFF
-            assert not bool(np.asarray(res.adv_degenerate).any()), (
+            assert not bool(np.asarray(res_.adv_degenerate)[:k_].any()), (
                 "advance chain hit infinity during table build"
             )
+
+        done = 1
+        while done < n_blocks:
+            k = min(kmax, n_blocks - done)
+            k_run = -(-k // 8) * 8
+            res = _build_chunk_impl(
+                px, py, tx, ty, ax, ay, K=k_run, U=ub, SB=p.pallas_sb
+            )
+            for leaf in (res.qlo, res.qhi, res.degenerate, res.adv_degenerate):
+                leaf.copy_to_host_async()
+            pending.append((done, k, res))
+            if len(pending) > 4:
+                drain(pending.pop(0))
             px, py = res.next_x, res.next_y
             done += k
+        for entry in pending:
+            drain(entry)
 
         return st.build_sorted_table(his[: p.m], los[: p.m], idxs[: p.m])
 
@@ -293,7 +308,7 @@ class BSGSEngine:
         if p.pallas == "off":
             return False
         ok_shape = (
-            len(self.targets) == 1
+            len(self.targets) <= 128  # targets ride kernel-A lanes
             and p.block_u % 128 == 0
             and p.steps_per_chunk % p.pallas_sb == 0
             # the walk kernel's Montgomery grouping needs whole groups of
@@ -305,7 +320,7 @@ class BSGSEngine:
         if p.pallas == "on":
             if not ok_shape:
                 raise ValueError(
-                    "pallas path needs T == 1, block_u % 128 == 0, "
+                    "pallas path needs T <= 128, block_u % 128 == 0, "
                     "steps_per_chunk % pallas_sb == 0"
                 )
             return True
@@ -333,16 +348,19 @@ class BSGSEngine:
 
     def _make_pallas_chunk_fn(self):
         """Fused-kernel chunk (curve/pwalk.py): Jacobian advance chain +
-        parallel walk blocks in Pallas, bitmap cascade in XLA. Same packed
-        summary layout as the XLA chunk, so decode paths are shared."""
+        parallel walk blocks in Pallas, bitmap cascade in XLA. T targets
+        share one advance-chain call (lanes) and grid the walk over T*K
+        blocks — the reference's per-pubkey hot loop
+        (keyhunt.cpp:3859-3869) without re-walking the chain per target."""
         U = self.p.block_u
         K = self.p.steps_per_chunk
+        T = len(self.targets)
         SB = self.p.pallas_sb
         bits_log2 = self.bitmap.bits_log2
         # keep the chunk compaction budget >= 4x the expected bitmap
         # survivors (fp = m/2^bits), else large m saturates it and every
         # chunk falls back to the exact host rescan
-        expected = K * U * self.p.m // (1 << bits_log2)
+        expected = T * K * U * self.p.m // (1 << bits_log2)
         C2 = max(self.p.chunk_cand_max, ((4 * expected + 511) // 512) * 512)
         self._chunk_cand_eff = C2
         # limb-major table layout for the kernels (device-side transpose)
@@ -355,7 +373,7 @@ class BSGSEngine:
                 px, py, self._tab_x_lm, self._tab_y_lm,
                 self.adv_x, self.adv_y,
                 self.bitmap.words, self.table.hi, self.table.lo, self.table.idx,
-                U=U, K=K, C2=C2, SB=SB, bits_log2=bits_log2,
+                U=U, K=K, T=T, C2=C2, SB=SB, bits_log2=bits_log2,
             )
 
         return chunk
@@ -369,11 +387,13 @@ class BSGSEngine:
             C2 = self._chunk_cand_eff
             K = p.steps_per_chunk
             U = p.block_u
+            T = len(self.targets)
             cand_pos = arr[: C2]
             cand_j = arr[C2 : 2 * C2].view(np.uint32)
             cand_j2 = arr[2 * C2 : 3 * C2].view(np.uint32)
-            degsum = arr[3 * C2 : 3 * C2 + 3 * K].reshape(3, K)
-            ncand = int(arr[3 * C2 + 3 * K])
+            # columns indexed by block = t*K + s
+            degsum = arr[3 * C2 : 3 * C2 + 3 * T * K].reshape(3, T, K)
+            ncand = int(arr[3 * C2 + 3 * T * K])
             found: List[FoundKey] = []
             interesting = False
             if ncand > C2:
@@ -383,13 +403,15 @@ class BSGSEngine:
             # steps after a mid-chunk advance degeneracy hold garbage walk
             # state (the chain was patched to stay invertible): rescan them
             # exactly so a second key in those windows cannot be missed
-            adv_first = int(np.argmax(degsum[2, :k])) if degsum[2, :k].any() else k
+            adv_any = degsum[2, :, :k].any(axis=0)  # (k,)
+            adv_first = int(np.argmax(adv_any)) if adv_any.any() else k
             for s_ in range(adv_first + 1, k):
                 interesting = True
                 found += self._host_rescan_step(step0 + s_)
-            for c in np.nonzero(cand_pos < K * U)[0]:
+            for c in np.nonzero(cand_pos < T * K * U)[0]:
                 pos = int(cand_pos[c])
-                s_, u0 = divmod(pos, U)
+                blk, u0 = divmod(pos, U)
+                t, s_ = divmod(blk, K)
                 if s_ >= k:
                     continue
                 interesting = True
@@ -397,15 +419,16 @@ class BSGSEngine:
                 for j in (int(cand_j[c]), int(cand_j2[c])):
                     if j:
                         cands += self._candidates_for_hit(step0 + s_, u0 + 1, j)
-                found += self._try_candidates(cands, 0)
-            for s_ in range(k):
-                if degsum[0, s_] > 0:
-                    interesting = True
-                    u = int(degsum[1, s_]) + 1
-                    found += self._try_candidates(
-                        self._candidates_for_degenerate(step0 + s_, u), 0
-                    )
-            rebase = bool(degsum[2, :k].any())
+                found += self._try_candidates(cands, t)
+            for t in range(T):
+                for s_ in range(k):
+                    if degsum[0, t, s_] > 0:
+                        interesting = True
+                        u = int(degsum[1, t, s_]) + 1
+                        found += self._try_candidates(
+                            self._candidates_for_degenerate(step0 + s_, u), t
+                        )
+            rebase = bool(adv_any.any())
             return found, rebase, interesting
 
         parts = self._split_summary(arr)
@@ -864,18 +887,19 @@ def _build_chunk_impl(px, py, tx, ty, ax, ay, *, K, U, SB):
     return pwalk.pallas_chunk(px, py, tx, ty, ax, ay, K=K, U=U, SB=SB)
 
 
-@partial(jax.jit, static_argnames=("U", "K", "C2", "SB", "bits_log2"))
+@partial(jax.jit, static_argnames=("U", "K", "T", "C2", "SB", "bits_log2"))
 def _pallas_chunk_impl(px_bm, py_bm, tab_x_lm, tab_y_lm, ax, ay,
-                       words, thi, tlo, tidx, *, U, K, C2, SB, bits_log2):
+                       words, thi, tlo, tidx, *, U, K, T, C2, SB, bits_log2):
     from ..curve import pwalk
 
     bitmap = bmp.DeviceBitmap(words, bits_log2)
     table = st.SortedXTable(thi, tlo, tidx)
-    res = pwalk.pallas_chunk(
-        px_bm[0], py_bm[0], tab_x_lm, tab_y_lm, ax, ay, K=K, U=U, SB=SB
+    res = pwalk.pallas_chunk_multi(
+        px_bm, py_bm, tab_x_lm, tab_y_lm, ax, ay, K=K, U=U, T=T, SB=SB
     )
+    adv_flat = res.adv_degenerate.reshape(-1)  # (T*K,)
     deg = res.degenerate
-    deg = deg.at[:, U - 1].set(deg[:, U - 1] | res.adv_degenerate)
+    deg = deg.at[:, U - 1].set(deg[:, U - 1] | adv_flat)
 
     # chunk-level cascade: ONE compaction + ONE exact search per chunk
     # (a per-step vmap pays K compactions and a K*C-wide exact search —
@@ -884,16 +908,16 @@ def _pallas_chunk_impl(px_bm, py_bm, tab_x_lm, tab_y_lm, ax, ay,
     ql = res.qlo.reshape(-1)
     fl = bmp.filtered_lookup(bitmap, table, qh, ql, C2)
     deg_flat = deg.reshape(-1)
-    pos_safe = jnp.minimum(fl.pos, K * U - 1)
+    pos_safe = jnp.minimum(fl.pos, T * K * U - 1)
     live = ~deg_flat[pos_safe]
     cand_pos = jnp.where(
-        (fl.result.found | fl.result.found2) & live, fl.pos, K * U
+        (fl.result.found | fl.result.found2) & live, fl.pos, T * K * U
     )
     cand_j = jnp.where(fl.result.found & live, fl.result.idx, 0)
     cand_j2 = jnp.where(fl.result.found2 & live, fl.result.idx2, 0)
-    n_deg = deg.sum(axis=1).astype(jnp.int32)  # (K,)
+    n_deg = deg.sum(axis=1).astype(jnp.int32)  # (T*K,)
     first_deg = jnp.argmax(deg, axis=1).astype(jnp.int32)
-    degsum = jnp.stack([n_deg, first_deg, res.adv_degenerate.astype(jnp.int32)])
+    degsum = jnp.stack([n_deg, first_deg, adv_flat.astype(jnp.int32)])
     out = jnp.concatenate(
         [
             cand_pos.astype(jnp.int32),
@@ -902,5 +926,5 @@ def _pallas_chunk_impl(px_bm, py_bm, tab_x_lm, tab_y_lm, ax, ay,
             degsum.reshape(-1),
             fl.n_candidates[None],
         ]
-    )  # (3*C2 + 3K + 1,)
-    return res.next_x[None], res.next_y[None], out
+    )  # (3*C2 + 3*T*K + 1,)
+    return res.next_x, res.next_y, out

@@ -44,26 +44,67 @@ def default_bits_log2(m: int) -> int:
     return min(34, max(16, int(np.ceil(np.log2(max(m, 2)))) + 12))
 
 
-def build_bitmap(
-    hi: np.ndarray, lo: np.ndarray, bits_log2: int | None = None
-) -> DeviceBitmap:
-    """Host-built bitmap over the low bits of the 64-bit truncated keys."""
-    if bits_log2 is None:
-        bits_log2 = default_bits_log2(len(lo))
-    if bits_log2 < 5 or bits_log2 > 34:
-        raise ValueError("bits_log2 out of range (5..34)")
+MAX_BITS_LOG2 = 36  # 8 GB of HBM words; word indices stay in int32
+
+
+def _bit_indices(hi: np.ndarray, lo: np.ndarray, bits_log2: int) -> np.ndarray:
     idx = lo.astype(np.uint64)
     if bits_log2 > 32:
         idx |= (hi.astype(np.uint64) & np.uint64((1 << (bits_log2 - 32)) - 1)) << np.uint64(32)
     else:
         idx &= np.uint64((1 << bits_log2) - 1)
-    words = np.zeros(1 << (bits_log2 - 5), dtype=np.uint32)
+    return idx
+
+
+def build_bitmap(
+    hi: np.ndarray,
+    lo: np.ndarray,
+    bits_log2: int | None = None,
+    on_device: bool | None = None,
+) -> DeviceBitmap:
+    """Bitmap over the low bits of the 64-bit truncated keys.
+
+    on_device (default: whenever a non-CPU backend is active) builds the
+    word array ON the device from deduplicated bit indices — the host
+    uploads 8 bytes per KEY instead of the whole bitmap (2-8 GB at
+    production sizes, minutes through the device tunnel). Deduplicating
+    first makes scatter-add equal scatter-or: every (word, bit) pair
+    appears exactly once.
+    """
+    if bits_log2 is None:
+        bits_log2 = default_bits_log2(len(lo))
+    if bits_log2 < 5 or bits_log2 > MAX_BITS_LOG2:
+        raise ValueError(f"bits_log2 out of range (5..{MAX_BITS_LOG2})")
+    idx = _bit_indices(hi, lo, bits_log2)
+    if on_device is None:
+        import jax
+
+        on_device = jax.default_backend() != "cpu"
+    n_words = 1 << (bits_log2 - 5)
+    if on_device:
+        uniq = np.unique(idx)
+        word_idx = jnp.asarray((uniq >> np.uint64(5)).astype(np.int32))
+        bit = jnp.asarray((uniq & np.uint64(31)).astype(np.uint32))
+        words = _scatter_bits(word_idx, bit, n_words)
+        return DeviceBitmap(words, bits_log2)
+    words = np.zeros(n_words, dtype=np.uint32)
     np.bitwise_or.at(
         words,
         (idx >> np.uint64(5)).astype(np.int64),
         (np.uint32(1) << (idx & np.uint64(31)).astype(np.uint32)),
     )
     return DeviceBitmap(jnp.asarray(words), bits_log2)
+
+
+from functools import partial as _partial
+
+import jax as _jax
+
+
+@_partial(_jax.jit, static_argnames=("n_words",))
+def _scatter_bits(word_idx, bit, n_words: int):
+    words = jnp.zeros(n_words, dtype=jnp.uint32)
+    return words.at[word_idx].add(jnp.uint32(1) << bit)
 
 
 def probe(bm: DeviceBitmap, qhi: jnp.ndarray, qlo: jnp.ndarray) -> jnp.ndarray:
