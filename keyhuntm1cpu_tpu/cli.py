@@ -235,10 +235,15 @@ def _run(args, log) -> int:
         from .engine.minikeys import MinikeyEngine, MinikeyParams
 
         targets = parse_target_file(args.file, "address")
+        import jax
+
+        # tuned device batch (262144 measured 18.9M minikeys/s on v5e);
+        # CPU runs stay small so smoke tests compile quickly
+        default_batch = 262144 if jax.default_backend() != "cpu" else 4096
         eng = MinikeyEngine(
             targets,
             prefix=args.minikey_prefix,
-            params=MinikeyParams(batch=max(256, args.block_u)),
+            params=MinikeyParams(batch=max(default_batch, args.block_u)),
         )
         found = eng.search(
             max_chunks=args.max_chunks or (1 << 30),

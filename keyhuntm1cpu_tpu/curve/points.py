@@ -142,6 +142,85 @@ def scalar_mult_batch(
     return acc
 
 
+def scalar_mult_batch_jac(
+    k: jnp.ndarray,
+    gtable_x: jnp.ndarray,
+    gtable_y: jnp.ndarray,
+    chain_len: int = 32,
+) -> Tuple[PointBatch, jnp.ndarray]:
+    """Batched k*G via 32 JACOBIAN mixed adds + ONE final batch inversion.
+
+    scalar_mult_batch pays a full Fermat-ladder batch inversion per
+    window (32 sequential ~300-mul ladders); here the accumulator stays
+    in Jacobian coordinates (8M+3S per masked mixed add, no inversions)
+    and a single batch inversion normalizes at the end — ~15x fewer
+    sequential modmuls for the same result.
+
+    Returns (points, irregular): `irregular` lanes hit a doubling /
+    cancellation edge case mid-ladder (probability ~2^-250 per random
+    scalar — but deterministic scalars CAN trigger it) and their result
+    is NOT trusted; callers must re-verify those lanes exactly on host.
+    """
+    bytes_per_window = jnp.stack(
+        [
+            (k[..., w // 4] >> jnp.uint32(8 * (w % 4))) & jnp.uint32(0xFF)
+            for w in range(32)
+        ]
+    )
+
+    def body(carry, xs):
+        X, Y, Z, inf, irr = carry
+        gx, gy, byte = xs  # (256, 8) window slice; byte: (B,)
+        qx, qy = gx[byte], gy[byte]
+        q_inf = byte == 0
+        # mixed add (X:Y:Z) + (qx, qy): madd-2007-bl shape
+        z2 = fe.sqr_mod_p(Z)
+        u2 = fe.mul_mod_p(qx, z2)
+        s2 = fe.mul_mod_p(qy, fe.mul_mod_p(Z, z2))
+        h = fe.sub_mod_p(u2, X)
+        r = fe.sub_mod_p(s2, Y)
+        h_zero = fe.is_zero(h)
+        edge = h_zero & ~inf & ~q_inf  # doubling (r==0) or cancellation
+        h = fe.select(h_zero, _one_limbs_like(h), h)
+        hh = fe.sqr_mod_p(h)
+        v = fe.mul_mod_p(X, hh)
+        hhh = fe.mul_mod_p(h, hh)
+        x3 = fe.sub_mod_p(
+            fe.sub_mod_p(fe.sqr_mod_p(r), hhh), fe.double_mod_p(v)
+        )
+        y3 = fe.sub_mod_p(
+            fe.mul_mod_p(r, fe.sub_mod_p(v, x3)), fe.mul_mod_p(Y, hhh)
+        )
+        z3 = fe.mul_mod_p(Z, h)
+        # P infinite -> take Q (affine, Z=1); Q infinite -> keep P
+        one = _one_limbs_like(h)
+        X = fe.select(q_inf, X, fe.select(inf, qx, x3))
+        Y = fe.select(q_inf, Y, fe.select(inf, qy, y3))
+        Z = fe.select(q_inf, Z, fe.select(inf, one, z3))
+        inf = inf & q_inf
+        return (X, Y, Z, inf, irr | edge), None
+
+    z0 = jnp.zeros(k.shape, dtype=jnp.uint32)
+    inf0 = jnp.ones(k.shape[:-1], dtype=bool)
+    irr0 = jnp.zeros(k.shape[:-1], dtype=bool)
+    (X, Y, Z, inf, irr), _ = jax.lax.scan(
+        body,
+        (z0, z0, _one_limbs_like(z0), inf0, irr0),
+        (gtable_x, gtable_y, bytes_per_window),
+    )
+    z_safe = fe.select(fe.is_zero(Z), _one_limbs_like(Z), Z)
+    zi = fe.batch_inv_mod_p(z_safe, chain_len=chain_len)
+    zi2 = fe.sqr_mod_p(zi)
+    x = fe.mul_mod_p(X, zi2)
+    y = fe.mul_mod_p(Y, fe.mul_mod_p(zi, zi2))
+    return PointBatch(x, y, inf), irr
+
+
+def _one_limbs_like(a: jnp.ndarray) -> jnp.ndarray:
+    z = jnp.zeros_like(a)
+    return z.at[..., 0].set(1)
+
+
 def verify_on_curve_host(p: PointBatch) -> bool:
     """Host-side check that all finite batch points satisfy y^2 = x^3 + 7."""
     for pt in point_batch_to_ints(p):

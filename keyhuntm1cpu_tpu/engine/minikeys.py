@@ -4,24 +4,33 @@ Reference capability: keyhunt -m minikeys (keyhunt.cpp:2338-2509,
 5619-5739): a minikey is 'S' + 21 base58 chars; it is *valid* iff
 sha256(minikey + '?')[0] == 0x00, and its private key is sha256(minikey).
 
-TPU pipeline per chunk (all batched):
-  1. host: materialize B candidate minikeys from a base-58 suffix counter
-     (vectorized numpy divmods) and pack the 22- and 23-byte messages into
-     SHA-256 block words,
-  2. device: sha256(mk||'?') -> validity lane mask; sha256(mk) -> scalar;
-     GTable batched scalar-mult -> pubkey; parity-correct hash160;
-     sorted-table target lookup,
-  3. host: exact golden-reference re-verification of flagged lanes.
+TPU pipeline (round-2 re-design; was 120 k/s, engine-bound three ways):
+  1. minikeys are generated ON DEVICE from a base58 counter: the low 5
+     suffix digits come from `base + iota` with arithmetic (range-select)
+     base58 char mapping — the host uploads two scalars per chunk instead
+     of 8 MB of packed messages,
+  2. validity sha256(mk||'?') and key sha256(mk) run for the whole batch,
+     but the scalar multiplication runs ONLY on the compacted valid lanes
+     (~1/256 of the batch — the reference oversamples the same way,
+     keyhunt.cpp:5698-5739) using the Jacobian windowed ladder
+     (points.scalar_mult_batch_jac: 32 mixed adds + ONE batch inversion,
+     ~15x fewer sequential modmuls than the per-window-inversion ladder),
+  3. both compressed and uncompressed hash160 forms are checked against
+     the sorted target table (minikeys historically map to uncompressed
+     addresses; the reference checks both),
+  4. chunks are dispatched pipeline_depth ahead with async host copies
+     (a blocking pull pays the ~28 ms tunnel RTT even when computed).
 
-The suffix counter spans the last SUFFIX_LEN chars (58^10 ≈ 4.3e17 fits
-uint64 lanes); the prefix is random or user-provided, mirroring the
-reference's random-base + increment_minikey_N scan (keyhunt.cpp:897-917).
+Flagged lanes (table hits, ladder edge cases, or budget overflows) are
+re-verified exactly on the host with the golden reference (hashref/ecref).
 """
 
 from __future__ import annotations
 
 import secrets
+from collections import deque
 from dataclasses import dataclass
+from functools import partial
 from typing import List, Optional
 
 import jax
@@ -38,12 +47,25 @@ from .common import FoundKey, SearchStats
 
 _B58 = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
 SUFFIX_LEN = 10
+DEVICE_DIGITS = 5  # low digits generated on device (58^5 < 2^31: u32 math)
+LOW_SPAN = 58 ** DEVICE_DIGITS
+
+
+def _b58_digits(v: int, n: int) -> str:
+    out = []
+    for _ in range(n):
+        v, d = divmod(v, 58)
+        out.append(_B58[d])
+    return "".join(reversed(out))
 
 
 @dataclass(frozen=True)
 class MinikeyParams:
-    batch: int = 1024  # minikeys per device chunk
+    batch: int = 262144  # minikeys per device chunk
     chain_len: int = 32
+    valid_max: int = 2048  # compacted valid-lane budget (expected B/256)
+    hit_max: int = 64  # flagged-lane budget per chunk
+    pipeline_depth: int = 8
 
 
 class MinikeyEngine:
@@ -70,62 +92,27 @@ class MinikeyEngine:
         gx, gy = tables.gtable_np()
         self._gx = jnp.asarray(gx)
         self._gy = jnp.asarray(gy)
-        self._chunk_fn = self._make_chunk_fn()
+        self._base_cache = {}
 
     # ------------------------------------------------------------------
 
-    def _minikey_bytes(self, start: int, count: int) -> np.ndarray:
-        """(count, 22) uint8 minikey strings for suffix counter range."""
-        alpha = np.frombuffer(_B58.encode(), dtype=np.uint8)
-        vals = start + np.arange(count, dtype=np.uint64)
-        out = np.empty((count, 22), dtype=np.uint8)
-        out[:, : 22 - SUFFIX_LEN] = np.frombuffer(
-            self.prefix.encode(), dtype=np.uint8
-        )
-        for pos in range(SUFFIX_LEN - 1, -1, -1):
-            vals, digit = np.divmod(vals, np.uint64(58))
-            out[:, 22 - SUFFIX_LEN + pos] = alpha[digit.astype(np.int64)]
-        return out
+    def _base_words(self, prefix17: str):
+        """(16,) uint32 block-word bases for the 22/23-byte messages with
+        the 5 device digit positions (bytes 17..21) zeroed."""
+        if prefix17 in self._base_cache:
+            return self._base_cache[prefix17]
+        msg = np.zeros((1, 23), dtype=np.uint8)
+        msg[0, :17] = np.frombuffer(prefix17.encode(), dtype=np.uint8)
+        w22 = _pack_block_words(msg[:, :22], 22)[0]
+        msg23 = msg.copy()
+        msg23[0, 22] = ord("?")
+        w23 = _pack_block_words(msg23, 23)[0]
+        pair = (jnp.asarray(w22), jnp.asarray(w23))
+        self._base_cache[prefix17] = pair
+        return pair
 
-    @staticmethod
-    def _pack_block_words(msgs: np.ndarray, msg_len: int) -> np.ndarray:
-        """(B, L) bytes -> (B, 16) uint32 BE words of the padded block."""
-        b = msgs.shape[0]
-        block = np.zeros((b, 64), dtype=np.uint8)
-        block[:, :msg_len] = msgs[:, :msg_len]
-        block[:, msg_len] = 0x80
-        bitlen = msg_len * 8
-        block[:, 62] = (bitlen >> 8) & 0xFF
-        block[:, 63] = bitlen & 0xFF
-        return block.reshape(b, 16, 4).astype(np.uint32) @ np.array(
-            [1 << 24, 1 << 16, 1 << 8, 1], dtype=np.uint32
-        )
-
-    def _make_chunk_fn(self):
-        table = self.table
-        gx, gy = self._gx, self._gy
-        chain = self.p.chain_len
-
-        @jax.jit
-        def chunk(w22, w23):
-            """w22/w23: (B, 16) uint32 block words. Returns hit/valid masks."""
-            wv = [w23[:, i] for i in range(16)]
-            valid = (sha256_block_words(wv)[0] >> jnp.uint32(24)) == 0
-            wk = [w22[:, i] for i in range(16)]
-            kw = sha256_block_words(wk)  # 8 BE words = privkey
-            k_limbs = jnp.stack([kw[7 - i] for i in range(8)], axis=-1)
-            pub = points.scalar_mult_batch(k_limbs, gx, gy, chain_len=chain)
-            odd = (pub.y[..., 0] & jnp.uint32(1)) == 1
-            # Casascius minikeys historically map to UNCOMPRESSED addresses;
-            # check both forms (like the reference's -l both capability)
-            wc = hash160_from_x_parity(pub.x, odd)
-            wu = hash160_from_xy(pub.x, pub.y)
-            lc = st.lookup(table, wc[1], wc[0])
-            lu = st.lookup(table, wu[1], wu[0])
-            hit = (lc.found | lc.found2 | lu.found | lu.found2) & valid & ~pub.inf
-            return hit, valid, lc.idx
-
-        return chunk
+    def _minikey_str(self, prefix17: str, low: int, lane: int) -> str:
+        return prefix17 + _b58_digits(low + lane, DEVICE_DIGITS)
 
     # ------------------------------------------------------------------
 
@@ -135,33 +122,63 @@ class MinikeyEngine:
         stop_on_first: bool = True,
         progress_every: int = 0,
     ) -> List[FoundKey]:
+        p = self.p
+        B, V, HM = p.batch, p.valid_max, p.hit_max
         found: List[FoundKey] = []
-        b = self.p.batch
-        for ci in range(max_chunks):
-            msgs = self._minikey_bytes(self.counter, b)
-            w22 = jnp.asarray(self._pack_block_words(msgs, 22))
-            msgs23 = np.concatenate(
-                [msgs, np.full((b, 1), ord("?"), dtype=np.uint8)], axis=1
-            )
-            w23 = jnp.asarray(self._pack_block_words(msgs23, 23))
-            hit, valid, _ = self._chunk_fn(w22, w23)
-            hit_np = np.asarray(hit)
-            if hit_np.any():
-                for i in np.nonzero(hit_np)[0]:
-                    mk = msgs[i].tobytes().decode()
-                    fk = self._verify_minikey(mk)
-                    if fk is not None:
-                        found.append(fk)
-                        if stop_on_first:
-                            return found
-            self.stats.add(b)
-            self.counter += b
-            if progress_every and ci % progress_every == 0:
-                print(
-                    f"[minikeys] {self.counter} scanned, "
-                    f"{int(np.asarray(valid).sum())}/{b} valid last chunk, "
-                    f"{self.stats.human()}"
+        pending: deque = deque()
+        dispatched = 0
+        decoded = 0
+        while decoded < max_chunks:
+            while dispatched < max_chunks and len(pending) < p.pipeline_depth:
+                high, low = divmod(self.counter, LOW_SPAN)
+                if low + B > LOW_SPAN:
+                    low = LOW_SPAN - B  # clamp (tiny overlap, never a gap)
+                    self.counter = (high + 1) * LOW_SPAN
+                else:
+                    self.counter += B
+                prefix17 = self.prefix + _b58_digits(high, 5)
+                w22b, w23b = self._base_words(prefix17)
+                out = _minikey_chunk_impl(
+                    jnp.uint32(low), w22b, w23b, self._gx, self._gy,
+                    self.table.hi, self.table.lo, self.table.idx,
+                    B=B, V=V, HM=HM, chain=p.chain_len,
                 )
+                out.copy_to_host_async()
+                pending.append((prefix17, low, out))
+                dispatched += 1
+            prefix17, low, out = pending.popleft()
+            arr = np.asarray(out)
+            n_valid, n_check = int(arr[0]), int(arr[1])
+            lanes = arr[2:]
+            if n_valid > V or n_check > HM:
+                found += self._host_rescan_chunk(prefix17, low, B)
+            else:
+                for lane in lanes[lanes < B]:
+                    fk = self._verify_minikey(
+                        self._minikey_str(prefix17, low, int(lane))
+                    )
+                    if fk is not None and fk.private_key not in {
+                        f.private_key for f in found
+                    }:
+                        found.append(fk)
+            self.stats.add(B)
+            decoded += 1
+            if found and stop_on_first:
+                return found
+            if progress_every and decoded % progress_every == 0:
+                print(
+                    f"[minikeys] {decoded * B} scanned, "
+                    f"{n_valid}/{B} valid last chunk, {self.stats.human()}"
+                )
+        return found
+
+    def _host_rescan_chunk(self, prefix17: str, low: int, B: int) -> List[FoundKey]:
+        """Exact host re-scan of one chunk (budget overflow — near-never)."""
+        found = []
+        for lane in range(B):
+            fk = self._verify_minikey(self._minikey_str(prefix17, low, lane))
+            if fk is not None:
+                found.append(fk)
         return found
 
     def _verify_minikey(self, mk: str) -> Optional[FoundKey]:
@@ -182,3 +199,81 @@ class MinikeyEngine:
                     target=f"{label} (minikey {mk})",
                 )
         return None
+
+
+# ---------------------------------------------------------------------------
+
+
+def _pack_block_words(msgs: np.ndarray, msg_len: int) -> np.ndarray:
+    """(B, L) bytes -> (B, 16) uint32 BE words of the padded block."""
+    b = msgs.shape[0]
+    block = np.zeros((b, 64), dtype=np.uint8)
+    block[:, :msg_len] = msgs[:, :msg_len]
+    block[:, msg_len] = 0x80
+    bitlen = msg_len * 8
+    block[:, 62] = (bitlen >> 8) & 0xFF
+    block[:, 63] = bitlen & 0xFF
+    return block.reshape(b, 16, 4).astype(np.uint32) @ np.array(
+        [1 << 24, 1 << 16, 1 << 8, 1], dtype=np.uint32
+    )
+
+
+def _b58_char(d: jnp.ndarray) -> jnp.ndarray:
+    """Arithmetic base58 digit -> ASCII (no gathers): six contiguous
+    alphabet runs ('1'-'9', 'A'-'H', 'J'-'N', 'P'-'Z', 'a'-'k', 'm'-'z')."""
+    c = jnp.where(d < 9, 49 + d, 0)
+    c = jnp.where((d >= 9) & (d < 17), 56 + d, c)
+    c = jnp.where((d >= 17) & (d < 22), 57 + d, c)
+    c = jnp.where((d >= 22) & (d < 33), 58 + d, c)
+    c = jnp.where((d >= 33) & (d < 44), 64 + d, c)
+    c = jnp.where(d >= 44, 65 + d, c)
+    return c.astype(jnp.uint32)
+
+
+@partial(jax.jit, static_argnames=("B", "V", "HM", "chain"))
+def _minikey_chunk_impl(base_lo, w22_base, w23_base, gtx, gty,
+                       thi, tlo, tidx, *, B, V, HM, chain):
+    """Returns packed int32 summary [n_valid, n_check, lanes(HM)] where
+    lanes are batch indices needing exact host verification (table hits
+    or scalar-ladder edge cases); fill value B."""
+    v = base_lo + jnp.arange(B, dtype=jnp.uint32)
+    digits = []
+    x = v
+    for _ in range(DEVICE_DIGITS):
+        q = x // jnp.uint32(58)
+        digits.append(x - q * jnp.uint32(58))
+        x = q
+    digits.reverse()  # most-significant first
+    ch = [_b58_char(d) for d in digits]
+    w4or = (ch[0] << 16) | (ch[1] << 8) | ch[2]
+    w5or = (ch[3] << 24) | (ch[4] << 16)
+
+    def mk_words(base):
+        ws = [jnp.broadcast_to(base[i], (B,)) for i in range(16)]
+        ws[4] = ws[4] | w4or
+        ws[5] = ws[5] | w5or
+        return ws
+
+    valid = (sha256_block_words(mk_words(w23_base))[0] >> jnp.uint32(24)) == 0
+    kw = sha256_block_words(mk_words(w22_base))
+    k_limbs = jnp.stack([kw[7 - i] for i in range(8)], axis=-1)  # (B, 8)
+    n_valid = valid.sum().astype(jnp.int32)
+    (vidx,) = jnp.nonzero(valid, size=V, fill_value=B)
+    vidx = vidx.astype(jnp.int32)
+    live = vidx < B
+    kv = k_limbs[jnp.minimum(vidx, B - 1)]
+    pub, irr = points.scalar_mult_batch_jac(kv, gtx, gty, chain_len=chain)
+    odd = (pub.y[..., 0] & jnp.uint32(1)) == 1
+    wc = hash160_from_x_parity(pub.x, odd)
+    wu = hash160_from_xy(pub.x, pub.y)
+    table = st.SortedXTable(thi, tlo, tidx)
+    lc = st.lookup(table, wc[1], wc[0])
+    lu = st.lookup(table, wu[1], wu[0])
+    hit = (lc.found | lc.found2 | lu.found | lu.found2) & ~pub.inf
+    check = (hit | irr) & live
+    n_check = check.sum().astype(jnp.int32)
+    (hidx,) = jnp.nonzero(check, size=HM, fill_value=V)
+    hidx = hidx.astype(jnp.int32)
+    lanes = vidx[jnp.minimum(hidx, V - 1)]
+    lanes = jnp.where(hidx < V, lanes, B)
+    return jnp.concatenate([n_valid[None], n_check[None], lanes])
