@@ -14,4 +14,4 @@ TPU-native re-design (SURVEY.md §2.4):
 """
 
 from .partition import RangePartitioner, RangeSlice  # noqa: F401
-from .mesh import ShardedBSGSEngine  # noqa: F401
+from .mesh import ShardedBSGSEngine, ShardedTableBSGSEngine  # noqa: F401

@@ -207,3 +207,278 @@ class ShardedBSGSEngine(BSGSEngine):
         for f in found:
             seen[(f.private_key, f.target)] = f
         return list(seen.values())
+
+
+class ShardedTableBSGSEngine(ShardedBSGSEngine):
+    """BSGS with the BABY TABLE (and its bitmap) sharded across devices.
+
+    The replicated-table engine caps m at one chip's HBM; here each device
+    owns a contiguous slice of the sorted table plus a bitmap sized for
+    its slice only (total memory across the mesh = one global structure,
+    so m scales with device count — SURVEY.md §2.4's "shard the big
+    shared thing", the reference's 256-way first-byte bloom sharding,
+    keyhunt.cpp:1216-1304, lifted to the mesh).
+
+    Membership becomes a collective: every device walks its own range
+    slice, all-gathers the (qhi, qlo) truncations over ICI each step, and
+    probes its LOCAL shard for ALL devices' queries — a query's key lives
+    on exactly one shard, so per-device hits are disjoint and the union
+    (host-side decode over the (prober, ...) summary axis) is exact.
+    """
+
+    def __init__(
+        self,
+        pubkeys: Sequence[Tuple[int, int]],
+        range_start: int,
+        range_end: int,
+        params: BSGSParams = BSGSParams(),
+        table: Optional[st.SortedXTable] = None,
+        devices: Optional[list] = None,
+    ):
+        devs = devices if devices is not None else jax.devices()
+        d = len(devs)
+        # skip the parent's GLOBAL bitmap build (the whole point is that
+        # no single device holds the global structure)
+        dummy = bmp.DeviceBitmap(jnp.zeros(1, dtype=jnp.uint32), 5)
+        BSGSEngine.__init__(
+            self, pubkeys, range_start, range_end, params, table=table,
+            bitmap=dummy,
+        )
+        self.mesh = Mesh(np.array(devs), ("shard",))
+        self.n_shards = d
+        window = params.block_u * self.stride
+        self.slices = RangePartitioner.split_equal(
+            range_start, range_end, d, window
+        )
+        self.local_steps = max(
+            1,
+            math.ceil(
+                max(1, math.ceil((range_end - range_start) / window)) / d
+            ),
+        )
+        self._shard_structures()
+        self._sharded_chunk = self._make_sharded_table_chunk()
+
+    def _shard_structures(self) -> None:
+        """Slice the sorted table into D contiguous row shards (sorted
+        order = contiguous 64-bit key ranges) and build one bitmap per
+        shard sized for its slice (bits_global - log2 D)."""
+        d = self.n_shards
+        hi = np.asarray(self.table.hi)
+        lo = np.asarray(self.table.lo)
+        idx = np.asarray(self.table.idx)
+        m = len(hi)
+        rows = -(-m // d)
+        pad = rows * d - m
+        if pad:
+            # sentinel padding: max key with payload 0 (j = 0 is invalid
+            # and ignored by the decoder)
+            hi = np.concatenate([hi, np.full(pad, 0xFFFFFFFF, np.uint32)])
+            lo = np.concatenate([lo, np.full(pad, 0xFFFFFFFF, np.uint32)])
+            idx = np.concatenate([idx, np.zeros(pad, np.uint32)])
+        self._shard_bits = (
+            self.p.bits_log2
+            if self.p.bits_log2 is not None
+            else bmp.default_bits_log2(rows)
+        )
+        shard = jax.sharding.NamedSharding(self.mesh, P("shard"))
+        self.tbl_hi = jax.device_put(hi.reshape(d, rows), shard)
+        self.tbl_lo = jax.device_put(lo.reshape(d, rows), shard)
+        self.tbl_idx = jax.device_put(idx.reshape(d, rows), shard)
+        words = np.stack([
+            np.asarray(
+                bmp.build_bitmap(
+                    hi[s * rows : (s + 1) * rows],
+                    lo[s * rows : (s + 1) * rows],
+                    self._shard_bits,
+                    on_device=False,
+                ).words
+            )
+            for s in range(d)
+        ])
+        self.bmp_words = jax.device_put(words, shard)
+        # keep only a HOST copy of the global table (exact-rescan dict +
+        # persistence); holding the full device copy on device 0 would
+        # defeat the memory scaling this engine exists for
+        self.table = st.SortedXTable(hi[: m], lo[: m], idx[: m])
+
+    def _make_sharded_table_chunk(self):
+        T = len(self.targets)
+        U = self.p.block_u
+        K = self.p.steps_per_chunk
+        chain = self.p.chain_len
+        C = self.p.cand_max
+        D = self.n_shards
+        bits = self._shard_bits
+
+        def local_chunk(px, py, tab_x, tab_y, adv_x, adv_y, words, thi, tlo, tidx):
+            """px/py: (1, T, 8) local walk state; words/t*: (1, ...) local
+            table/bitmap shard; tab/adv: replicated walk constants."""
+            bitmap = bmp.DeviceBitmap(words.reshape(-1), bits)
+            table = st.SortedXTable(
+                thi.reshape(-1), tlo.reshape(-1), tidx.reshape(-1)
+            )
+            px = px.reshape(T, 8)
+            py = py.reshape(T, 8)
+
+            def body(carry, _):
+                cx, cy = carry
+                pb = points.PointBatch(cx, cy, jnp.zeros((T,), dtype=bool))
+                res = walk.walk_fused(
+                    pb, tab_x, tab_y, adv_x, adv_y, chain_len=chain
+                )
+                qhi, qlo = st.trunc64_from_limbs(res.x_plus)  # (T, U)
+                deg = res.degenerate.at[:, U - 1].set(
+                    res.degenerate[:, U - 1] | res.adv_degenerate
+                )
+                # the collective: everyone sees everyone's queries, each
+                # probes its own shard (hits are disjoint across shards)
+                qh_all = jax.lax.all_gather(qhi.reshape(-1), "shard")
+                ql_all = jax.lax.all_gather(qlo.reshape(-1), "shard")
+                deg_all = jax.lax.all_gather(
+                    deg.reshape(-1).astype(jnp.uint8), "shard"
+                )
+                fl = bmp.filtered_lookup(
+                    bitmap, table, qh_all.reshape(-1), ql_all.reshape(-1), C
+                )
+                live = deg_all.reshape(-1)[
+                    jnp.minimum(fl.pos, D * T * U - 1)
+                ] == 0
+                cand_pos = jnp.where(
+                    (fl.result.found | fl.result.found2) & live,
+                    fl.pos,
+                    D * T * U,
+                )
+                cand_j = jnp.where(fl.result.found & live, fl.result.idx, 0)
+                cand_j2 = jnp.where(fl.result.found2 & live, fl.result.idx2, 0)
+                n_deg = deg.sum(axis=1).astype(jnp.int32)  # local walker's
+                first_deg = jnp.argmax(deg, axis=1).astype(jnp.int32)
+                degsum = jnp.stack(
+                    [n_deg, first_deg, res.adv_degenerate.astype(jnp.int32)]
+                )
+                out = jnp.concatenate(
+                    [
+                        cand_pos.astype(jnp.int32),
+                        cand_j.astype(jnp.int32),
+                        cand_j2.astype(jnp.int32),
+                        degsum.reshape(-1),
+                        fl.n_candidates[None],
+                    ]
+                )  # (3C + 3T + 1,)
+                return (res.adv_x, res.adv_y), out
+
+            (px, py), outs = jax.lax.scan(body, (px, py), None, length=K)
+            cand_pos = outs[:, :C]
+            degsum_n = outs[:, 3 * C : 3 * C + T]
+            ncand = outs[:, 3 * C + 3 * T]
+            local_interest = (
+                (cand_pos < D * T * U).sum() + degsum_n.sum() + (ncand > C).sum()
+            )
+            total_interest = jax.lax.psum(local_interest, "shard")
+            return px[None], py[None], outs[None], total_interest
+
+        smapped = shard_map(
+            local_chunk,
+            mesh=self.mesh,
+            in_specs=(P("shard"), P("shard")) + (P(),) * 4
+            + (P("shard"),) * 4,
+            out_specs=(P("shard"), P("shard"), P("shard"), P()),
+            check_vma=False,
+        )
+        jitted = jax.jit(smapped)
+
+        def chunk(px, py):
+            return jitted(
+                px, py, self.tab_x, self.tab_y, self.adv_x, self.adv_y,
+                self.bmp_words, self.tbl_hi, self.tbl_lo, self.tbl_idx,
+            )
+
+        return chunk
+
+    def search_sharded(
+        self,
+        max_steps: Optional[int] = None,
+        stop_on_first: bool = True,
+        progress_every: int = 0,
+    ) -> List[FoundKey]:
+        p = self.p
+        T = len(self.targets)
+        U = p.block_u
+        C = p.cand_max
+        D = self.n_shards
+        try:
+            px, py = self._initial_bases_sharded()
+        except _ImmediateHit as hit:
+            return self._try_candidates([hit.scalar])
+        total = (
+            self.local_steps
+            if max_steps is None
+            else min(self.local_steps, max_steps)
+        )
+        found: List[FoundKey] = []
+        step = 0
+        while step < total:
+            k = min(p.steps_per_chunk, total - step)
+            px, py, outs, interest = self._sharded_chunk(px, py)
+            rebase = False
+            if int(interest) > 0:
+                arr = np.asarray(outs)  # (D, K, 3C+3T+1)
+                for prober in range(D):
+                    for s in range(k):
+                        row = arr[prober, s]
+                        cand_pos = row[:C]
+                        cand_j = row[C : 2 * C].view(np.uint32)
+                        cand_j2 = row[2 * C : 3 * C].view(np.uint32)
+                        degsum = row[3 * C : 3 * C + 3 * T].reshape(3, T)
+                        ncand = int(row[3 * C + 3 * T])
+                        if ncand > C:
+                            # overflow on this prober's shard: exact host
+                            # rescan of every source's step (disjointness
+                            # lost, so rescan conservatively)
+                            for sl in self.slices:
+                                found += self._host_rescan_step(
+                                    sl.step0 + step + s
+                                )
+                        for c in np.nonzero(cand_pos < D * T * U)[0]:
+                            pos = int(cand_pos[c])
+                            d_src, rem = divmod(pos, T * U)
+                            t, u0 = divmod(rem, U)
+                            g_step = self.slices[d_src].step0 + step + s
+                            cands = []
+                            for j in (int(cand_j[c]), int(cand_j2[c])):
+                                if j:
+                                    cands += self._candidates_for_hit(
+                                        g_step, u0 + 1, j
+                                    )
+                            found += self._try_candidates(cands, t)
+                        # walker degeneracies: reported by the SOURCE
+                        # device only (prober == source for degsum)
+                        for t in range(T):
+                            if degsum[0, t] > 0:
+                                u = int(degsum[1, t]) + 1
+                                g_step = self.slices[prober].step0 + step + s
+                                found += self._try_candidates(
+                                    self._candidates_for_degenerate(g_step, u),
+                                    t,
+                                )
+                            rebase = rebase or bool(degsum[2, t])
+                found = self._dedupe(found)
+                if found and stop_on_first:
+                    self.stats.add(k * D * U * self.stride)
+                    return found
+            self.stats.add(k * D * U * self.stride)
+            step += p.steps_per_chunk
+            if rebase and step < total:
+                try:
+                    px, py = self._initial_bases_sharded(step)
+                except _ImmediateHit as hit:
+                    found += self._try_candidates([hit.scalar])
+                    if found and stop_on_first:
+                        return self._dedupe(found)
+                    break
+            if progress_every and (step // p.steps_per_chunk) % progress_every == 0:
+                print(
+                    f"[bsgs-sharded-table] local step {step}/{total} "
+                    f"{self.stats.human()}"
+                )
+        return found

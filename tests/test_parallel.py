@@ -63,3 +63,36 @@ def test_sharded_matches_single_device(table):
     sharded = ShardedBSGSEngine([pub], a, b, PARAMS, table=table).search_sharded()
     assert [f.private_key for f in single] == [key]
     assert key in [f.private_key for f in sharded]
+
+
+@pytest.mark.parametrize("key_pos", ["low", "high"])
+def test_sharded_table_recovery(table, key_pos):
+    """Table+bitmap sharded across devices: queries all_gathered, each
+    device probes its own slice, union of per-prober summaries is exact."""
+    from keyhuntm1cpu_tpu.parallel import ShardedTableBSGSEngine
+
+    a = 0x500000
+    b = a + 2**20
+    key = {"low": a + 123, "high": b - 55}[key_pos]
+    eng = ShardedTableBSGSEngine(
+        [ecref.scalar_mult(key)], a, b, PARAMS, table=table
+    )
+    # every device holds only 1/8th of the table
+    assert eng.tbl_hi.shape == (8, -(-512 // 8))
+    found = eng.search_sharded(stop_on_first=False)
+    assert key in [f.private_key for f in found]
+
+
+def test_sharded_table_matches_replicated(table):
+    from keyhuntm1cpu_tpu.engine import BSGSEngine
+    from keyhuntm1cpu_tpu.parallel import ShardedTableBSGSEngine
+
+    a, b = 0x700000, 0x700000 + 2**19
+    key = a + 0x6789A
+    pub = ecref.scalar_mult(key)
+    single = BSGSEngine([pub], a, b, PARAMS, table=table).search()
+    sharded = ShardedTableBSGSEngine(
+        [pub], a, b, PARAMS, table=table
+    ).search_sharded()
+    assert [f.private_key for f in single] == [key]
+    assert key in [f.private_key for f in sharded]
