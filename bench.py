@@ -135,11 +135,30 @@ def main():
         f"{pts_per_sec:,.0f} giant-steps/s, {keys_per_sec:.3e} keys/s "
         f"(m={M}, U={BLOCK_U}, build {build_s:.1f}s, total {time.time()-t_start:.1f}s)")
 
+    # --- per-mode gated benches (VERDICT #6): every mode behind its own
+    # bit-exact recovery gate so round-over-round regressions are visible
+    modes = {}
+    if os.environ.get("BENCH_MODES", "1") not in ("0", "off"):
+        import bench_modes
+
+        try:
+            modes = bench_modes.run_all(
+                seconds=float(os.environ.get("BENCH_MODE_SECONDS", 5.0))
+            )
+            modes["bsgs_t16"] = bench_modes.bench_bsgs_multitarget(
+                eng.table, eng.bitmap, params,
+                seconds=float(os.environ.get("BENCH_MODE_SECONDS", 5.0)),
+            )
+        except Exception as e:  # mode bench failure must not hide the
+            log(f"[W] mode benches failed: {e}")  # headline result
+            modes = {"error": str(e)}
+
     print(json.dumps({
         "metric": "bsgs_keys_per_sec_chip",
         "value": keys_per_sec,
         "unit": "keys/s",
         "vs_baseline": keys_per_sec / 1.2e9,
+        "modes": modes,
     }))
 
 

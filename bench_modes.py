@@ -1,0 +1,182 @@
+"""Per-mode gated micro-benches (VERDICT #6: every mode visible per round).
+
+Each mode first passes a bit-exact recovery GATE (planted keys must be
+found) at small shapes, then measures steady-state throughput at tuned
+production shapes. Imported by bench.py; returns a dict of
+  {mode: {"keys_per_sec": float, "gate": "ok"}}
+Any gate failure raises (the bench must not report rates for broken modes).
+"""
+
+import os
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _mk(mode):
+    from keyhuntm1cpu_tpu.ref import ecref, hashref
+
+    return {
+        "rmd160": lambda pt: hashref.pubkey_to_hash160(pt, compressed=True),
+        "xpoint": lambda pt: pt[0].to_bytes(32, "big"),
+        "eth": hashref.pubkey_to_eth_address,
+        "address_u": lambda pt: hashref.pubkey_to_hash160(pt, compressed=False),
+    }[mode]
+
+
+def bench_brute_modes(seconds=5.0, gate_only=False):
+    """rmd160 / xpoint / eth / address_u on the fused kernel path."""
+    from keyhuntm1cpu_tpu.engine.brute import BruteEngine, BruteParams
+    from keyhuntm1cpu_tpu.ref import ecref
+    from keyhuntm1cpu_tpu.utils.targets import TargetSet
+
+    kindmap = {"rmd160": "hash160", "xpoint": "xpoint", "eth": "eth",
+               "address_u": "hash160"}
+    out = {}
+    for mode in ("rmd160", "xpoint", "eth", "address_u"):
+        mk = _mk(mode)
+        # gate: recover keys 1..32 over a tiny range (fused kernel shapes)
+        keys = list(range(1, 33))
+        raw = [mk(ecref.scalar_mult(k)) for k in keys]
+        ts = TargetSet(kind=kindmap[mode], raw=raw,
+                       labels=[str(k) for k in keys])
+        gate_params = BruteParams(block_u=256, steps_per_chunk=4,
+                                  pallas_sb=4, pallas="on", chunk_cand=64)
+        eng = BruteEngine(ts, 1, 4097, mode=mode, params=gate_params)
+        got = sorted(f.private_key for f in eng.search(stop_on_first=False))
+        missing = [k for k in keys if k not in got]
+        assert not missing, f"{mode} gate FAILED: missing {missing}"
+        log(f"[gate] {mode}: keys 1..32 recovered bit-exact")
+        if gate_only:
+            out[mode] = {"gate": "ok"}
+            continue
+        # rate at tuned shapes
+        params = BruteParams(block_u=16384, steps_per_chunk=256,
+                             pallas_sb=4, pallas="on")
+        eng = BruteEngine(ts, 1 << 40, (1 << 40) + (1 << 50), mode=mode,
+                          params=params)
+        eng.search(max_steps=params.steps_per_chunk)  # compile + warm
+        n = max(1, int(seconds / 0.11))  # ~110ms per 4M-pt chunk
+        t0 = time.time()
+        eng.search(max_steps=n * params.steps_per_chunk)
+        dt = time.time() - t0
+        rate = n * params.steps_per_chunk * params.block_u / dt
+        eff = rate * eng.stats.multiplier
+        out[mode] = {"keys_per_sec": eff, "gate": "ok"}
+        log(f"[bench] {mode}: {eff/1e6:.1f}M keys/s effective "
+            f"(mult {eng.stats.multiplier})")
+    return out
+
+
+def bench_minikeys(seconds=5.0, gate_only=False):
+    from keyhuntm1cpu_tpu.engine.minikeys import (
+        LOW_SPAN, MinikeyEngine, MinikeyParams, _b58_digits,
+    )
+    from keyhuntm1cpu_tpu.ref import ecref, hashref
+    from keyhuntm1cpu_tpu.utils.targets import targets_from_ints
+
+    prefix = "Sbenchmark1x"[:12]
+    mk = None
+    for c in range(1 << 18):
+        s = prefix + _b58_digits(c // LOW_SPAN, 5) + _b58_digits(c % LOW_SPAN, 5)
+        if hashref.sha256((s + "?").encode())[0] == 0:
+            mk = s
+            break
+    k = int.from_bytes(hashref.sha256(mk.encode()), "big")
+    ts = targets_from_ints(
+        "hash160",
+        [hashref.pubkey_to_hash160(ecref.scalar_mult(k), compressed=False)],
+    )
+    params = MinikeyParams()
+    eng = MinikeyEngine(ts, prefix=prefix, params=params)
+    found = eng.search(max_chunks=1)
+    assert found and found[0].private_key == k, "minikeys gate FAILED"
+    log(f"[gate] minikeys: planted minikey {mk} recovered bit-exact")
+    if gate_only:
+        return {"gate": "ok"}
+    eng.counter = 1 << 31
+    n = max(2, int(seconds / 0.014))
+    t0 = time.time()
+    eng.search(max_chunks=n, stop_on_first=False)
+    dt = time.time() - t0
+    rate = n * params.batch / dt
+    log(f"[bench] minikeys: {rate/1e6:.2f}M minikeys/s")
+    return {"keys_per_sec": rate, "gate": "ok"}
+
+
+def bench_vanity(seconds=5.0, gate_only=False):
+    from keyhuntm1cpu_tpu.engine.brute import BruteEngine, BruteParams
+    from keyhuntm1cpu_tpu.engine.vanity import vanity_intervals
+    from keyhuntm1cpu_tpu.ref import ecref, hashref
+    from keyhuntm1cpu_tpu.utils.targets import TargetSet
+
+    addr = hashref.pubkey_to_address(ecref.scalar_mult(777), compressed=True)
+    pref = addr[:5]
+    ivs = vanity_intervals(pref)
+    gate_params = BruteParams(block_u=256, steps_per_chunk=4, pallas_sb=4,
+                              pallas="on", chunk_cand=64)
+    eng = BruteEngine(TargetSet(kind="hash160", raw=[], labels=[]), 1, 2049,
+                      mode="rmd160", params=gate_params,
+                      intervals=ivs, prefixes=[pref])
+    found = eng.search()
+    assert any(f.private_key == 777 for f in found), "vanity gate FAILED"
+    log(f"[gate] vanity: prefix {pref} -> key 777 recovered")
+    if gate_only:
+        return {"gate": "ok"}
+    params = BruteParams(block_u=16384, steps_per_chunk=256, pallas_sb=4,
+                         pallas="on")
+    eng = BruteEngine(TargetSet(kind="hash160", raw=[], labels=[]),
+                      1 << 40, (1 << 40) + (1 << 50), mode="rmd160",
+                      params=params, intervals=ivs, prefixes=[pref])
+    eng.search(max_steps=params.steps_per_chunk)
+    n = max(1, int(seconds / 0.11))
+    t0 = time.time()
+    eng.search(max_steps=n * params.steps_per_chunk)
+    dt = time.time() - t0
+    eff = n * params.steps_per_chunk * params.block_u / dt * 2
+    log(f"[bench] vanity: {eff/1e6:.1f}M keys/s effective (both parities)")
+    return {"keys_per_sec": eff, "gate": "ok"}
+
+
+def bench_bsgs_multitarget(table, bitmap, params, seconds=5.0):
+    """T=16 variant of the headline: total range keys/s (coverage is split
+    across the 16 pubkeys, matching the reference's per-target hot loop)."""
+    import numpy as np
+
+    from keyhuntm1cpu_tpu.engine.bsgs import BSGSEngine
+    from keyhuntm1cpu_tpu.ref import ecref
+
+    pubs = [ecref.scalar_mult(0x1000 + 7 * i) for i in range(16)]
+    eng = BSGSEngine(pubs, 1 << 63, 1 << 64, params, table=table,
+                     bitmap=bitmap)
+    base = eng._initial_base(0)
+    px, py = base.x, base.y
+    px, py, outs = eng._chunk_fn(px, py)
+    np.asarray(outs)
+    t0 = time.time()
+    chunks = 0
+    inflight = []
+    while time.time() - t0 < seconds:
+        px, py, outs = eng._chunk_fn(px, py)
+        outs.copy_to_host_async()
+        inflight.append(outs)
+        if len(inflight) > 8:
+            np.asarray(inflight.pop(0))
+        chunks += 1
+    for o in inflight:
+        np.asarray(o)
+    dt = time.time() - t0
+    rate = chunks * params.steps_per_chunk * params.block_u * eng.stride / dt
+    log(f"[bench] bsgs T=16: {rate:.3e} range-keys/s")
+    return {"keys_per_sec": rate, "gate": "n/a (headline gate covers bsgs)"}
+
+
+def run_all(seconds=5.0):
+    out = {}
+    out.update(bench_brute_modes(seconds))
+    out["minikeys"] = bench_minikeys(seconds)
+    out["vanity"] = bench_vanity(seconds)
+    return out

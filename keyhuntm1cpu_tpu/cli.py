@@ -89,8 +89,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="matrix mode: plain newline output (reference -M)")
     p.add_argument("--all", action="store_true",
                    help="keep searching after the first found key")
+    p.add_argument("-l", "--look", default=None,
+                   choices=["compress", "uncompress", "both"],
+                   help="pubkey form(s) to hash (reference -l): both scans "
+                        "compressed AND uncompressed in one run")
     p.add_argument("--uncompressed", action="store_true",
-                   help="hash uncompressed pubkeys (reference -l uncompress)")
+                   help="alias for -l uncompress")
     p.add_argument("-v", "--vanity", action="append", default=[],
                    help="vanity prefix (repeatable; reference -v)")
     p.add_argument("-C", "--minikey-prefix", default=None,
@@ -151,6 +155,11 @@ def _run(args, log) -> int:
 
     found = []
     eng = None
+    ckmgr = (
+        CheckpointManager(args.checkpoint, every_s=args.checkpoint_every)
+        if args.checkpoint
+        else None
+    )
 
     if args.mode in ("bsgs",) + BRUTE_MODES and args.range is None:
         log.error("-r start:end is required for this mode")
@@ -175,11 +184,6 @@ def _run(args, log) -> int:
                 log.plus(f"loaded baby table from {cache}")
             except (FileNotFoundError, ValueError):
                 table = None
-        ckmgr = (
-            CheckpointManager(args.checkpoint, every_s=args.checkpoint_every)
-            if args.checkpoint
-            else None
-        )
         if args.sharded:
             from .parallel import ShardedBSGSEngine
 
@@ -207,8 +211,10 @@ def _run(args, log) -> int:
                 "xpoint": "xpoint", "eth": "eth"}[args.mode]
         targets = parse_target_file_cached(args.file, kind)
         mode = args.mode
-        if mode == "address" and args.uncompressed:
-            mode = "address_u"
+        look = args.look or ("uncompress" if args.uncompressed else "compress")
+        if mode in ("address", "rmd160"):
+            mode = {"compress": mode, "uncompress": "address_u",
+                    "both": "rmd160_both"}[look]
         params = BruteParams(
             walkers=args.walkers,
             block_u=args.block_u,
@@ -218,7 +224,17 @@ def _run(args, log) -> int:
             random_mode=args.random_mode,
             seed=args.seed,
         )
-        eng = BruteEngine(targets, a, b, mode=mode, params=params)
+        intervals, prefixes = [], []
+        if args.vanity and args.mode in ("address", "rmd160"):
+            # -v composed with address mode (keyhunt.cpp:6270-6272): the
+            # same scan also flags hash160s inside the vanity intervals
+            from .engine.vanity import vanity_intervals
+
+            for pref in args.vanity:
+                intervals += vanity_intervals(pref)
+            prefixes = list(args.vanity)
+        eng = BruteEngine(targets, a, b, mode=mode, params=params,
+                          intervals=intervals, prefixes=prefixes)
         # --max-chunks counts device CHUNKS everywhere; brute engines count
         # device steps, so convert (chunk = chunk_steps device steps)
         max_steps = (
@@ -230,6 +246,7 @@ def _run(args, log) -> int:
             stop_on_first=not args.all,
             progress_every=progress,
             max_steps=max_steps,
+            checkpoint=ckmgr,
         )
     elif args.mode == "minikeys":
         from .engine.minikeys import MinikeyEngine, MinikeyParams
@@ -249,6 +266,7 @@ def _run(args, log) -> int:
             max_chunks=args.max_chunks or (1 << 30),
             stop_on_first=not args.all,
             progress_every=progress,
+            checkpoint=ckmgr,
         )
     elif args.mode == "vanity":
         from .engine.vanity import VanityEngine, VanityParams
@@ -261,25 +279,58 @@ def _run(args, log) -> int:
             log.error("vanity mode needs -v prefixes or -f prefix file")
             return 2
         a, b = args.range or (1, 1 << 63)
-        eng = VanityEngine(
-            prefixes,
-            a,
-            b,
-            params=VanityParams(
-                walkers=args.walkers,
-                block_u=args.block_u,
-                steps_per_chunk=args.chunk_steps,
-            ),
+        import jax as _jax
+
+        max_steps = (
+            args.max_chunks * args.chunk_steps
+            if args.max_chunks is not None
+            else None
         )
-        found = eng.search(
-            stop_on_first=not args.all,
-            max_steps=(
-                args.max_chunks * args.chunk_steps
-                if args.max_chunks is not None
-                else None
-            ),
-            progress_every=progress,
-        )
+        look = args.look or "compress"
+        if _jax.default_backend() != "cpu":
+            # fused-kernel vanity: interval membership inside the brute
+            # walk kernel (gather-free, pipelined)
+            from .engine.vanity import vanity_intervals
+            from .utils.targets import TargetSet
+
+            intervals = []
+            for pref in prefixes:
+                intervals += vanity_intervals(pref)
+            eng = BruteEngine(
+                TargetSet(kind="hash160", raw=[], labels=[]),
+                a, b,
+                mode="rmd160_both" if look == "both" else "rmd160",
+                params=BruteParams(
+                    block_u=max(4096, args.block_u),
+                    steps_per_chunk=max(32, args.chunk_steps),
+                    endo=args.endo,
+                ),
+                intervals=intervals,
+                prefixes=prefixes,
+            )
+            found = eng.search(
+                stop_on_first=not args.all,
+                max_steps=max_steps,
+                progress_every=progress,
+                checkpoint=ckmgr,
+            )
+        else:
+            eng = VanityEngine(
+                prefixes,
+                a,
+                b,
+                params=VanityParams(
+                    walkers=args.walkers,
+                    block_u=args.block_u,
+                    steps_per_chunk=args.chunk_steps,
+                ),
+            )
+            found = eng.search(
+                stop_on_first=not args.all,
+                max_steps=max_steps,
+                progress_every=progress,
+                checkpoint=ckmgr,
+            )
 
     if eng is not None:
         log.plus(f"{eng.stats.human()} ({eng.stats.keys_covered:.3e} keys)")

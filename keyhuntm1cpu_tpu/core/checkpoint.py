@@ -42,6 +42,8 @@ class Checkpoint:
     keys_covered: int = 0
     elapsed_s: float = 0.0
     found: list = field(default_factory=list)  # hex private keys already found
+    extra: dict = field(default_factory=dict)  # mode-specific position
+    # state (e.g. the minikey engine's base58 counter + prefix)
     version: int = VERSION
     saved_at: float = 0.0
 

@@ -49,12 +49,12 @@ from . import pwalk
 
 LANES = 128
 
-MODES = ("xpoint", "rmd160", "eth", "address_u")
+MODES = ("xpoint", "rmd160", "eth", "address_u", "rmd160_both")
 
 
 def n_qsets(mode: str, n_endo: int) -> int:
     """Query-set pairs emitted per walk point."""
-    per = 2 if mode == "rmd160" else 1
+    per = {"rmd160": 2, "rmd160_both": 3}.get(mode, 1)
     return per * n_endo
 
 
@@ -67,15 +67,30 @@ def _const_tile(like: jnp.ndarray, value: int) -> jnp.ndarray:
     )
 
 
+def _bswap(x):
+    return (
+        ((x & 0xFF) << 24)
+        | ((x & 0xFF00) << 8)
+        | ((x >> 8) & 0xFF00)
+        | (x >> 24)
+    )
+
+
 def _brute_kernel(bx_ref, by_ref, tabx_ref, taby_ref, tgt_ref,
                   hit_ref, dens, prefs,
                   SB: int, U: int, mode: str, n_endo: int, T: int):
-    """One grid block: SB steps x U offsets; emits packed hit words."""
+    """One grid block: SB steps x U offsets; emits packed hit words.
+
+    Membership is INTERVAL containment against T SMEM-resident 64-bit
+    big-endian bounds (tgt rows: [lo_hi, lo_lo, hi_hi, hi_lo]): an exact
+    target is a point interval (lo == hi), a vanity prefix is a real
+    range — one compare path serves both, and composes them (the
+    reference's -v alongside address mode, keyhunt.cpp:6270-6272)."""
     rows = U // LANES
     g = pl.program_id(0)
     tx = tabx_ref[:, :, :]  # (8, rows, 128)
     ty = taby_ref[:, :, :]
-    needs_y = mode in ("eth", "address_u")
+    needs_y = mode in ("eth", "address_u", "rmd160_both")
 
     def build(s, _):
         bx = jnp.broadcast_to(bx_ref[:, pl.ds(g * SB + s, 1), :], tx.shape)
@@ -112,20 +127,35 @@ def _brute_kernel(bx_ref, by_ref, tabx_ref, taby_ref, tgt_ref,
                 xv = ft.mul(x3, beta if e == 1 else beta2)
             xl = [xv[i] for i in range(8)]
             if mode == "xpoint":
-                pairs = [(xv[0], xv[1])]
+                # raw low-64 limbs; exact-only targets use the same packing
+                pairs = [(xv[1], xv[0])]
             elif mode == "rmd160":
                 pairs = [
                     phash.hash160_parity_words(xl, 2),
                     phash.hash160_parity_words(xl, 3),
                 ]
+            elif mode == "rmd160_both":
+                pairs = [
+                    phash.hash160_parity_words(xl, 2),
+                    phash.hash160_parity_words(xl, 3),
+                    phash.hash160_u_words(xl, yl),
+                ]
             elif mode == "eth":
                 pairs = [phash.keccak_eth_words(xl, yl)]
             else:  # address_u
                 pairs = [phash.hash160_u_words(xl, yl)]
-            for lo_w, hi_w in pairs:
-                m = jnp.zeros_like(lo_w, dtype=jnp.bool_)
+            if mode != "xpoint":
+                # digest words are LE-packed; interval order is byte-
+                # lexicographic -> compare big-endian (bytes 0..7)
+                pairs = [(_bswap(lo_w), _bswap(hi_w)) for lo_w, hi_w in pairs]
+            for a, b in pairs:  # a = high 32 bits, b = low 32 bits
+                m = jnp.zeros_like(a, dtype=jnp.bool_)
                 for t in range(T):
-                    m = m | ((lo_w == tgt_ref[0, t]) & (hi_w == tgt_ref[1, t]))
+                    lo_h, lo_l = tgt_ref[0, t], tgt_ref[1, t]
+                    hi_h, hi_l = tgt_ref[2, t], tgt_ref[3, t]
+                    ge = (a > lo_h) | ((a == lo_h) & (b >= lo_l))
+                    le = (a < hi_h) | ((a == hi_h) & (b <= hi_l))
+                    m = m | (ge & le)
                 hit = hit | (m.astype(jnp.uint32) << q)
                 q += 1
         # degenerate lanes produced garbage x3: suppress their hash hits,
@@ -237,17 +267,24 @@ def pallas_brute_chunk(px, py, tab_x_lm, tab_y_lm, ax, ay, tgt,
     return nx[:, 0, 0], ny[:, 0, 0], out
 
 
-def pad_targets(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
-    """(2, T_pad) uint32 target words, padded to the next power of two
+def pack_intervals(lo64, hi64) -> np.ndarray:
+    """(4, T_pad) uint32 interval bounds [lo_hi, lo_lo, hi_hi, hi_lo]
+    from 64-bit big-endian lo/hi values; padded to the next power of two
     (>= 8) by repeating entry 0 — bounds kernel recompiles per target-set
-    size while keeping the unrolled compare loop tight."""
-    t = len(lo)
+    size while keeping the unrolled compare loop tight. Exact targets are
+    point intervals (lo == hi)."""
+    t = len(lo64)
+    if t == 0:
+        raise ValueError("empty target/interval set")
     tp = 8
     while tp < t:
         tp *= 2
-    out = np.empty((2, tp), dtype=np.uint32)
-    out[0, :t] = lo
-    out[1, :t] = hi
-    out[0, t:] = lo[0]
-    out[1, t:] = hi[0]
+    out = np.empty((4, tp), dtype=np.uint32)
+    for i in range(tp):
+        lo = int(lo64[i] if i < t else lo64[0])
+        hi = int(hi64[i] if i < t else hi64[0])
+        out[0, i] = (lo >> 32) & 0xFFFFFFFF
+        out[1, i] = lo & 0xFFFFFFFF
+        out[2, i] = (hi >> 32) & 0xFFFFFFFF
+        out[3, i] = hi & 0xFFFFFFFF
     return out

@@ -93,15 +93,28 @@ class BruteEngine:
         mode: str = "rmd160",
         params: BruteParams = BruteParams(),
         compressed: bool = True,
+        intervals=None,  # [(lo20, hi20)] hash160 bounds (vanity ranges);
+        # composes with exact targets in one scan (reference -v alongside
+        # address mode, keyhunt.cpp:6270-6272). Kernel path only.
+        prefixes=None,  # address prefixes for exact host verification of
+        # interval hits
     ):
-        if mode not in ("xpoint", "rmd160", "address", "address_u", "eth"):
+        if mode not in ("xpoint", "rmd160", "address", "address_u", "eth",
+                        "rmd160_both"):
             raise ValueError(f"bad mode {mode}")
         if not (1 <= range_start < range_end <= ecref.N):
             raise ValueError("bad range")
         self.mode = "rmd160" if mode == "address" else mode
         self.targets = targets
-        self.table = targets.build_table()
-        self.bitmap = targets.build_bitmap()
+        self.intervals = list(intervals or [])
+        self.prefixes = list(prefixes or [])
+        if len(targets.raw) > 0:
+            self.table = targets.build_table()
+            self.bitmap = targets.build_bitmap()
+        else:
+            if not self.intervals:
+                raise ValueError("no targets and no intervals")
+            self.table = self.bitmap = None  # interval-only (kernel path)
         self.a = range_start
         self.b = range_end
         self.p = params
@@ -111,6 +124,8 @@ class BruteEngine:
         mult = 1
         if self.mode in ("rmd160",):
             mult = 2  # both parities cover k and n-k
+        elif self.mode == "rmd160_both":
+            mult = 3  # +-k compressed plus k uncompressed (-l both)
         if params.endo and self.mode in ("rmd160", "xpoint"):
             mult *= 3
         self.stats.multiplier = mult
@@ -164,14 +179,15 @@ class BruteEngine:
         C = self.p.cand_max
         chain = self.p.chain_len
         mode = self.mode
-        needs_y = mode in ("eth", "address_u")
+        needs_y = mode in ("eth", "address_u", "rmd160_both")
         n_endo = 3 if self.p.endo else 1
-        # query sets per point: endo variants x (2 parities for rmd160)
-        self.n_qsets = n_endo * (2 if mode == "rmd160" else 1)
+        # query sets per point: endo variants x (2 parities for rmd160,
+        # 3 forms for rmd160_both)
+        self.n_qsets = n_endo * {"rmd160": 2, "rmd160_both": 3}.get(mode, 1)
         nq = self.n_qsets
         bits_log2 = self.bitmap.bits_log2
         use_phash = (
-            mode in ("rmd160", "eth", "address_u")
+            mode in ("rmd160", "eth", "address_u", "rmd160_both")
             and jax.default_backend() != "cpu"
             and os.environ.get("KEYHUNT_PALLAS_HASH", "auto") not in ("0", "off")
         )
@@ -202,7 +218,7 @@ class BruteEngine:
             return False
         ok = (
             self.mode in pbrute.MODES
-            and len(self.targets.raw) <= p.compare_max
+            and len(self.targets.raw) + len(self.intervals) <= p.compare_max
             and p.block_u % 128 == 0
             and p.steps_per_chunk % p.pallas_sb == 0
             and (p.block_u // 128) * p.pallas_sb % 8 == 0
@@ -212,12 +228,19 @@ class BruteEngine:
             if not ok:
                 raise ValueError(
                     "brute pallas path needs mode in "
-                    f"{pbrute.MODES}, <= {p.compare_max} targets, "
+                    f"{pbrute.MODES}, <= {p.compare_max} targets+intervals, "
                     "block_u % 128 == 0, steps_per_chunk % pallas_sb == 0, "
                     "SB*U/128 a positive multiple of 8"
                 )
             return True
-        return ok and jax.default_backend() != "cpu"
+        use = ok and jax.default_backend() != "cpu"
+        if (self.intervals or not len(self.targets.raw)) and not use:
+            raise ValueError(
+                "interval membership (vanity composition / -l both ranges) "
+                "requires the kernel path: set pallas='on' (CPU interprets) "
+                "or run on TPU"
+            )
+        return use
 
     def _init_fast(self, tab_x: np.ndarray, tab_y: np.ndarray) -> None:
         from ..curve import pbrute, pwalk
@@ -225,14 +248,26 @@ class BruteEngine:
         p = self.p
         self._interpret = jax.default_backend() == "cpu"
         self._n_endo_fast = 3 if (p.endo and self.mode in ("rmd160", "xpoint")) else 1
-        self._parities = 2 if self.mode == "rmd160" else 1
+        self._parities = {"rmd160": 2, "rmd160_both": 3}.get(self.mode, 1)
         self._tab_x_lm = pwalk.table_to_limb_major(tab_x)
         self._tab_y_lm = pwalk.table_to_limb_major(tab_y)
         adv = ecref.scalar_mult(p.block_u * self.stride)
         self._adv_x_f = jnp.asarray(fe.int_to_limbs(adv[0]))
         self._adv_y_f = jnp.asarray(fe.int_to_limbs(adv[1]))
-        lo, hi = self.targets.target_words()
-        self._tgt_words = jnp.asarray(pbrute.pad_targets(lo, hi))
+        # membership = 64-bit big-endian intervals: exact targets become
+        # point intervals, vanity prefixes real ranges (one compare path)
+        lo64, hi64 = [], []
+        for raw in self.targets.raw:
+            if self.mode == "xpoint":
+                v = int.from_bytes(raw, "big") & ((1 << 64) - 1)
+            else:
+                v = int.from_bytes(raw[:8], "big")
+            lo64.append(v)
+            hi64.append(v)
+        for lo20, hi20 in self.intervals:
+            lo64.append(int.from_bytes(lo20[:8], "big"))
+            hi64.append(int.from_bytes(hi20[:8], "big"))
+        self._tgt_words = jnp.asarray(pbrute.pack_intervals(lo64, hi64))
         # lattice-shift edge: base(0) = a - stride would be the point at
         # infinity when a == stride; shift by one stride and host-verify
         # the single skipped key
@@ -275,11 +310,58 @@ class BruteEngine:
     def _fast_key(self, j: int) -> int:
         return self._fast_a + j * self.stride
 
+    def _ckpt_load(self, checkpoint):
+        """Load/create a position checkpoint for this run -> (ck, units).
+
+        Units are device steps decoded (sequential scan) or chunks decoded
+        (random mode) — both deterministic, so resume re-derives the exact
+        continuation (the reference only had ops-script log scraping,
+        vastai_deploy.sh:88-106)."""
+        from ..core.checkpoint import Checkpoint, fingerprint
+
+        p = self.p
+        params_fp = fingerprint(
+            self.mode, p.block_u, p.steps_per_chunk, self.stride, p.endo,
+            p.walkers, p.random_mode, p.seed, self._fast,
+        )
+        targets_fp = fingerprint(
+            sorted(self.targets.raw), sorted(self.intervals),
+            sorted(self.prefixes),
+        )
+        policy = "random" if p.random_mode else "sequential"
+        ck = checkpoint.load()
+        if ck is not None:
+            checkpoint.matches(
+                ck, mode=f"brute:{self.mode}", range_start=self.a,
+                range_end=self.b, policy=policy, seed=p.seed,
+                params_fp=params_fp, targets_fp=targets_fp,
+            )
+            self.stats.add(ck.keys_covered)
+            return ck, ck.chunks_done
+        return Checkpoint(
+            mode=f"brute:{self.mode}", range_start=self.a, range_end=self.b,
+            policy=policy, seed=p.seed, params_fp=params_fp,
+            targets_fp=targets_fp,
+        ), 0
+
+    @staticmethod
+    def _ckpt_save(mgr, ck, units, stats, found, new_found, force=False):
+        if mgr is None:
+            return
+        ck.chunks_done = units
+        ck.keys_covered = stats.keys_covered
+        if new_found:
+            ck.found = sorted(
+                set(ck.found) | {f"{f.private_key:x}" for f in found}
+            )
+        mgr.save(ck, force=force or bool(new_found))
+
     def _search_pallas(
         self,
         max_steps: Optional[int] = None,
         stop_on_first: bool = False,
         progress_every: int = 0,
+        checkpoint=None,
     ) -> List[FoundKey]:
         p = self.p
         U, K = p.block_u, p.steps_per_chunk
@@ -307,6 +389,10 @@ class BruteEngine:
         n_chunks = math.ceil(total / K) if total else 0
         chunks_done = 0
         depth = p.pipeline_depth
+        ck = None
+        resumed = 0
+        if checkpoint is not None:
+            ck, resumed = self._ckpt_load(checkpoint)
 
         # bounded pipeline: dispatch up to `depth` chunks ahead so the
         # per-chunk host round trip (~28 ms through the device tunnel —
@@ -317,9 +403,16 @@ class BruteEngine:
         pending: collections.deque = collections.deque()
         disp_step = 0  # next step to dispatch (sequential mode)
         disp_chunks = 0  # chunks dispatched (random mode)
+        if rng is not None:
+            for _ in range(resumed):  # replay consumed draws
+                rng.integers(0, max(1, self._fast_total_steps - K + 1))
+            chunks_done = disp_chunks = min(resumed, n_chunks)
+        else:
+            disp_step = min(resumed, total)
+            chunks_done = disp_step // K
         px = py = None
-        if rng is None and total:
-            px, py = self._fast_base(0)
+        if rng is None and disp_step < total:
+            px, py = self._fast_base(disp_step)
 
         def can_dispatch() -> bool:
             if rng is not None:
@@ -357,7 +450,17 @@ class BruteEngine:
                 take(fk)
             self.stats.add(max(0, min(k_eff, total - step0)) * U)
             chunks_done += 1
+            units = chunks_done if rng is not None else step0 + k_eff
+            done_all = not pending and not can_dispatch()
+            self._ckpt_save(
+                checkpoint, ck, units, self.stats, found, new_found,
+                force=done_all,
+            )
             if found and stop_on_first:
+                self._ckpt_save(
+                    checkpoint, ck, units, self.stats, found, new_found,
+                    force=True,
+                )
                 return found
             if rng is None and k_eff < K:
                 # advance-chain degeneracy: everything dispatched after
@@ -442,23 +545,25 @@ class BruteEngine:
                 x, y = pt
                 for e in range(self._n_endo_fast):
                     xv = x * pow(ecref.BETA, e, ecref.P) % ecref.P
+                    arts = []
                     if self.mode == "xpoint":
-                        match = xv.to_bytes(32, "big") in rawset
-                    elif self.mode == "rmd160":
-                        match = any(
+                        arts = [xv.to_bytes(32, "big")]
+                    elif self.mode in ("rmd160", "rmd160_both"):
+                        arts = [
                             hashref.hash160(bytes([pfx]) + xv.to_bytes(32, "big"))
-                            in rawset
                             for pfx in (2, 3)
+                        ]
+                    if self.mode in ("address_u", "rmd160_both"):
+                        arts.append(
+                            hashref.pubkey_to_hash160((xv, y), compressed=False)
                         )
                     elif self.mode == "eth":
-                        match = (
-                            hashref.pubkey_to_eth_address((xv, y)) in rawset
-                        )
-                    else:  # address_u
-                        match = (
-                            hashref.pubkey_to_hash160((xv, y), compressed=False)
-                            in rawset
-                        )
+                        arts = [hashref.pubkey_to_eth_address((xv, y))]
+                    match = any(a in rawset for a in arts) or any(
+                        lo20[:8] <= a[:8] <= hi20[:8]
+                        for a in arts
+                        for lo20, hi20 in self.intervals
+                    )
                     if match:
                         fk = self._verify(kk * lam_pow[e] % ecref.N, 0)
                         if fk:
@@ -487,33 +592,47 @@ class BruteEngine:
             idx = center
         return self.a + idx * self.stride
 
+    def _artifacts(self, pt):
+        """[(artifact bytes, compressed?)] the mode checks per point."""
+        if self.mode == "xpoint":
+            return [(pt[0].to_bytes(32, "big"), True)]
+        if self.mode == "rmd160":
+            return [(hashref.pubkey_to_hash160(pt, compressed=True), True)]
+        if self.mode == "address_u":
+            return [(hashref.pubkey_to_hash160(pt, compressed=False), False)]
+        if self.mode == "rmd160_both":
+            return [
+                (hashref.pubkey_to_hash160(pt, compressed=True), True),
+                (hashref.pubkey_to_hash160(pt, compressed=False), False),
+            ]
+        return [(hashref.pubkey_to_eth_address(pt), True)]  # eth
+
     def _verify(self, k: int, row: int) -> Optional[FoundKey]:
-        """Exact host check of candidate scalar k against target row."""
+        """Exact host check of candidate scalar k: exact target match
+        first, then vanity-prefix match (interval hits)."""
+        rawset = self.targets.raw
         for cand in (k, ecref.N - (k % ecref.N)):
             if not (1 <= cand < ecref.N):
                 continue
             pt = ecref.scalar_mult(cand)
-            if self.mode == "xpoint":
-                got = pt[0].to_bytes(32, "big")
-            elif self.mode == "rmd160":
-                got = hashref.pubkey_to_hash160(pt, compressed=True)
-            elif self.mode == "address_u":
-                got = hashref.pubkey_to_hash160(pt, compressed=False)
-            else:  # eth
-                got = hashref.pubkey_to_eth_address(pt)
-            # check the indicated row first, then full set (trunc dup safety)
-            if got == self.targets.raw[row] or got in self.targets.raw:
-                label = (
-                    self.targets.labels[row]
-                    if got == self.targets.raw[row]
-                    else self.targets.labels[self.targets.raw.index(got)]
-                )
-                return FoundKey(
-                    private_key=cand,
-                    pubkey=pt,
-                    compressed=self.mode != "address_u",
-                    target=label,
-                )
+            for got, compressed in self._artifacts(pt):
+                if got in rawset:
+                    return FoundKey(
+                        private_key=cand,
+                        pubkey=pt,
+                        compressed=compressed,
+                        target=self.targets.labels[rawset.index(got)],
+                    )
+                if self.prefixes and self.mode != "xpoint":
+                    addr = hashref.b58check_encode(b"\x00" + got)
+                    for pref in self.prefixes:
+                        if addr.startswith(pref):
+                            return FoundKey(
+                                private_key=cand,
+                                pubkey=pt,
+                                compressed=compressed,
+                                target=addr,
+                            )
         return None
 
     def search(
@@ -521,9 +640,12 @@ class BruteEngine:
         max_steps: Optional[int] = None,
         stop_on_first: bool = False,
         progress_every: int = 0,
+        checkpoint=None,
     ) -> List[FoundKey]:
         if self._fast:
-            return self._search_pallas(max_steps, stop_on_first, progress_every)
+            return self._search_pallas(
+                max_steps, stop_on_first, progress_every, checkpoint
+            )
         p = self.p
         total = self.steps_per_walker if max_steps is None else min(
             self.steps_per_walker, max_steps
@@ -533,14 +655,27 @@ class BruteEngine:
         C = p.cand_max
         npts = self.window
         lam_pow = (1, ecref.LAMBDA, ecref.LAMBDA * ecref.LAMBDA % ecref.N)
-        parities = 2 if self.mode == "rmd160" else 1
+        parities = {"rmd160": 2, "rmd160_both": 3}.get(self.mode, 1)
         found: List[FoundKey] = []
         seen = set()
         step = 0
         rng = np.random.default_rng(p.seed) if p.random_mode else None
-        bases = self._sequential_bases()
+        ck = None
+        if checkpoint is not None:
+            ck, resumed = self._ckpt_load(checkpoint)
+            if rng is not None:
+                for _ in range(resumed // p.steps_per_chunk):
+                    rng.integers(
+                        0, max(1, self.total_steps - p.steps_per_chunk),
+                        size=p.walkers,
+                    )
+                step = min(resumed, total)
+            else:
+                step = min(resumed, total)
+        bases = self._sequential_bases(step)
         base_pts = self._centers_for_bases(bases)
         cx, cy = base_pts.x, base_pts.y
+        n_found_saved = 0
         while step < total:
             k = min(p.steps_per_chunk, total - step)
             if rng is not None:
@@ -599,6 +734,11 @@ class BruteEngine:
             rebase = bool(adv_deg[:k].any())
             self.stats.add(k * p.walkers * self.window)
             step += p.steps_per_chunk
+            self._ckpt_save(
+                checkpoint, ck, step, self.stats, found,
+                len(found) > n_found_saved, force=step >= total,
+            )
+            n_found_saved = len(found)
             if rng is None:
                 bases = [b + p.steps_per_chunk * self.window for b in bases]
                 if rebase and step < total:
@@ -683,6 +823,31 @@ def _brute_chunk_impl(cx, cy, tab_x, tab_y, adv_x, adv_y, words, thi, tlo, tidx,
                     qlos.append(even[0].reshape(-1))
                     qhis.append(odd[1].reshape(-1))
                     qlos.append(odd[0].reshape(-1))
+        elif mode == "rmd160_both":  # -l both: compressed pair + uncompressed
+            y_all = jnp.concatenate(
+                [res.y_plus, res.y_minus, cy[:, None, :]], axis=1
+            )
+            for xv in variants:
+                if use_phash:
+                    from ..hash import phash
+
+                    (le, he), (lo_, ho_) = phash.hash160_x2_from_batch(
+                        xv.reshape(-1, 8)
+                    )
+                    qhis += [he, ho_]
+                    qlos += [le, lo_]
+                    lu, hu = phash.hash160_u_from_batch(
+                        xv.reshape(-1, 8), y_all.reshape(-1, 8)
+                    )
+                    qhis.append(hu)
+                    qlos.append(lu)
+                else:
+                    even, odd = hash160_from_x_both_parities(xv)
+                    qhis += [even[1].reshape(-1), odd[1].reshape(-1)]
+                    qlos += [even[0].reshape(-1), odd[0].reshape(-1)]
+                    wds = hash160_from_xy(xv, y_all)
+                    qhis.append(wds[1].reshape(-1))
+                    qlos.append(wds[0].reshape(-1))
         else:  # eth / address_u hash x||y
             y_all = jnp.concatenate(
                 [res.y_plus, res.y_minus, cy[:, None, :]], axis=1

@@ -121,13 +121,39 @@ class MinikeyEngine:
         max_chunks: int = 1 << 30,
         stop_on_first: bool = True,
         progress_every: int = 0,
+        checkpoint=None,
     ) -> List[FoundKey]:
         p = self.p
         B, V, HM = p.batch, p.valid_max, p.hit_max
         found: List[FoundKey] = []
+        ck = None
+        if checkpoint is not None:
+            from ..core.checkpoint import Checkpoint, fingerprint
+
+            params_fp = fingerprint(B, V, HM)
+            targets_fp = fingerprint(sorted(self.targets.raw))
+            ck = checkpoint.load()
+            if ck is not None:
+                checkpoint.matches(
+                    ck, mode="minikeys", params_fp=params_fp,
+                    targets_fp=targets_fp,
+                )
+                # adopt the saved scan position INCLUDING the prefix (it
+                # is randomized per run unless user-pinned)
+                self.prefix = ck.extra["prefix"]
+                self.counter = int(ck.extra["counter"])
+                self.stats.add(ck.keys_covered)
+            else:
+                ck = Checkpoint(
+                    mode="minikeys", range_start=0, range_end=0,
+                    policy="sequential", seed=0, params_fp=params_fp,
+                    targets_fp=targets_fp,
+                    extra={"prefix": self.prefix, "counter": self.counter},
+                )
         pending: deque = deque()
         dispatched = 0
         decoded = 0
+        n_saved = 0
         while decoded < max_chunks:
             while dispatched < max_chunks and len(pending) < p.pipeline_depth:
                 high, low = divmod(self.counter, LOW_SPAN)
@@ -144,9 +170,9 @@ class MinikeyEngine:
                     B=B, V=V, HM=HM, chain=p.chain_len,
                 )
                 out.copy_to_host_async()
-                pending.append((prefix17, low, out))
+                pending.append((prefix17, low, self.counter, out))
                 dispatched += 1
-            prefix17, low, out = pending.popleft()
+            prefix17, low, counter_after, out = pending.popleft()
             arr = np.asarray(out)
             n_valid, n_check = int(arr[0]), int(arr[1])
             lanes = arr[2:]
@@ -163,6 +189,19 @@ class MinikeyEngine:
                         found.append(fk)
             self.stats.add(B)
             decoded += 1
+            if ck is not None:
+                ck.chunks_done = decoded
+                ck.keys_covered = self.stats.keys_covered
+                ck.extra = {"prefix": self.prefix, "counter": counter_after}
+                if len(found) > n_saved:
+                    ck.found = sorted(
+                        set(ck.found) | {f"{f.private_key:x}" for f in found}
+                    )
+                checkpoint.save(
+                    ck,
+                    force=(len(found) > n_saved) or decoded >= max_chunks,
+                )
+                n_saved = len(found)
             if found and stop_on_first:
                 return found
             if progress_every and decoded % progress_every == 0:

@@ -220,6 +220,7 @@ class VanityEngine:
         stop_on_first: bool = False,
         max_found: Optional[int] = None,
         progress_every: int = 0,
+        checkpoint=None,
     ) -> List[FoundKey]:
         p = self.p
 
@@ -230,14 +231,37 @@ class VanityEngine:
                 pts.append(ecref.scalar_mult(c))
             return points.point_batch_from_ints(pts)
 
-        base = centers_at(0)
-        cx, cy = base.x, base.y
         total = self.steps_per_walker if max_steps is None else min(
             self.steps_per_walker, max_steps
         )
         found: List[FoundKey] = []
         seen = set()
         step = 0
+        ck = None
+        if checkpoint is not None:
+            from ..core.checkpoint import Checkpoint, fingerprint
+
+            params_fp = fingerprint(
+                p.block_u, p.steps_per_chunk, p.walkers, p.chain_len
+            )
+            targets_fp = fingerprint(sorted(self.prefixes))
+            ck = checkpoint.load()
+            if ck is not None:
+                checkpoint.matches(
+                    ck, mode="vanity", range_start=self.a, range_end=self.b,
+                    params_fp=params_fp, targets_fp=targets_fp,
+                )
+                step = min(ck.chunks_done, total)
+                self.stats.add(ck.keys_covered)
+            else:
+                ck = Checkpoint(
+                    mode="vanity", range_start=self.a, range_end=self.b,
+                    policy="sequential", seed=0, params_fp=params_fp,
+                    targets_fp=targets_fp,
+                )
+        base = centers_at(step)
+        cx, cy = base.x, base.y
+        n_saved = 0
         while step < total:
             k = min(p.steps_per_chunk, total - step)
             cx, cy, hits, advdeg = self._chunk_fn(cx, cy)
@@ -252,6 +276,17 @@ class VanityEngine:
                         return found
             self.stats.add(k * p.walkers * self.window)
             step += p.steps_per_chunk
+            if ck is not None:
+                ck.chunks_done = step
+                ck.keys_covered = self.stats.keys_covered
+                if len(found) > n_saved:
+                    ck.found = sorted(
+                        set(ck.found) | {f"{f.private_key:x}" for f in found}
+                    )
+                checkpoint.save(
+                    ck, force=(len(found) > n_saved) or step >= total
+                )
+                n_saved = len(found)
             if bool(np.asarray(advdeg)[:k].any()) and step < total:
                 base = centers_at(step)  # exact rebase after advance fault
                 cx, cy = base.x, base.y

@@ -4,15 +4,22 @@ import os
 pass  # run on the real backend (interpret mode is too slow for these kernels)
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=1")
 
+import sys
+
+import jax as _j
+_j.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
 from keyhuntm1cpu_tpu.engine.brute import BruteEngine, BruteParams
 from keyhuntm1cpu_tpu.ref import ecref, hashref
 from keyhuntm1cpu_tpu.utils.targets import TargetSet
+
+ONLY = sys.argv[1] if len(sys.argv) > 1 else "all"
 
 params = BruteParams(
     block_u=256, steps_per_chunk=4, pallas_sb=4, pallas="on", chunk_cand=64
 )
 
-for mode, mk in (
+for mode, mk in () if ONLY == "extras" else (
     ("rmd160", lambda pt: hashref.pubkey_to_hash160(pt, compressed=True)),
     ("xpoint", lambda pt: pt[0].to_bytes(32, "big")),
     ("eth", lambda pt: hashref.pubkey_to_eth_address(pt)),
@@ -33,8 +40,11 @@ for mode, mk in (
     assert not missing, (mode, missing)
 
 # endomorphism lanes: plant lambda*k and lambda^2*k artifacts, scan small k
-lam = ecref.LAMBDA
-keys = [5, 17]
+if ONLY == "extras":
+    lam = None
+else:
+    lam = ecref.LAMBDA
+keys = [] if ONLY == "extras" else [5, 17]
 raw = []
 for k in keys:
     raw.append(hashref.pubkey_to_hash160(ecref.scalar_mult(k * lam % ecref.N), True))
@@ -43,17 +53,53 @@ for k in keys:
             ecref.scalar_mult(k * lam * lam % ecref.N), True
         )
     )
-ts = TargetSet(kind="hash160", raw=raw, labels=[str(i) for i in range(len(raw))])
-p2 = BruteParams(block_u=256, steps_per_chunk=4, pallas_sb=4, pallas="on",
-                 chunk_cand=64, endo=True)
-eng = BruteEngine(ts, 1, 1025, mode="rmd160", params=p2)
+if ONLY != "extras":
+    ts = TargetSet(kind="hash160", raw=raw, labels=[str(i) for i in range(len(raw))])
+    p2 = BruteParams(block_u=256, steps_per_chunk=4, pallas_sb=4, pallas="on",
+                     chunk_cand=64, endo=True)
+    eng = BruteEngine(ts, 1, 1025, mode="rmd160", params=p2)
+    found = eng.search()
+    got = sorted(f.private_key for f in found)
+    want = sorted(
+        v
+        for k in keys
+        for v in (k * lam % ecref.N, k * lam * lam % ecref.N)
+    )
+    print("endo found:", [hex(g) for g in got])
+    assert set(want) <= set(got) | {ecref.N - g for g in got}, (want, got)
+    print("ALL OK")
+
+# ---- round-2 additions: rmd160_both (-l both), intervals (vanity), composition
+from keyhuntm1cpu_tpu.engine.vanity import vanity_intervals
+from keyhuntm1cpu_tpu.utils.targets import TargetSet
+
+params_b = BruteParams(block_u=256, steps_per_chunk=4, pallas_sb=4,
+                       pallas="on", chunk_cand=64)
+raw = [hashref.pubkey_to_hash160(ecref.scalar_mult(5), compressed=True),
+       hashref.pubkey_to_hash160(ecref.scalar_mult(9), compressed=False)]
+ts = TargetSet(kind="hash160", raw=raw, labels=["c5", "u9"])
+eng = BruteEngine(ts, 1, 2049, mode="rmd160_both", params=params_b)
+assert eng._fast
+got = sorted(f.private_key for f in eng.search())
+assert got == [5, 9], got
+print("rmd160_both fused: OK (compressed + uncompressed forms)")
+
+# vanity interval: prefix of key 777's compressed address
+addr = hashref.pubkey_to_address(ecref.scalar_mult(777), compressed=True)
+ivs = vanity_intervals(addr[:5])
+eng = BruteEngine(TargetSet(kind="hash160", raw=[], labels=[]), 1, 2049,
+                  mode="rmd160", params=params_b,
+                  intervals=ivs, prefixes=[addr[:5]])
 found = eng.search()
-got = sorted(f.private_key for f in found)
-want = sorted(
-    v
-    for k in keys
-    for v in (k * lam % ecref.N, k * lam * lam % ecref.N)
-)
-print("endo found:", [hex(g) for g in got])
-assert set(want) <= set(got) | {ecref.N - g for g in got}, (want, got)
-print("ALL OK")
+assert any(f.private_key == 777 for f in found), found
+print(f"vanity interval fused: OK (prefix {addr[:5]} -> key 777)")
+
+# composition: exact target + vanity interval in ONE scan
+raw = [hashref.pubkey_to_hash160(ecref.scalar_mult(31), compressed=True)]
+eng = BruteEngine(TargetSet(kind="hash160", raw=raw, labels=["c31"]),
+                  1, 2049, mode="rmd160", params=params_b,
+                  intervals=ivs, prefixes=[addr[:5]])
+got = sorted(f.private_key for f in eng.search(stop_on_first=False))
+assert 31 in got and 777 in got, got
+print("vanity + address composition fused: OK (both found in one scan)")
+print("ROUND2 EXTRAS OK")

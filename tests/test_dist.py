@@ -154,3 +154,58 @@ class TestElasticRecovery:
             remaining.add(r["unit"]["unit_id"])
         done_ids = {r1["unit"]["unit_id"], r2["unit"]["unit_id"]}
         assert remaining == {0, 1, 2, 3} - done_ids
+
+
+def test_two_workers_real_bsgs_engine_with_lease_expiry():
+    """e2e with the REAL BSGS engine (not a toy fn): 2 workers share a
+    coordinator; one unit's lease is force-expired mid-run and reassigned;
+    the planted key is recovered exactly once at the coordinator."""
+    import threading
+
+    from keyhuntm1cpu_tpu.dist.worker import DistributedWorker, bsgs_search_fn
+    from keyhuntm1cpu_tpu.engine.bsgs import BSGSParams, host_baby_table
+    from keyhuntm1cpu_tpu.ref import ecref
+
+    key = 0xA0B2C3  # inside [0xA00000, 0xA00000 + 8*8192)
+    params = BSGSParams(m=256, block_u=16, steps_per_chunk=2, chain_len=8)
+    table = host_baby_table(params.m)
+    window = params.block_u * 2 * params.m  # 8192 keys
+    coord = WorkCoordinator(
+        0xA00000, 0xA00000 + 8 * window, n_units=8, align=window,
+        lease_s=60.0, stop_on_first=False,
+    )
+    srv = CoordinatorServer(("127.0.0.1", 0), coord)
+    port = srv.server_address[1]
+    srv.start_background()
+    try:
+        # force one lease to expire before workers start: claim a unit as
+        # a ghost worker and backdate its deadline
+        ghost = coord.request_work("ghost")
+        assert ghost["unit"] is not None
+        with coord._lock:
+            uid = int(ghost["unit"]["unit_id"])
+            unit, lease = coord._assigned[uid]
+            coord._assigned[uid] = (unit, type(lease)("ghost", 0.0))
+
+        pubs = [ecref.scalar_mult(key)]
+        workers = [
+            DistributedWorker(
+                "127.0.0.1", port,
+                bsgs_search_fn(pubs, params, table=table),
+                worker_id=f"w{i}", poll_s=0.1,
+            )
+            for i in range(2)
+        ]
+        threads = [threading.Thread(target=w.run) for w in workers]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+            assert not t.is_alive()
+        st = coord.status()
+        assert st["completed"] == 8  # incl. the expired+reassigned unit
+        keys = [f["private_key"] for f in coord.found_keys()]
+        assert keys == [f"{key:x}"]
+        assert sum(w.units_done for w in workers) >= 8
+    finally:
+        srv.shutdown()

@@ -25,15 +25,16 @@ def _targets(keys, mode="rmd160"):
     return TargetSet(kind=kind, raw=raw, labels=[str(k) for k in keys])
 
 
-def test_pad_targets():
-    lo = np.arange(5, dtype=np.uint32)
-    hi = np.arange(5, dtype=np.uint32) + 100
-    out = pbrute.pad_targets(lo, hi)
-    assert out.shape == (2, 8)
-    assert list(out[0, :5]) == list(lo)
-    assert (out[0, 5:] == lo[0]).all() and (out[1, 5:] == hi[0]).all()
-    out = pbrute.pad_targets(np.arange(9, dtype=np.uint32), np.arange(9, dtype=np.uint32))
-    assert out.shape == (2, 16)
+def test_pack_intervals():
+    lo = [0x1122334455667788, 0xAABBCCDDEEFF0011]
+    hi = [0x1122334455667788, 0xAABBCCDDEEFF0022]
+    out = pbrute.pack_intervals(lo, hi)
+    assert out.shape == (4, 8)
+    assert out[0, 0] == 0x11223344 and out[1, 0] == 0x55667788
+    assert out[2, 1] == 0xAABBCCDD and out[3, 1] == 0xEEFF0022
+    # padding repeats entry 0
+    assert out[0, 7] == 0x11223344 and out[3, 7] == 0x55667788
+    assert pbrute.pack_intervals(list(range(9)), list(range(9))).shape == (4, 16)
 
 
 def test_auto_gate_off_on_cpu():
