@@ -1,0 +1,295 @@
+"""Reference keyhunt `.blm` / `.tbl` file interop (read + write).
+
+The reference persists its BSGS precompute as raw-struct dumps
+(keyhunt.cpp:1373-1612 load, 1881-2025 save):
+
+- `keyhunt_bsgs_4_<m>.blm` / `_6_<m2>.blm` / `_7_<m3>.blm`: 256 shard
+  records, each = `struct bloom` (80 bytes on x86-64: entries@0 bits@8
+  bytes@16 hashes@24 error(long double)@32 ready/major/minor@48 bpe@56
+  bf-pointer@64 — layout probed by compiling against the reference
+  header) + the raw bit array + a 64-byte {sha256, sha256-backup}
+  checksum of the bit array.
+- `keyhunt_bsgs_2_<m3>.tbl`: m3 x `struct bsgs_xvalue {uint8 value[6];
+  uint64 index}` (16 bytes: value = X(j) big-endian bytes 16..21, index
+  = j-1), sorted by value, + one 32-byte sha256 of the table bytes.
+
+Bloom semantics are libbloom2 (bloom/bloom.cpp): sizing bpe =
+-ln(err)/ln(2)^2, double hashing a = XXH64(X_be32, 0x59f2815b16f81798),
+b = XXH64(X_be32, a), bit_i = (a + b*i) % bits, byte bit>>3 mask
+1<<(bit&7); shard index = X_be[0] (keyhunt.cpp:4514-4562).
+
+This module lets a reference deployment carry its precompute over —
+either direction: `read_*` parse + checksum-verify legacy files (and
+`verify_against_ecref` spot-checks their contents against exact EC
+math); `export_reference_files` writes a fresh, reference-loadable set
+(useful the other way too: build on TPU minutes faster, serve on CPU).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import struct
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..ref import ecref
+
+BLOOM_STRUCT = 80
+CHECKSUM = 64  # {data[32], backup[32]}
+XVALUE_SIZE = 16  # 6-byte value + 2 pad + 8-byte index
+BLOOM_SEED = 0x59F2815B16F81798
+BLOOM_ERROR = 0.000001
+
+_P1 = np.uint64(0x9E3779B185EBCA87)
+_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_P3 = np.uint64(0x165667B19E3779F9)
+_P4 = np.uint64(0x85EBCA77C2B2AE63)
+_P5 = np.uint64(0x27D4EB2F165667C5)
+
+
+def _rotl(x: np.ndarray, n: int) -> np.ndarray:
+    n = np.uint64(n)
+    return (x << n) | (x >> (np.uint64(64) - n))
+
+
+def xxh64_32bytes(msgs: np.ndarray, seed) -> np.ndarray:
+    """Vectorized XXH64 of (B, 32)-byte messages (exactly one stripe)."""
+    old = np.seterr(over="ignore")
+    try:
+        lanes = msgs.reshape(-1, 4, 8).astype(np.uint8)
+        lanes = np.ascontiguousarray(lanes).view("<u8").reshape(-1, 4)
+        lanes = lanes.astype(np.uint64)
+        seed = np.asarray(seed, dtype=np.uint64)
+        v = [
+            seed + _P1 + _P2,
+            seed + _P2,
+            seed + np.uint64(0),
+            seed - _P1,
+        ]
+        for i in range(4):
+            acc = v[i] + lanes[:, i] * _P2
+            v[i] = _rotl(acc, 31) * _P1
+        h = _rotl(v[0], 1) + _rotl(v[1], 7) + _rotl(v[2], 12) + _rotl(v[3], 18)
+        for i in range(4):
+            h ^= _rotl(v[i] * _P2, 31) * _P1
+            h = h * _P1 + _P4
+        h = h + np.uint64(32)
+        h ^= h >> np.uint64(33)
+        h *= _P2
+        h ^= h >> np.uint64(29)
+        h *= _P3
+        h ^= h >> np.uint64(32)
+        return h
+    finally:
+        np.seterr(**old)
+
+
+@dataclass
+class LegacyBloom:
+    entries: int
+    bits: int
+    nbytes: int
+    hashes: int
+    bf: np.ndarray  # (nbytes,) uint8
+
+    @classmethod
+    def create(cls, entries: int) -> "LegacyBloom":
+        bpe = -math.log(BLOOM_ERROR) / 0.480453013918201
+        bits = int(entries * bpe)
+        nbytes = bits // 8 + (1 if bits % 8 else 0)
+        hashes = int(math.ceil(0.693147180559945 * bpe))
+        return cls(entries, bits, nbytes, hashes,
+                   np.zeros(nbytes, dtype=np.uint8))
+
+    def _positions(self, x32: np.ndarray) -> np.ndarray:
+        a = xxh64_32bytes(x32, BLOOM_SEED)
+        b = xxh64_32bytes(x32, a)
+        i = np.arange(self.hashes, dtype=np.uint64)[None, :]
+        old = np.seterr(over="ignore")
+        try:
+            return (a[:, None] + b[:, None] * i) % np.uint64(self.bits)
+        finally:
+            np.seterr(**old)
+
+    def add(self, x32: np.ndarray) -> None:
+        pos = self._positions(x32).reshape(-1)
+        np.bitwise_or.at(
+            self.bf, (pos >> np.uint64(3)).astype(np.int64),
+            np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8),
+        )
+
+    def check(self, x32: np.ndarray) -> np.ndarray:
+        pos = self._positions(x32)
+        byte = self.bf[(pos >> np.uint64(3)).astype(np.int64)]
+        return ((byte >> (pos & np.uint64(7)).astype(np.uint8)) & 1).all(axis=1)
+
+    def header_bytes(self) -> bytes:
+        bpe = -math.log(BLOOM_ERROR) / 0.480453013918201
+        hdr = bytearray(BLOOM_STRUCT)
+        struct.pack_into("<QQQ", hdr, 0, self.entries, self.bits, self.nbytes)
+        hdr[24] = self.hashes
+        hdr[32:48] = np.longdouble(BLOOM_ERROR).tobytes()[:16]
+        hdr[48] = 1  # ready
+        hdr[49] = 2  # BLOOM_VERSION_MAJOR
+        hdr[50] = 200  # BLOOM_VERSION_MINOR
+        struct.pack_into("<d", hdr, 56, bpe)
+        return bytes(hdr)
+
+
+def shard_entries(m: int, level: int) -> int:
+    """Per-shard bloom entry count (keyhunt.cpp:1185-1213)."""
+    per = m // 256 + (1 if m % 256 else 0)
+    floor = 10000 if level == 1 else 1000
+    return per if m // 256 > floor else 1000
+
+
+def read_blm(path: str, skip_checksum: bool = False) -> List[LegacyBloom]:
+    out = []
+    with open(path, "rb") as f:
+        for _ in range(256):
+            hdr = f.read(BLOOM_STRUCT)
+            if len(hdr) != BLOOM_STRUCT:
+                raise ValueError(f"{path}: truncated bloom header")
+            entries, bits, nbytes = struct.unpack_from("<QQQ", hdr, 0)
+            hashes = hdr[24]
+            if not (0 < bits <= nbytes * 8 and hashes):
+                raise ValueError(f"{path}: implausible bloom header")
+            bf = np.frombuffer(f.read(nbytes), dtype=np.uint8)
+            if len(bf) != nbytes:
+                raise ValueError(f"{path}: truncated bit array")
+            ck = f.read(CHECKSUM)
+            if not skip_checksum:
+                digest = hashlib.sha256(bf.tobytes()).digest()
+                if ck[:32] != digest or ck[32:] != digest:
+                    raise ValueError(f"{path}: bloom checksum mismatch")
+            out.append(LegacyBloom(entries, bits, nbytes, hashes, bf.copy()))
+    return out
+
+
+def write_blm(path: str, blooms: List[LegacyBloom]) -> None:
+    assert len(blooms) == 256
+    with open(path, "wb") as f:
+        for b in blooms:
+            f.write(b.header_bytes())
+            f.write(b.bf.tobytes())
+            digest = hashlib.sha256(b.bf.tobytes()).digest()
+            f.write(digest + digest)
+
+
+def read_tbl(path: str, skip_checksum: bool = False) -> Tuple[np.ndarray, np.ndarray]:
+    """-> (value (n, 6) uint8, index (n,) uint64), sorted by value."""
+    size = os.path.getsize(path)
+    n = (size - 32) // XVALUE_SIZE
+    if n * XVALUE_SIZE + 32 != size:
+        raise ValueError(f"{path}: size is not n*16 + 32")
+    with open(path, "rb") as f:
+        raw = f.read(n * XVALUE_SIZE)
+        ck = f.read(32)
+    if not skip_checksum and hashlib.sha256(raw).digest() != ck:
+        raise ValueError(f"{path}: table checksum mismatch")
+    rec = np.frombuffer(raw, dtype=np.uint8).reshape(n, XVALUE_SIZE)
+    value = rec[:, :6].copy()
+    index = np.ascontiguousarray(rec[:, 8:16]).view("<u8").reshape(-1)
+    return value, index.astype(np.uint64)
+
+
+def write_tbl(path: str, value: np.ndarray, index: np.ndarray) -> None:
+    n = len(value)
+    rec = np.zeros((n, XVALUE_SIZE), dtype=np.uint8)
+    rec[:, :6] = value
+    rec[:, 8:16] = index.astype("<u8")[:, None].view(np.uint8)
+    raw = rec.tobytes()
+    with open(path, "wb") as f:
+        f.write(raw)
+        f.write(hashlib.sha256(raw).digest())
+
+
+def baby_x_bytes(m: int) -> np.ndarray:
+    """(m, 32) big-endian X(j*G) for j = 1..m (incremental host walk)."""
+    out = np.empty((m, 32), dtype=np.uint8)
+    pt = ecref.G
+    for j in range(m):
+        out[j] = np.frombuffer(pt[0].to_bytes(32, "big"), dtype=np.uint8)
+        if j + 1 < m:
+            pt = ecref.point_add(pt, ecref.G)
+    return out
+
+
+def derived_sizes(m: int) -> Tuple[int, int]:
+    """(m2, m3) cascade sizes (keyhunt.cpp:1129-1161)."""
+    m2 = m // 32 + (1 if m % 32 else 0)
+    m3 = m2 // 32 + (1 if m2 % 32 else 0)
+    return m2, m3
+
+
+def export_reference_files(dirpath: str, m: int,
+                           x32: Optional[np.ndarray] = None) -> List[str]:
+    """Write a reference-loadable precompute set for baby size m.
+
+    The reference reads these with `-S` (keyhunt.cpp:1373-1612) and skips
+    its own table build — the capability its legacy deployments rely on
+    (BSGSD.md:58-66). x32 defaults to an exact host walk (slow for large
+    m; the TPU engines keep their own npz format as the native path).
+    """
+    if x32 is None:
+        x32 = baby_x_bytes(m)
+    m2, m3 = derived_sizes(m)
+    shard = x32[:, 0].astype(np.int64)
+    paths = []
+    for level, count, name in (
+        (1, m, f"keyhunt_bsgs_4_{m}.blm"),
+        (2, m2, f"keyhunt_bsgs_6_{m2}.blm"),
+        (3, m3, f"keyhunt_bsgs_7_{m3}.blm"),
+    ):
+        blooms = [LegacyBloom.create(shard_entries(count, level))
+                  for _ in range(256)]
+        sub = x32[:count]
+        ssub = shard[:count]
+        for s in range(256):
+            sel = sub[ssub == s]
+            if len(sel):
+                blooms[s].add(sel)
+        p = os.path.join(dirpath, name)
+        write_blm(p, blooms)
+        paths.append(p)
+    # bPtable: X bytes 16..21 of the first m3 babies, index = j-1,
+    # sorted by value (keyhunt.cpp:70-73, 4523-4527, 1875)
+    value = x32[:m3, 16:22]
+    index = np.arange(m3, dtype=np.uint64)
+    order = np.lexsort(tuple(value[:, i] for i in range(5, -1, -1)))
+    p = os.path.join(dirpath, f"keyhunt_bsgs_2_{m3}.tbl")
+    write_tbl(p, value[order], index[order])
+    paths.append(p)
+    return paths
+
+
+def verify_against_ecref(dirpath: str, m: int, probes: int = 16) -> bool:
+    """Spot-check a legacy file set against exact EC math: random baby
+    indices must probe positive in every bloom level that covers them and
+    appear in the table when j <= m3."""
+    m2, m3 = derived_sizes(m)
+    blooms1 = read_blm(os.path.join(dirpath, f"keyhunt_bsgs_4_{m}.blm"))
+    blooms2 = read_blm(os.path.join(dirpath, f"keyhunt_bsgs_6_{m2}.blm"))
+    blooms3 = read_blm(os.path.join(dirpath, f"keyhunt_bsgs_7_{m3}.blm"))
+    value, index = read_tbl(os.path.join(dirpath, f"keyhunt_bsgs_2_{m3}.tbl"))
+    rng = np.random.default_rng(0)
+    for j in rng.integers(1, m + 1, probes):
+        j = int(j)
+        x = ecref.scalar_mult(j)[0].to_bytes(32, "big")
+        x32 = np.frombuffer(x, dtype=np.uint8)[None, :]
+        s = x[0]
+        if not blooms1[s].check(x32)[0]:
+            return False
+        if j <= m2 and not blooms2[s].check(x32)[0]:
+            return False
+        if j <= m3:
+            if not blooms3[s].check(x32)[0]:
+                return False
+            rows = np.nonzero((value == x32[0, 16:22]).all(axis=1))[0]
+            if not any(int(index[r]) == j - 1 for r in rows):
+                return False
+    return True
