@@ -144,11 +144,15 @@ def bench_vanity(seconds=5.0, gate_only=False):
 def bench_bsgs_multitarget(table, bitmap, params, seconds=5.0):
     """T=16 variant of the headline: total range keys/s (coverage is split
     across the 16 pubkeys, matching the reference's per-target hot loop)."""
+    import dataclasses
+
     import numpy as np
 
     from keyhuntm1cpu_tpu.engine.bsgs import BSGSEngine
     from keyhuntm1cpu_tpu.ref import ecref
 
+    # T*K walk bases live in VMEM: shrink the chunk so T=16 tiles fit
+    params = dataclasses.replace(params, steps_per_chunk=16)
     pubs = [ecref.scalar_mult(0x1000 + 7 * i) for i in range(16)]
     eng = BSGSEngine(pubs, 1 << 63, 1 << 64, params, table=table,
                      bitmap=bitmap)

@@ -234,6 +234,15 @@ class BruteEngine:
                 )
             return True
         use = ok and jax.default_backend() != "cpu"
+        if not ok and jax.default_backend() != "cpu":
+            from ..core.log import get_logger
+
+            get_logger().warn(
+                "brute fused-kernel path disabled (target set "
+                f"{len(self.targets.raw)}+{len(self.intervals)} > "
+                f"{p.compare_max} or shapes untiled) — expect ~5-10x lower "
+                "keys/s on the XLA fallback"
+            )
         if (self.intervals or not len(self.targets.raw)) and not use:
             raise ValueError(
                 "interval membership (vanity composition / -l both ranges) "

@@ -324,6 +324,14 @@ class BSGSEngine:
                     "steps_per_chunk % pallas_sb == 0"
                 )
             return True
+        if not ok_shape and jax.default_backend() != "cpu":
+            from ..core.log import get_logger
+
+            get_logger().warn(
+                "BSGS Pallas walk kernels disabled (T > 128 or untiled "
+                "block_u/steps_per_chunk) — expect ~8x lower keys/s on "
+                "the XLA fallback"
+            )
         return ok_shape and jax.default_backend() != "cpu"
 
     def _make_chunk_fn(self):

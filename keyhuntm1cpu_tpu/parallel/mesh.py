@@ -158,47 +158,73 @@ class ShardedBSGSEngine(BSGSEngine):
 
         return chunk
 
+    def _decode_sharded(self, arr, step: int, k: int):
+        """(found, rebase) from one (D, K, summary) chunk array."""
+        found: List[FoundKey] = []
+        rebase = False
+        for d, sl in enumerate(self.slices):
+            parts = self._split_summary(arr[d])
+            found += self._decode_chunk(sl.step0 + step, k, *parts)
+            rebase = rebase or bool(parts[3][:k, 2].any())
+        return found, rebase
+
     def search_sharded(
         self,
         max_steps: Optional[int] = None,
         stop_on_first: bool = True,
         progress_every: int = 0,
     ) -> List[FoundKey]:
+        """Pipelined mesh search: chunks dispatch pipeline_depth ahead
+        with async host copies of the summaries and the psum'd interest
+        flag, so neither pull serializes the loop on the ~28 ms tunnel
+        round trip; only interesting chunks are decoded."""
+        from collections import deque
+
         p = self.p
+        K = p.steps_per_chunk
         try:
             px, py = self._initial_bases_sharded()
         except _ImmediateHit as hit:
             return self._try_candidates([hit.scalar])
         total = self.local_steps if max_steps is None else min(self.local_steps, max_steps)
         found: List[FoundKey] = []
-        step = 0
-        while step < total:
-            k = min(p.steps_per_chunk, total - step)
-            px, py, outs, interest = self._sharded_chunk(px, py)
+        pending: deque = deque()
+        disp = 0
+        n_done = 0
+        while pending or disp < total:
+            while disp < total and len(pending) < p.pipeline_depth:
+                px, py, outs, interest = self._sharded_chunk(px, py)
+                outs.copy_to_host_async()
+                interest.copy_to_host_async()
+                pending.append((disp, outs, interest))
+                disp += K
+            step, outs, interest = pending.popleft()
+            k = min(K, total - step)
             rebase = False
-            if int(interest) > 0:
-                arr = np.asarray(outs)  # (D, K, 3C+3T+1), one transfer
-                for d, sl in enumerate(self.slices):
-                    parts = self._split_summary(arr[d])
-                    found += self._decode_chunk(sl.step0 + step, k, *parts)
-                    rebase = rebase or bool(parts[3][:k, 2].any())
-                found = self._dedupe(found)
-                if found and stop_on_first:
-                    self.stats.add(k * self.n_shards * p.block_u * self.stride)
-                    return found
+            if int(np.asarray(interest)) > 0:
+                arr = np.asarray(outs)  # (D, K, summary)
+                new_found, rebase = self._decode_sharded(arr, step, k)
+                if new_found:
+                    found = self._dedupe(found + new_found)
+                    if stop_on_first:
+                        self.stats.add(k * self.n_shards * p.block_u * self.stride)
+                        return found
             self.stats.add(k * self.n_shards * p.block_u * self.stride)
-            step += p.steps_per_chunk
-            if rebase and step < total:
-                # some shard's advance degenerated: rebase all shards exactly
+            n_done += 1
+            if rebase and step + K < total:
+                # some shard's advance degenerated: drop everything
+                # dispatched after it and rebase all shards exactly
+                pending.clear()
+                disp = step + K
                 try:
-                    px, py = self._initial_bases_sharded(step)
+                    px, py = self._initial_bases_sharded(disp)
                 except _ImmediateHit as hit:
                     found += self._try_candidates([hit.scalar])
                     if found and stop_on_first:
                         return self._dedupe(found)
-                    break
-            if progress_every and (step // p.steps_per_chunk) % progress_every == 0:
-                print(f"[bsgs-sharded] local step {step}/{total} {self.stats.human()}")
+                    disp = total
+            if progress_every and n_done % progress_every == 0:
+                print(f"[bsgs-sharded] local step {step + K}/{total} {self.stats.human()}")
         return found
 
     @staticmethod
@@ -395,90 +421,48 @@ class ShardedTableBSGSEngine(ShardedBSGSEngine):
 
         return chunk
 
-    def search_sharded(
-        self,
-        max_steps: Optional[int] = None,
-        stop_on_first: bool = True,
-        progress_every: int = 0,
-    ) -> List[FoundKey]:
+    def _decode_sharded(self, arr, step: int, k: int):
+        """(found, rebase) from one (D_prober, K, summary) chunk array.
+
+        Candidate positions are in the GLOBAL gathered-query space
+        (source device major); walker degeneracies are local to the
+        prober (= source) device."""
         p = self.p
         T = len(self.targets)
         U = p.block_u
         C = p.cand_max
         D = self.n_shards
-        try:
-            px, py = self._initial_bases_sharded()
-        except _ImmediateHit as hit:
-            return self._try_candidates([hit.scalar])
-        total = (
-            self.local_steps
-            if max_steps is None
-            else min(self.local_steps, max_steps)
-        )
         found: List[FoundKey] = []
-        step = 0
-        while step < total:
-            k = min(p.steps_per_chunk, total - step)
-            px, py, outs, interest = self._sharded_chunk(px, py)
-            rebase = False
-            if int(interest) > 0:
-                arr = np.asarray(outs)  # (D, K, 3C+3T+1)
-                for prober in range(D):
-                    for s in range(k):
-                        row = arr[prober, s]
-                        cand_pos = row[:C]
-                        cand_j = row[C : 2 * C].view(np.uint32)
-                        cand_j2 = row[2 * C : 3 * C].view(np.uint32)
-                        degsum = row[3 * C : 3 * C + 3 * T].reshape(3, T)
-                        ncand = int(row[3 * C + 3 * T])
-                        if ncand > C:
-                            # overflow on this prober's shard: exact host
-                            # rescan of every source's step (disjointness
-                            # lost, so rescan conservatively)
-                            for sl in self.slices:
-                                found += self._host_rescan_step(
-                                    sl.step0 + step + s
-                                )
-                        for c in np.nonzero(cand_pos < D * T * U)[0]:
-                            pos = int(cand_pos[c])
-                            d_src, rem = divmod(pos, T * U)
-                            t, u0 = divmod(rem, U)
-                            g_step = self.slices[d_src].step0 + step + s
-                            cands = []
-                            for j in (int(cand_j[c]), int(cand_j2[c])):
-                                if j:
-                                    cands += self._candidates_for_hit(
-                                        g_step, u0 + 1, j
-                                    )
-                            found += self._try_candidates(cands, t)
-                        # walker degeneracies: reported by the SOURCE
-                        # device only (prober == source for degsum)
-                        for t in range(T):
-                            if degsum[0, t] > 0:
-                                u = int(degsum[1, t]) + 1
-                                g_step = self.slices[prober].step0 + step + s
-                                found += self._try_candidates(
-                                    self._candidates_for_degenerate(g_step, u),
-                                    t,
-                                )
-                            rebase = rebase or bool(degsum[2, t])
-                found = self._dedupe(found)
-                if found and stop_on_first:
-                    self.stats.add(k * D * U * self.stride)
-                    return found
-            self.stats.add(k * D * U * self.stride)
-            step += p.steps_per_chunk
-            if rebase and step < total:
-                try:
-                    px, py = self._initial_bases_sharded(step)
-                except _ImmediateHit as hit:
-                    found += self._try_candidates([hit.scalar])
-                    if found and stop_on_first:
-                        return self._dedupe(found)
-                    break
-            if progress_every and (step // p.steps_per_chunk) % progress_every == 0:
-                print(
-                    f"[bsgs-sharded-table] local step {step}/{total} "
-                    f"{self.stats.human()}"
-                )
-        return found
+        rebase = False
+        for prober in range(D):
+            for s in range(k):
+                row = arr[prober, s]
+                cand_pos = row[:C]
+                cand_j = row[C : 2 * C].view(np.uint32)
+                cand_j2 = row[2 * C : 3 * C].view(np.uint32)
+                degsum = row[3 * C : 3 * C + 3 * T].reshape(3, T)
+                ncand = int(row[3 * C + 3 * T])
+                if ncand > C:
+                    # overflow on this prober's shard: exact host rescan
+                    # of every source's step (disjointness lost)
+                    for sl in self.slices:
+                        found += self._host_rescan_step(sl.step0 + step + s)
+                for c in np.nonzero(cand_pos < D * T * U)[0]:
+                    pos = int(cand_pos[c])
+                    d_src, rem = divmod(pos, T * U)
+                    t, u0 = divmod(rem, U)
+                    g_step = self.slices[d_src].step0 + step + s
+                    cands = []
+                    for j in (int(cand_j[c]), int(cand_j2[c])):
+                        if j:
+                            cands += self._candidates_for_hit(g_step, u0 + 1, j)
+                    found += self._try_candidates(cands, t)
+                for t in range(T):
+                    if degsum[0, t] > 0:
+                        u = int(degsum[1, t]) + 1
+                        g_step = self.slices[prober].step0 + step + s
+                        found += self._try_candidates(
+                            self._candidates_for_degenerate(g_step, u), t
+                        )
+                    rebase = rebase or bool(degsum[2, t])
+        return found, rebase

@@ -68,6 +68,12 @@ class BSGSService:
 class _Handler(socketserver.StreamRequestHandler):
     def handle(self):
         try:
+            # per-IP token bucket (core/security.py — the reference's
+            # RateLimiter was declarations-only): a scanner cannot queue
+            # unbounded device work behind the serial search lock
+            if not self.server.limiter.allow(self.client_address[0]):  # type: ignore[attr-defined]
+                self.wfile.write(b"429 Too Many Requests")
+                return
             line = self.rfile.readline(4096).decode().strip()
             parts = line.split()
             if len(parts) != 2 or ":" not in parts[1]:
@@ -93,9 +99,13 @@ class BSGSDServer(socketserver.ThreadingTCPServer):
     allow_reuse_address = True
     daemon_threads = True
 
-    def __init__(self, addr, service: BSGSService):
+    def __init__(self, addr, service: BSGSService,
+                 rate: float = 5.0, burst: int = 10):
         super().__init__(addr, _Handler)
         self.service = service
+        from .core.security import RateLimiter
+
+        self.limiter = RateLimiter(rate=rate, burst=burst)
 
 
 def main(argv=None):

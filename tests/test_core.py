@@ -159,3 +159,25 @@ class TestLogger:
         assert "hidden" not in err
         assert "[I] shown" in err
         assert "[W] warned" in err
+
+
+def test_rate_limiter():
+    from keyhuntm1cpu_tpu.core.security import RateLimiter
+
+    rl = RateLimiter(rate=1000.0, burst=3)
+    assert [rl.allow("a") for _ in range(4)] == [True, True, True, False]
+    assert rl.allow("b")  # independent buckets
+    import time
+
+    time.sleep(0.005)  # ~5 tokens refill at rate 1000/s
+    assert rl.allow("a")
+
+
+def test_secure_compare_and_wipe():
+    from keyhuntm1cpu_tpu.core.security import secure_compare, secure_wipe
+
+    assert secure_compare(b"abc", b"abc")
+    assert not secure_compare(b"abc", b"abd")
+    buf = bytearray(b"secret")
+    secure_wipe(buf)
+    assert buf == bytearray(6)

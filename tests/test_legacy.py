@@ -69,3 +69,35 @@ def test_bloom_membership_semantics(tmp_path):
         ecref.scalar_mult(999999)[0].to_bytes(32, "big"), dtype=np.uint8
     )[None, :]
     assert not bl.check(other)[0]
+
+
+def test_general_xxh64_canonical_vectors():
+    from keyhuntm1cpu_tpu.utils.xxhash import xxh64
+
+    msg = bytes((i * 13 + 1) & 0xFF for i in range(100))
+    vectors = [
+        (0, 5285565135405403709),
+        (1, 7203755045532983444),
+        (3, 16098822197020239217),
+        (7, 12730200234637966193),
+        (8, 12390309947818504701),
+        (15, 11497292928896814913),
+        (31, 7449453051459588252),
+        (32, 3871888702456516128),
+        (33, 4698048105263599758),
+        (64, 4411820148583485689),
+        (100, 7272568505423433165),
+    ]
+    for n, want in vectors:
+        assert xxh64(msg[:n], 0x9747B28C) == want, n
+    assert xxh64(msg, 0) == 3268152388800753960
+    # agrees with the vectorized specializations
+    from keyhuntm1cpu_tpu.filter.bloom import xxh64_u64
+    import numpy as np
+
+    v = 0x1122334455667788
+    assert xxh64(v.to_bytes(8, "little"), 7) == int(
+        xxh64_u64(np.array([v], dtype=np.uint64), 7)[0]
+    )
+    x32 = np.frombuffer(msg[:32], dtype=np.uint8)[None, :]
+    assert xxh64(msg[:32], 9) == int(legacy.xxh64_32bytes(x32, 9)[0])
