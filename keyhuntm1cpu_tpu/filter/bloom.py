@@ -9,10 +9,15 @@ Same construction as the reference's libbloom2 (bloom/bloom.cpp):
 Keys here are fixed 8-byte (uint64) truncated X values / hash prefixes, so
 XXH64 specializes to its <32-byte small path — implemented vectorized over
 numpy uint64 lanes. Build/check run on host (numpy); the engines' device
-path uses filter/sorted_table.py, keeping this as the memory-frugal
-cascade option and for capability parity. Save/load uses a versioned npz
-with a sha256 checksum (replacing the reference's raw-struct dumps,
-keyhunt.cpp:1896-1915, per SURVEY.md §7.4).
+path uses filter/sorted_table.py. Role: the memory-frugal membership for
+HUGE target sets that must not live in HBM — measured at n = 10M targets
+(scripts/bench_bloom.py): 36 MB here vs 120 MB sorted table + 8.6 GB
+device bitmap; 0.4-0.6M probes/s host-side, right for dist/ workers
+pre-filtering candidates before the exact host set. The 32-byte-message
+variant backing reference file interop lives in utils/legacy.py;
+utils/xxhash.py has the general-length scalar form. Save/load uses a
+versioned npz with a sha256 checksum (replacing the reference's
+raw-struct dumps, keyhunt.cpp:1896-1915, per SURVEY.md §7.4).
 """
 
 from __future__ import annotations
