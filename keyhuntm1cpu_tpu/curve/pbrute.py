@@ -170,7 +170,8 @@ def _brute_kernel(bx_ref, by_ref, tabx_ref, taby_ref, tgt_ref,
 def brute_walk_blocks(bases_x, bases_y, tab_x, tab_y, tgt,
                       U: int, SB: int, mode: str, n_endo: int,
                       interpret: bool = False) -> jnp.ndarray:
-    """bases: (8, K, 128); tab: (8, U/128, 128); tgt: (2, T) uint32.
+    """bases: (8, K, 128); tab: (8, U/128, 128); tgt: (4, T) uint32
+    interval bounds [lo_hi, lo_lo, hi_hi, hi_lo] (pack_intervals).
     Returns packed hit words (K, U/128, 128) uint32."""
     K = bases_x.shape[1]
     assert K % SB == 0, (K, SB)
@@ -211,7 +212,8 @@ def brute_walk_blocks(bases_x, bases_y, tab_x, tab_y, tgt,
 def pallas_brute_chunk(px, py, tab_x_lm, tab_y_lm, ax, ay, tgt,
                        *, K, U, SB, C, mode, n_endo, interpret=False):
     """px/py: (8,) limbs of the chunk's base point ((start)*G). tgt:
-    (2, T) uint32 target words. Returns (next_x, next_y, out) where
+    (4, T) uint32 interval bounds (pack_intervals). Returns
+    (next_x, next_y, out) where
     `out` is ONE packed int32 summary vector (single host transfer):
         [cand_pos (C), cand_bits (C), n_deg (K), first_deg (K),
          adv_deg (K), n_candidates (1)]

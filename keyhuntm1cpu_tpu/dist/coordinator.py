@@ -176,12 +176,15 @@ class WorkCoordinator:
             if status == "done" or status == "found":
                 # accept completion from any worker (idempotent search):
                 # drop both the lease and any reclaimed duplicate so the
-                # unit is not re-searched after a late report
+                # unit is not re-searched after a late report. A duplicate
+                # can only sit in pending when the reporter's lease was
+                # reclaimed, so skip the O(pending) filter otherwise.
                 self._completed[unit_id] = status
                 self._assigned.pop(unit_id, None)
-                self._pending = deque(
-                    u for u in self._pending if u.unit_id != unit_id
-                )
+                if not owns:
+                    self._pending = deque(
+                        u for u in self._pending if u.unit_id != unit_id
+                    )
             elif owns:  # failed: requeue only if the reporter still owns it
                 self._assigned.pop(unit_id, None)
                 self._pending.appendleft(entry[0])

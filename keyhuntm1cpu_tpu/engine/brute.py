@@ -214,7 +214,14 @@ class BruteEngine:
         from ..curve import pbrute
 
         p = self.p
+        needs_kernel = bool(self.intervals) or not len(self.targets.raw)
         if p.pallas == "off":
+            if needs_kernel:
+                raise ValueError(
+                    "interval membership (vanity composition / -l both "
+                    "ranges) requires the kernel path; pallas='off' cannot "
+                    "serve it"
+                )
             return False
         ok = (
             self.mode in pbrute.MODES
@@ -243,7 +250,7 @@ class BruteEngine:
                 f"{p.compare_max} or shapes untiled) — expect ~5-10x lower "
                 "keys/s on the XLA fallback"
             )
-        if (self.intervals or not len(self.targets.raw)) and not use:
+        if needs_kernel and not use:
             raise ValueError(
                 "interval membership (vanity composition / -l both ranges) "
                 "requires the kernel path: set pallas='on' (CPU interprets) "

@@ -492,7 +492,7 @@ class BSGSEngine:
         try:
             base = self._initial_base(start_step)
         except _ImmediateHit as hit:
-            return self._try_candidates([hit.scalar])
+            return self._try_candidates_all([hit.scalar])
 
         found: List[FoundKey] = []
         px, py = base.x, base.y
@@ -537,10 +537,19 @@ class BSGSEngine:
                     base = self._initial_base(disp)
                     px, py = base.x, base.y
                 except _ImmediateHit as hit:
-                    found += self._try_candidates([hit.scalar])
+                    # the rebase base itself IS a target key; record it and
+                    # keep going from the next chunk (never abandon --all)
+                    found += self._try_candidates_all([hit.scalar])
                     if found and stop_on_first:
                         return self._dedupe_found(found)
-                    disp = end_step  # nothing sane to continue from
+                    while disp < end_step:
+                        disp += K
+                        try:
+                            base = self._initial_base(disp)
+                            px, py = base.x, base.y
+                            break
+                        except _ImmediateHit as hit2:
+                            found += self._try_candidates_all([hit2.scalar])
             if progress_every and n_done % progress_every == 0:
                 print(f"[bsgs] step {step + K}/{end_step} {self.stats.human()}")
         return self._dedupe_found(found)
@@ -692,7 +701,7 @@ class BSGSEngine:
             assert idx == i, (idx, i)
             k = min(p.steps_per_chunk, self.n_steps - step0)
             if isinstance(outs, int):  # _ImmediateHit scalar
-                found += self._try_candidates([outs])
+                found += self._try_candidates_all([outs])
                 if found and stop_on_first:
                     return found
                 continue
@@ -792,6 +801,14 @@ class BSGSEngine:
                     pt = ecref.point_add(pt, neg_stride)
                 c += self.stride
         return found
+
+    def _try_candidates_all(self, cands: Sequence[int]) -> List[FoundKey]:
+        """Verify candidate scalars against EVERY target (used for
+        _ImmediateHit base-center collisions, which carry no target id)."""
+        out: List[FoundKey] = []
+        for t in range(len(self.targets)):
+            out += self._try_candidates(cands, t)
+        return out
 
     def _try_candidates(self, cands: Sequence[int], t: int = 0) -> List[FoundKey]:
         out = []

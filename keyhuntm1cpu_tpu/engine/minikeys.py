@@ -177,7 +177,12 @@ class MinikeyEngine:
             n_valid, n_check = int(arr[0]), int(arr[1])
             lanes = arr[2:]
             if n_valid > V or n_check > HM:
-                found += self._host_rescan_chunk(prefix17, low, B)
+                known = {f.private_key for f in found}
+                found += [
+                    fk
+                    for fk in self._host_rescan_chunk(prefix17, low, B)
+                    if fk.private_key not in known
+                ]
             else:
                 for lane in lanes[lanes < B]:
                     fk = self._verify_minikey(

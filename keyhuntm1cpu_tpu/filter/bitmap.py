@@ -44,7 +44,8 @@ def default_bits_log2(m: int) -> int:
     return min(34, max(16, int(np.ceil(np.log2(max(m, 2)))) + 12))
 
 
-MAX_BITS_LOG2 = 36  # 8 GB of HBM words; word indices stay in int32
+MAX_BITS_LOG2 = 35  # 4 GB of words; 2^30 word indices fit int32
+# (bits=36 would need 2^31 word indices -> int32 overflow in jnp take)
 
 
 def _bit_indices(hi: np.ndarray, lo: np.ndarray, bits_log2: int) -> np.ndarray:

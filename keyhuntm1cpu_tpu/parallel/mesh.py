@@ -165,7 +165,15 @@ class ShardedBSGSEngine(BSGSEngine):
         for d, sl in enumerate(self.slices):
             parts = self._split_summary(arr[d])
             found += self._decode_chunk(sl.step0 + step, k, *parts)
-            rebase = rebase or bool(parts[3][:k, 2].any())
+            adv = parts[3][:k, 2]
+            if adv.any():
+                rebase = True
+                # steps after this shard's mid-chunk advance degeneracy
+                # walked garbage state: rescan them exactly (the single-
+                # device engine does the same in _consume_summary)
+                s_first = int(np.argmax(adv.any(axis=-1)))
+                for s_ in range(s_first + 1, k):
+                    found += self._host_rescan_step(sl.step0 + step + s_)
         return found, rebase
 
     def search_sharded(
@@ -185,7 +193,7 @@ class ShardedBSGSEngine(BSGSEngine):
         try:
             px, py = self._initial_bases_sharded()
         except _ImmediateHit as hit:
-            return self._try_candidates([hit.scalar])
+            return self._try_candidates_all([hit.scalar])
         total = self.local_steps if max_steps is None else min(self.local_steps, max_steps)
         found: List[FoundKey] = []
         pending: deque = deque()
@@ -219,10 +227,16 @@ class ShardedBSGSEngine(BSGSEngine):
                 try:
                     px, py = self._initial_bases_sharded(disp)
                 except _ImmediateHit as hit:
-                    found += self._try_candidates([hit.scalar])
+                    found += self._try_candidates_all([hit.scalar])
                     if found and stop_on_first:
                         return self._dedupe(found)
-                    disp = total
+                    while disp < total:
+                        disp += K
+                        try:
+                            px, py = self._initial_bases_sharded(disp)
+                            break
+                        except _ImmediateHit as hit2:
+                            found += self._try_candidates_all([hit2.scalar])
             if progress_every and n_done % progress_every == 0:
                 print(f"[bsgs-sharded] local step {step + K}/{total} {self.stats.human()}")
         return found
@@ -284,6 +298,18 @@ class ShardedTableBSGSEngine(ShardedBSGSEngine):
         )
         self._shard_structures()
         self._sharded_chunk = self._make_sharded_table_chunk()
+
+    def search(self, *a, **kw):
+        raise NotImplementedError(
+            "ShardedTableBSGSEngine has no single-device search (the "
+            "table lives sharded across the mesh) — use search_sharded()"
+        )
+
+    def search_scheduled(self, *a, **kw):
+        raise NotImplementedError(
+            "ShardedTableBSGSEngine has no single-device search (the "
+            "table lives sharded across the mesh) — use search_sharded()"
+        )
 
     def _shard_structures(self) -> None:
         """Slice the sorted table into D contiguous row shards (sorted
@@ -434,6 +460,7 @@ class ShardedTableBSGSEngine(ShardedBSGSEngine):
         D = self.n_shards
         found: List[FoundKey] = []
         rebase = False
+        adv_first: dict = {}
         for prober in range(D):
             for s in range(k):
                 row = arr[prober, s]
@@ -464,5 +491,14 @@ class ShardedTableBSGSEngine(ShardedBSGSEngine):
                         found += self._try_candidates(
                             self._candidates_for_degenerate(g_step, u), t
                         )
-                    rebase = rebase or bool(degsum[2, t])
+                if degsum[2, :].any():
+                    rebase = True
+                    adv_first.setdefault(prober, s)
+        # steps after a prober's first advance degeneracy walked garbage
+        # state: rescan them exactly for that prober's slice
+        for prober, s_first in adv_first.items():
+            for s_ in range(s_first + 1, k):
+                found += self._host_rescan_step(
+                    self.slices[prober].step0 + step + s_
+                )
         return found, rebase

@@ -132,7 +132,12 @@ class LegacyBloom:
         hdr = bytearray(BLOOM_STRUCT)
         struct.pack_into("<QQQ", hdr, 0, self.entries, self.bits, self.nbytes)
         hdr[24] = self.hashes
-        hdr[32:48] = np.longdouble(BLOOM_ERROR).tobytes()[:16]
+        # x86-64 80-bit extended long double of 1e-6 + 6 zeroed pad bytes
+        # (the reference memsets the struct, so padding is zero); a
+        # host-dependent np.longdouble would mis-encode on aarch64
+        hdr[32:48] = (
+            b"\x00\x68\x6c\xaf\x05\xbd\x37\x86\xeb\x3f" + b"\x00" * 6
+        )
         hdr[48] = 1  # ready
         hdr[49] = 2  # BLOOM_VERSION_MAJOR
         hdr[50] = 200  # BLOOM_VERSION_MINOR

@@ -186,3 +186,19 @@ def test_overflow_rescan_recovers_key(shared_engine_table):
     eng = BSGSEngine([ecref.scalar_mult(key)], a, b, params, table=shared_engine_table)
     found = eng.search()
     assert [f.private_key for f in found] == [key]
+
+
+def test_immediate_hit_checks_all_targets():
+    """A base-center collision with a NON-first target must be recovered
+    (round-2 multi-target regression: hit.scalar was only verified
+    against targets[0])."""
+    from keyhuntm1cpu_tpu.engine.bsgs import BSGSEngine, BSGSParams, host_baby_table
+
+    params = BSGSParams(m=256, block_u=16, steps_per_chunk=2, chain_len=8)
+    table = host_baby_table(params.m)
+    a = 0x900000
+    c_base = a + params.m - 2 * params.m  # initial base scalar (a - m)
+    pubs = [ecref.scalar_mult(0x123456789), ecref.scalar_mult(c_base)]
+    eng = BSGSEngine(pubs, a, a + 2**18, params, table=table)
+    found = eng.search(stop_on_first=False, max_steps=2)
+    assert c_base in [f.private_key for f in found]

@@ -96,3 +96,16 @@ def test_sharded_table_matches_replicated(table):
     ).search_sharded()
     assert [f.private_key for f in single] == [key]
     assert key in [f.private_key for f in sharded]
+
+
+def test_sharded_table_refuses_single_device_search(table):
+    from keyhuntm1cpu_tpu.parallel import ShardedTableBSGSEngine
+
+    eng = ShardedTableBSGSEngine(
+        [ecref.scalar_mult(123)], 0x500000, 0x500000 + 2**20, PARAMS,
+        table=table,
+    )
+    with pytest.raises(NotImplementedError):
+        eng.search()
+    with pytest.raises(NotImplementedError):
+        eng.search_scheduled()

@@ -171,3 +171,13 @@ def test_host_rescan_fast_xpoint_endo():
     eng = _fast_engine(keys=[want], mode="xpoint", a=100, endo=True)
     found = eng._host_rescan_fast(0, 1)
     assert want in [f.private_key for f in found]
+
+
+def test_intervals_with_pallas_off_raise():
+    from keyhuntm1cpu_tpu.engine.vanity import vanity_intervals
+
+    ts = _targets([1, 2])
+    ivs = vanity_intervals("1Q")
+    with pytest.raises(ValueError, match="kernel path"):
+        BruteEngine(ts, 1, 1 << 20, mode="rmd160",
+                    params=BruteParams(pallas="off"), intervals=ivs)
