@@ -88,10 +88,26 @@ def parse_target_file(path: str, kind: str) -> TargetSet:
     pubkeys: List[Tuple[int, int]] = []
     with open(path) as f:
         lines = [ln.strip() for ln in f if ln.strip()]
+    native_h160: dict = {}
+    if kind in ("address", "rmd160") and len(lines) > 10000:
+        # bulk-parse big address files through the native runtime
+        # (reference forceReadFileAddress is a C loop, keyhunt.cpp:6301;
+        # per-line python base58 is ~10k lines/s — native is ~100x)
+        from .. import native
+
+        if native.available():
+            toks = [ln.split()[0] for ln in lines]
+            b58 = [t for t in toks if len(t) != 40]
+            decoded = native.parse_addresses(
+                ("\n".join(b58)).encode(), len(b58)
+            )
+            for t, row in zip(b58, decoded):
+                if row.any():  # zeros = bad line -> python path raises
+                    native_h160[t] = row.tobytes()
     for ln in lines:
         tok = ln.split()[0]
         if kind in ("address", "rmd160"):
-            h = _parse_line_address(tok)
+            h = native_h160.get(tok) or _parse_line_address(tok)
             if h is None or len(h) != 20:
                 raise ValueError(f"bad address/rmd160 target: {ln!r}")
             raw.append(h)
