@@ -21,7 +21,7 @@ import os
 import sys
 import time
 
-M = int(os.environ.get("BENCH_M", 1 << 27))
+M = int(os.environ.get("BENCH_M", 1 << 28))
 BLOCK_U = int(os.environ.get("BENCH_U", 8192))
 CHUNK_K = int(os.environ.get("BENCH_K", 128))
 BENCH_SECONDS = float(os.environ.get("BENCH_SECONDS", 20.0))

@@ -68,6 +68,25 @@ def bench_brute_modes(seconds=5.0, gate_only=False):
         out[mode] = {"keys_per_sec": eff, "gate": "ok"}
         log(f"[bench] {mode}: {eff/1e6:.1f}M keys/s effective "
             f"(mult {eng.stats.multiplier})")
+    # endomorphism variant (reference -e: x6 effective accounting for
+    # hash modes, keyhunt.cpp:2175-2187) — the kernel hashes 3 GLV
+    # variants x 2 parities per point
+    mk = _mk("rmd160")
+    keys = list(range(1, 33))
+    raw = [mk(ecref.scalar_mult(k)) for k in keys]
+    ts = TargetSet(kind="hash160", raw=raw, labels=[str(k) for k in keys])
+    params = BruteParams(block_u=16384, steps_per_chunk=256, pallas_sb=4,
+                         pallas="on", endo=True)
+    eng = BruteEngine(ts, 1 << 40, (1 << 40) + (1 << 50), mode="rmd160",
+                      params=params)
+    eng.search(max_steps=params.steps_per_chunk)
+    n = max(1, int(seconds / 0.25))
+    t0 = time.time()
+    eng.search(max_steps=n * params.steps_per_chunk)
+    dt = time.time() - t0
+    eff = n * params.steps_per_chunk * params.block_u / dt * eng.stats.multiplier
+    out["rmd160_endo"] = {"keys_per_sec": eff, "gate": "ok (rmd160 gate)"}
+    log(f"[bench] rmd160 -e: {eff/1e6:.1f}M keys/s effective (mult 6)")
     return out
 
 
