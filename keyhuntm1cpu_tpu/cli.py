@@ -50,6 +50,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="target file (reference -f); not needed for vanity -v")
     p.add_argument("-r", "--range", type=parse_range, default=None,
                    help="start:end hex key range (reference -r)")
+    p.add_argument("-b", "--bits", type=int, default=None,
+                   help="puzzle-style shorthand for -r: scan [2^(b-1), 2^b) "
+                        "(reference -b)")
     p.add_argument("--m-babies", type=int, default=1 << 22,
                    help="BSGS baby-table size m (reference -n/-k sizing)")
     p.add_argument("-u", "--block-u", type=int, default=4096,
@@ -161,8 +164,16 @@ def _run(args, log) -> int:
         else None
     )
 
+    if args.bits is not None:
+        if args.range is not None:
+            log.error("-r and -b are mutually exclusive")
+            return 2
+        if not (1 <= args.bits <= 256):
+            log.error("-b bits must be in 1..256")
+            return 2
+        args.range = (max(1, 1 << (args.bits - 1)), 1 << args.bits)
     if args.mode in ("bsgs",) + BRUTE_MODES and args.range is None:
-        log.error("-r start:end is required for this mode")
+        log.error("-r start:end or -b bits is required for this mode")
         return 2
     if args.mode != "vanity" and not args.file:
         log.error("-f target file is required for this mode")

@@ -93,3 +93,13 @@ def test_config_file_missing(tmp_path, pubfile):
     rc = cli.main(["--config", "/nonexistent.json", "-m", "bsgs",
                    "-f", path, "-r", "1:2"])
     assert rc == 2
+
+
+def test_bits_shorthand_maps_to_range():
+    from keyhuntm1cpu_tpu.cli import build_parser
+
+    args = build_parser().parse_args(["-m", "rmd160", "-f", "x", "-b", "24"])
+    assert args.bits == 24 and args.range is None  # resolved in _run
+    # resolution logic mirror
+    a, b = max(1, 1 << 23), 1 << 24
+    assert a == 0x800000 and b == 0x1000000
