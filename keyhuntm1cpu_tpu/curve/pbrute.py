@@ -34,7 +34,6 @@ Reference capability: thread_process hash160/xpoint hot loop
 from __future__ import annotations
 
 import functools
-from typing import List, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -44,6 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..field import fe_tiles as ft
 from ..hash import phash
+from ..hash.phash import _bswap
 from ..ref import ecref
 from . import pwalk
 
@@ -64,15 +64,6 @@ def _const_tile(like: jnp.ndarray, value: int) -> jnp.ndarray:
     z = jnp.zeros_like(like[0])
     return jnp.stack(
         [z + np.uint32((value >> (32 * i)) & 0xFFFFFFFF) for i in range(8)]
-    )
-
-
-def _bswap(x):
-    return (
-        ((x & 0xFF) << 24)
-        | ((x & 0xFF00) << 8)
-        | ((x >> 8) & 0xFF00)
-        | (x >> 24)
     )
 
 

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import math
 import os
+from collections import deque
 from dataclasses import dataclass
 from functools import partial
 from typing import List, Optional, Sequence, Tuple
@@ -49,6 +50,9 @@ from ..hash import (
 from ..ref import ecref, hashref
 from ..utils.targets import TargetSet
 from .common import FoundKey, SearchStats
+
+# lambda^e factors for GLV endomorphism key reconstruction (keyhunt.cpp:2800-2851)
+_LAM_POW = (1, ecref.LAMBDA, ecref.LAMBDA * ecref.LAMBDA % ecref.N)
 
 
 @dataclass(frozen=True)
@@ -183,7 +187,9 @@ class BruteEngine:
         n_endo = 3 if self.p.endo else 1
         # query sets per point: endo variants x (2 parities for rmd160,
         # 3 forms for rmd160_both)
-        self.n_qsets = n_endo * {"rmd160": 2, "rmd160_both": 3}.get(mode, 1)
+        from ..curve import pbrute as _pb
+
+        self.n_qsets = _pb.n_qsets(mode, n_endo)
         nq = self.n_qsets
         bits_log2 = self.bitmap.bits_log2
         use_phash = (
@@ -414,9 +420,7 @@ class BruteEngine:
         # per-chunk host round trip (~28 ms through the device tunnel —
         # the round-1 throughput wall) overlaps device compute. Chunk
         # i+1's walk state chains on-device; only summaries come back.
-        import collections
-
-        pending: collections.deque = collections.deque()
+        pending: deque = deque()
         disp_step = 0  # next step to dispatch (sequential mode)
         disp_chunks = 0  # chunks dispatched (random mode)
         if rng is not None:
@@ -498,7 +502,7 @@ class BruteEngine:
         """Decode one packed chunk summary -> (valid steps, found keys)."""
         p = self.p
         C, K, U = p.chunk_cand, p.steps_per_chunk, p.block_u
-        lam_pow = (1, ecref.LAMBDA, ecref.LAMBDA * ecref.LAMBDA % ecref.N)
+        lam_pow = _LAM_POW
         pos = arr[:C]
         bits = arr[C : 2 * C].view(np.uint32)
         n_deg = arr[2 * C : 2 * C + K]
@@ -547,7 +551,7 @@ class BruteEngine:
         p = self.p
         j0 = step0 * p.block_u
         j1 = min((step0 + k) * p.block_u, self._fast_total_idx)
-        lam_pow = (1, ecref.LAMBDA, ecref.LAMBDA * ecref.LAMBDA % ecref.N)
+        lam_pow = _LAM_POW
         rawset = set(self.targets.raw)
         step_pt = ecref.scalar_mult(self.stride)
         found: List[FoundKey] = []
@@ -670,7 +674,7 @@ class BruteEngine:
         U = p.block_u
         C = p.cand_max
         npts = self.window
-        lam_pow = (1, ecref.LAMBDA, ecref.LAMBDA * ecref.LAMBDA % ecref.N)
+        lam_pow = _LAM_POW
         parities = {"rmd160": 2, "rmd160_both": 3}.get(self.mode, 1)
         found: List[FoundKey] = []
         seen = set()

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+from collections import deque
 from dataclasses import dataclass
 from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -504,9 +505,7 @@ class BSGSEngine:
         # the ~28 ms per-call host round trip (which serialized the round-1
         # loop — the device sat idle between chunks) overlaps device
         # compute. Walk state chains on-device; only summaries come back.
-        import collections
-
-        pending: collections.deque = collections.deque()
+        pending: deque = deque()
         disp = start_step  # next step to dispatch
         step = start_step  # next step to decode
         n_done = 0
@@ -673,9 +672,7 @@ class BSGSEngine:
         # has an independent host-derived base, so dispatch runs ahead of
         # decode by pipeline_depth chunks and the ~28 ms round trip per
         # summary pull overlaps device compute.
-        import collections
-
-        pending: collections.deque = collections.deque()
+        pending: deque = deque()
         disp_i = resume_from
 
         def dispatch_upto(limit: int):

@@ -184,13 +184,13 @@ class MinikeyEngine:
                     if fk.private_key not in known
                 ]
             else:
+                known = {f.private_key for f in found}
                 for lane in lanes[lanes < B]:
                     fk = self._verify_minikey(
                         self._minikey_str(prefix17, low, int(lane))
                     )
-                    if fk is not None and fk.private_key not in {
-                        f.private_key for f in found
-                    }:
+                    if fk is not None and fk.private_key not in known:
+                        known.add(fk.private_key)
                         found.append(fk)
             self.stats.add(B)
             decoded += 1

@@ -16,6 +16,7 @@ host-count-specific.
 from __future__ import annotations
 
 import math
+from collections import deque
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -186,8 +187,6 @@ class ShardedBSGSEngine(BSGSEngine):
         with async host copies of the summaries and the psum'd interest
         flag, so neither pull serializes the loop on the ~28 ms tunnel
         round trip; only interesting chunks are decoded."""
-        from collections import deque
-
         p = self.p
         K = p.steps_per_chunk
         try:

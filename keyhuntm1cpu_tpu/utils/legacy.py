@@ -36,6 +36,7 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
+from ..filter.bloom import _P1, _P2, _P3, _P4, _P5, _rotl64 as _rotl
 from ..ref import ecref
 
 BLOOM_STRUCT = 80
@@ -43,18 +44,6 @@ CHECKSUM = 64  # {data[32], backup[32]}
 XVALUE_SIZE = 16  # 6-byte value + 2 pad + 8-byte index
 BLOOM_SEED = 0x59F2815B16F81798
 BLOOM_ERROR = 0.000001
-
-_P1 = np.uint64(0x9E3779B185EBCA87)
-_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
-_P3 = np.uint64(0x165667B19E3779F9)
-_P4 = np.uint64(0x85EBCA77C2B2AE63)
-_P5 = np.uint64(0x27D4EB2F165667C5)
-
-
-def _rotl(x: np.ndarray, n: int) -> np.ndarray:
-    n = np.uint64(n)
-    return (x << n) | (x >> (np.uint64(64) - n))
-
 
 def xxh64_32bytes(msgs: np.ndarray, seed) -> np.ndarray:
     """Vectorized XXH64 of (B, 32)-byte messages (exactly one stripe)."""
