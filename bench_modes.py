@@ -170,8 +170,8 @@ def bench_bsgs_multitarget(table, bitmap, params, seconds=5.0):
     from keyhuntm1cpu_tpu.engine.bsgs import BSGSEngine
     from keyhuntm1cpu_tpu.ref import ecref
 
-    # T*K walk bases live in VMEM: shrink the chunk so T=16 tiles fit
-    params = dataclasses.replace(params, steps_per_chunk=16)
+    # moderate chunk: the T=16 summary/compaction width scales with T*K
+    params = dataclasses.replace(params, steps_per_chunk=32)
     pubs = [ecref.scalar_mult(0x1000 + 7 * i) for i in range(16)]
     eng = BSGSEngine(pubs, 1 << 63, 1 << 64, params, table=table,
                      bitmap=bitmap)

@@ -78,13 +78,17 @@ def _brute_kernel(bx_ref, by_ref, tabx_ref, taby_ref, tgt_ref,
     range — one compare path serves both, and composes them (the
     reference's -v alongside address mode, keyhunt.cpp:6270-6272)."""
     rows = U // LANES
-    g = pl.program_id(0)
     tx = tabx_ref[:, :, :]  # (8, rows, 128)
     ty = taby_ref[:, :, :]
+    # bases arrive in (8, RB, 128) blocks (RB = min(8, K): Mosaic needs
+    # sublane-divisible blocks); this grid step's rows start at `off`
+    rb = bx_ref.shape[1]
+    off = (pl.program_id(0) * SB) % rb
     needs_y = mode in ("eth", "address_u", "rmd160_both")
+    # bases arrive pre-blocked (8, SB, 128) — see pwalk._walk_kernel
 
     def build(s, _):
-        bx = jnp.broadcast_to(bx_ref[:, pl.ds(g * SB + s, 1), :], tx.shape)
+        bx = jnp.broadcast_to(bx_ref[:, pl.ds(off + s, 1), :], tx.shape)
         dx = ft.sub(tx, bx)
         degrow = ft.is_zero(dx)
         dx = ft.select(degrow, ft.one_like(dx), dx)
@@ -99,8 +103,8 @@ def _brute_kernel(bx_ref, by_ref, tabx_ref, taby_ref, tgt_ref,
         beta2 = _const_tile(tx, ecref.BETA * ecref.BETA % ecref.P)
 
     def emit(s, _):
-        bx = jnp.broadcast_to(bx_ref[:, pl.ds(g * SB + s, 1), :], tx.shape)
-        by = jnp.broadcast_to(by_ref[:, pl.ds(g * SB + s, 1), :], ty.shape)
+        bx = jnp.broadcast_to(bx_ref[:, pl.ds(off + s, 1), :], tx.shape)
+        by = jnp.broadcast_to(by_ref[:, pl.ds(off + s, 1), :], ty.shape)
         degrow = ft.is_zero(ft.sub(tx, bx))  # (rows, 128)
         inv_s = dens[:, pl.ds(s * rows, rows), :]
         lam = ft.mul(ft.sub(ty, by), inv_s)
@@ -174,7 +178,10 @@ def brute_walk_blocks(bases_x, bases_y, tab_x, tab_y, tgt,
         )
     T = tgt.shape[1]
     grid = (K // SB,)
-    base_spec = pl.BlockSpec((8, K, LANES), lambda g: (0, 0, 0),
+    rb = min(8, K)  # base block rows: sublane-divisible or full
+    if rb % SB != 0:
+        raise ValueError(f"SB must divide {rb} (got SB={SB}, K={K})")
+    base_spec = pl.BlockSpec((8, rb, LANES), lambda g: (0, (g * SB) // rb, 0),
                              memory_space=pltpu.VMEM)
     tab_spec = pl.BlockSpec((8, rows, LANES), lambda g: (0, 0, 0),
                             memory_space=pltpu.VMEM)

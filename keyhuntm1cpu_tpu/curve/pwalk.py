@@ -23,11 +23,11 @@ walk.walk_fused steps):
 Membership (bitmap cascade + exact search) stays in XLA on the kernel
 outputs — gathers are XLA's job.
 
-Layout: everything limb-major (8, rows, 128) uint32 (fe_tiles). The
-pallas path currently supports T == 1 targets (the bsgsd / bench shape);
-engines fall back to the XLA path otherwise. Values are replicated across
-the 128 lanes in kernel A (redundant compute, trivially correct
-broadcasts); kernel B uses real lane parallelism.
+Layout: everything limb-major (8, rows, 128) uint32 (fe_tiles).
+Kernel A carries up to 128 independent chains on its lanes (one per
+target — pallas_chunk_multi); kernel B receives bases pre-blocked
+(8, SB, 128) per grid step so T*K never caps VMEM, and uses real lane
+parallelism across the U offsets.
 
 Reference capability: the giant-step walk of thread_process_bsgs
 (keyhunt.cpp:3873-4002); the unwired CUDA kernel's per-step Fermat
@@ -202,12 +202,17 @@ def _walk_kernel(bx_ref, by_ref, tabx_ref, taby_ref,
     kernel code (Mosaic chokes on hundreds of unrolled mul bodies).
     """
     rows = U // LANES
-    g = pl.program_id(0)
     tx = tabx_ref[:, :, :]  # (8, rows, 128)
     ty = taby_ref[:, :, :]
+    # bases arrive in (8, RB, 128) blocks (RB = min(8, K): Mosaic needs
+    # sublane-divisible blocks); this grid step's rows start at `off`
+    rb = bx_ref.shape[1]
+    off = (pl.program_id(0) * SB) % rb
+    # bases arrive pre-blocked (8, SB, 128): only this block's rows live
+    # in VMEM, so T*K (multi-target) no longer caps chunk size
 
     def build(s, _):
-        bx = jnp.broadcast_to(bx_ref[:, pl.ds(g * SB + s, 1), :], tx.shape)
+        bx = jnp.broadcast_to(bx_ref[:, pl.ds(off + s, 1), :], tx.shape)
         dx = ft.sub(tx, bx)
         degrow = ft.is_zero(dx)  # (rows, 128)
         dx = ft.select(degrow, ft.one_like(dx), dx)
@@ -219,8 +224,8 @@ def _walk_kernel(bx_ref, by_ref, tabx_ref, taby_ref,
     _group_inverse_inplace(dens, prefs, (SB * rows) // 8)
 
     def emit(s, _):
-        bx = jnp.broadcast_to(bx_ref[:, pl.ds(g * SB + s, 1), :], tx.shape)
-        by = jnp.broadcast_to(by_ref[:, pl.ds(g * SB + s, 1), :], ty.shape)
+        bx = jnp.broadcast_to(bx_ref[:, pl.ds(off + s, 1), :], tx.shape)
+        by = jnp.broadcast_to(by_ref[:, pl.ds(off + s, 1), :], ty.shape)
         inv_s = dens[:, pl.ds(s * rows, rows), :]
         lam = ft.mul(ft.sub(ty, by), inv_s)
         # only limbs 0/1 of x3 leave the kernel (64-bit truncation)
@@ -245,7 +250,10 @@ def walk_blocks(bases_x, bases_y, tab_x, tab_y, U: int, SB: int = 4,
             f"(got SB={SB}, U={U}): the Montgomery grouping would be empty"
         )
     grid = (K // SB,)
-    base_spec = pl.BlockSpec((8, K, LANES), lambda g: (0, 0, 0),
+    rb = min(8, K)  # base block rows: sublane-divisible or full
+    if rb % SB != 0:
+        raise ValueError(f"SB must divide {rb} (got SB={SB}, K={K})")
+    base_spec = pl.BlockSpec((8, rb, LANES), lambda g: (0, (g * SB) // rb, 0),
                              memory_space=pltpu.VMEM)
     tab_spec = pl.BlockSpec((8, rows, LANES), lambda g: (0, 0, 0),
                             memory_space=pltpu.VMEM)
