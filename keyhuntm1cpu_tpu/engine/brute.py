@@ -233,6 +233,7 @@ class BruteEngine:
             self.mode in pbrute.MODES
             and len(self.targets.raw) + len(self.intervals) <= p.compare_max
             and p.block_u % 128 == 0
+            and 8 % p.pallas_sb == 0  # base blocks stream in 8-row slices
             and p.steps_per_chunk % p.pallas_sb == 0
             and (p.block_u // 128) * p.pallas_sb % 8 == 0
             and (p.block_u // 128) * p.pallas_sb >= 8

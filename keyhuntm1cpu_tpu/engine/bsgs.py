@@ -127,6 +127,7 @@ class BSGSEngine:
             p.pallas != "off"
             and jax.default_backend() != "cpu"
             and p.build_block % 128 == 0
+            and 8 % p.pallas_sb == 0
             and (p.build_block // 128) * p.pallas_sb % 8 == 0
             and (p.build_block // 128) * p.pallas_sb >= 8
             and p.m > p.build_block
@@ -311,6 +312,7 @@ class BSGSEngine:
         ok_shape = (
             len(self.targets) <= 128  # targets ride kernel-A lanes
             and p.block_u % 128 == 0
+            and 8 % p.pallas_sb == 0  # base blocks stream in 8-row slices
             and p.steps_per_chunk % p.pallas_sb == 0
             # the walk kernel's Montgomery grouping needs whole groups of
             # 8 sublane rows per block: SB * (U/128) must be a positive

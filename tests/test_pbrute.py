@@ -181,3 +181,11 @@ def test_intervals_with_pallas_off_raise():
     with pytest.raises(ValueError, match="kernel path"):
         BruteEngine(ts, 1, 1 << 20, mode="rmd160",
                     params=BruteParams(pallas="off"), intervals=ivs)
+
+
+def test_on_gate_rejects_sb_not_dividing_8():
+    ts = _targets([1, 2])
+    with pytest.raises(ValueError):
+        BruteEngine(ts, 1, 1 << 20, mode="rmd160",
+                    params=BruteParams(block_u=384, steps_per_chunk=6,
+                                       pallas_sb=3, pallas="on"))
