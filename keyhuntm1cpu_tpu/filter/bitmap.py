@@ -84,8 +84,10 @@ def build_bitmap(
     n_words = 1 << (bits_log2 - 5)
     if on_device:
         uniq = np.unique(idx)
+        # 5 B/key over the host link (int32 word + uint8 bit) — the
+        # upload dominates warm boots at m = 2^28 (1.3 GB vs 2.1 GB)
         word_idx = jnp.asarray((uniq >> np.uint64(5)).astype(np.int32))
-        bit = jnp.asarray((uniq & np.uint64(31)).astype(np.uint32))
+        bit = jnp.asarray((uniq & np.uint64(31)).astype(np.uint8))
         words = _scatter_bits(word_idx, bit, n_words)
         return DeviceBitmap(words, bits_log2)
     words = np.zeros(n_words, dtype=np.uint32)
@@ -105,7 +107,7 @@ import jax as _jax
 @_partial(_jax.jit, static_argnames=("n_words",))
 def _scatter_bits(word_idx, bit, n_words: int):
     words = jnp.zeros(n_words, dtype=jnp.uint32)
-    return words.at[word_idx].add(jnp.uint32(1) << bit)
+    return words.at[word_idx].add(jnp.uint32(1) << bit.astype(jnp.uint32))
 
 
 def probe(bm: DeviceBitmap, qhi: jnp.ndarray, qlo: jnp.ndarray) -> jnp.ndarray:
