@@ -28,7 +28,11 @@ BENCH_SECONDS = float(os.environ.get("BENCH_SECONDS", 20.0))
 CAND_MAX = int(os.environ.get("BENCH_CAND", 128))
 BITS_LOG2 = os.environ.get("BENCH_BITS", "35")
 SB = int(os.environ.get("BENCH_SB", 4))
-CACHE = os.environ.get("BENCH_TABLE_CACHE", f"/root/repo/.baby_m{M}.npz")
+# npz table cache: OFF by default since the device-resident build (Pallas
+# walk + lax.sort + on-device bitmap) beats re-uploading 3.2 GB through
+# the device tunnel — and the tunnel's bandwidth is erratic (observed
+# 25 MB/s to <1 MB/s within minutes). Opt in with BENCH_TABLE_CACHE=path.
+CACHE = os.environ.get("BENCH_TABLE_CACHE", "")
 
 PUZZLE63_KEY = 0x7CCE5EFDACCF6808
 PUZZLE64_RANGE = (1 << 63, 1 << 64)
@@ -55,9 +59,9 @@ def main():
         pallas_sb=SB,
     )
 
-    # --- table (cached across bench runs) -----------------------------
+    # --- table (device-built; npz cache only when BENCH_TABLE_CACHE set)
     table = None
-    if os.path.exists(CACHE):
+    if CACHE and os.path.exists(CACHE):
         try:
             table = BSGSEngine.load_table(CACHE)
             log(f"loaded cached baby table m={M}")
@@ -69,8 +73,9 @@ def main():
         [pub63], PUZZLE64_RANGE[0], PUZZLE64_RANGE[1], params, table=table
     )
     if table is None:
-        log(f"baby table built in {time.time()-t0:.1f}s (m={M})")
-        eng.save_table(CACHE)
+        log(f"baby table built on-device in {time.time()-t0:.1f}s (m={M})")
+        if CACHE:
+            eng.save_table(CACHE)
     build_s = time.time() - t0
 
     # --- correctness gate: recover puzzle 63 from a window ------------

@@ -103,9 +103,11 @@ class BSGSEngine:
 
         self.table = table if table is not None else self.build_baby_table()
         # the bitmap is shareable across engines over the same table (512 MB
-        # at the default sizing — build + upload once, pass around)
-        self.bitmap = bitmap if bitmap is not None else bmp.build_bitmap(
-            np.asarray(self.table.hi), np.asarray(self.table.lo), params.bits_log2
+        # at the default sizing — build once, pass around). Derived from the
+        # device-resident table planes: no host round trip even when the
+        # table came from an npz cache (it was just uploaded).
+        self.bitmap = bitmap if bitmap is not None else bmp.build_bitmap_device(
+            self.table.hi, self.table.lo, params.bits_log2
         )
         self._host_keys: Optional[Dict[int, List[int]]] = None
         self._chunk_fn = self._make_chunk_fn()
@@ -201,39 +203,32 @@ class BSGSEngine:
         ax = jnp.asarray(fe.int_to_limbs(adv[0]))
         ay = jnp.asarray(fe.int_to_limbs(adv[1]))
 
-        his = np.empty(n_blocks * ub, dtype=np.uint32)
-        los = np.empty(n_blocks * ub, dtype=np.uint32)
-        idxs = (np.arange(n_blocks * ub, dtype=np.uint64) + 1).astype(np.uint32)
-        his[:ub] = btab_x[:, 1]
-        los[:ub] = btab_x[:, 0]
-
         base = ecref.scalar_mult(ub)
         px = jnp.asarray(fe.int_to_limbs(base[0]))
         py = jnp.asarray(fe.int_to_limbs(base[1]))
-        # whole-multiple-of-8 chain lengths only (Montgomery groups of 8
-        # sublane rows). Chunk pulls are pipelined with async host copies:
-        # each blocking pull pays the ~28 ms tunnel RTT even when computed,
-        # so kmax 32 -> 128 plus the pipeline cuts the m = 2^26 build from
-        # ~480 s (round 1) to device-compute + transfer time.
+        # Device-resident build: chunk results STAY on device — the only
+        # per-chunk host traffic is two scalars (degeneracy count +
+        # advance-chain flag), pipelined with async copies. Block 0 is the
+        # tiny host step table (ub * 4 B), everything else never crosses
+        # the tunnel; the final sort is a device lax.sort. Whole-multiple-
+        # of-8 chain lengths only (Montgomery groups of 8 sublane rows).
         kmax = 128
-        pending: List[Tuple[int, int, object]] = []
+        chunks_hi: List[jnp.ndarray] = [jnp.asarray(btab_x[:, 1])]
+        chunks_lo: List[jnp.ndarray] = [jnp.asarray(btab_x[:, 0])]
+        patches: List[Tuple[int, int]] = []  # (flat j-1, exact x)
+        pending: List[Tuple[int, int, object, object, object]] = []
 
         def drain(entry):
-            done_, k_, res_ = entry
-            lo = np.asarray(res_.qlo)[:k_].reshape(-1)
-            hi = np.asarray(res_.qhi)[:k_].reshape(-1)
-            his[done_ * ub : (done_ + k_) * ub] = hi
-            los[done_ * ub : (done_ + k_) * ub] = lo
-            deg = np.asarray(res_.degenerate)[:k_].reshape(k_, ub)
-            if deg.any():
+            done_, k_, res_, dcount_, adeg_ = entry
+            if int(np.asarray(dcount_)) > 0:
                 # walk-lane degeneracies (e.g. the doubling lane of block
-                # 1 at u = Ub): patch those entries exactly on host
+                # 1 at u = Ub) are rare: pull THIS chunk's mask only and
+                # patch those entries exactly before the sort
+                deg = np.asarray(res_.degenerate)[:k_].reshape(k_, ub)
                 for s, u0 in zip(*np.nonzero(deg)):
                     j = (done_ + int(s)) * ub + int(u0) + 1
-                    x = ecref.scalar_mult(j)[0]
-                    his[j - 1] = (x >> 32) & 0xFFFFFFFF
-                    los[j - 1] = x & 0xFFFFFFFF
-            assert not bool(np.asarray(res_.adv_degenerate)[:k_].any()), (
+                    patches.append((j - 1, ecref.scalar_mult(j)[0]))
+            assert not bool(np.asarray(adeg_)), (
                 "advance chain hit infinity during table build"
             )
 
@@ -244,9 +239,13 @@ class BSGSEngine:
             res = _build_chunk_impl(
                 px, py, tx, ty, ax, ay, K=k_run, U=ub, SB=p.pallas_sb
             )
-            for leaf in (res.qlo, res.qhi, res.degenerate, res.adv_degenerate):
-                leaf.copy_to_host_async()
-            pending.append((done, k, res))
+            dcount = res.degenerate[:k].sum(dtype=jnp.int32)
+            adeg = res.adv_degenerate[:k].any()
+            dcount.copy_to_host_async()
+            adeg.copy_to_host_async()
+            chunks_hi.append(res.qhi[:k].reshape(-1))
+            chunks_lo.append(res.qlo[:k].reshape(-1))
+            pending.append((done, k, res, dcount, adeg))
             if len(pending) > 4:
                 drain(pending.pop(0))
             px, py = res.next_x, res.next_y
@@ -254,7 +253,19 @@ class BSGSEngine:
         for entry in pending:
             drain(entry)
 
-        return st.build_sorted_table(his[: p.m], los[: p.m], idxs[: p.m])
+        his = jnp.concatenate(chunks_hi)[: p.m]
+        los = jnp.concatenate(chunks_lo)[: p.m]
+        del chunks_hi, chunks_lo
+        if patches:
+            pos = np.fromiter((q for q, _ in patches), dtype=np.int32)
+            xs = [x for _, x in patches]
+            phi = np.array([(x >> 32) & 0xFFFFFFFF for x in xs], dtype=np.uint32)
+            plo = np.array([x & 0xFFFFFFFF for x in xs], dtype=np.uint32)
+            keep = pos < p.m
+            his = his.at[pos[keep]].set(phi[keep])
+            los = los.at[pos[keep]].set(plo[keep])
+        idxs = (jnp.arange(p.m, dtype=jnp.uint32) + jnp.uint32(1))
+        return st.build_sorted_table_device(his, los, idxs)
 
     # ------------------------------------------------------------------
     # table persistence (reference -S files, keyhunt.cpp:1373-2025)

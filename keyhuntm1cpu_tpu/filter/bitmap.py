@@ -110,6 +110,56 @@ def _scatter_bits(word_idx, bit, n_words: int):
     return words.at[word_idx].add(jnp.uint32(1) << bit.astype(jnp.uint32))
 
 
+@_partial(_jax.jit, static_argnames=("bits_log2", "n_words"))
+def _build_words_device(hi, lo, bits_log2: int, n_words: int):
+    """Word array from (hi, lo) key planes entirely on device.
+
+    jnp has no scatter-OR, so duplicates are removed first: sort the bit
+    indices (two u32 sort keys), keep the first of each run, zero the
+    rest's contribution — then scatter-add IS scatter-or. Index math
+    mirrors probe() exactly (low bits_log2 bits of the 64-bit key).
+    """
+    if bits_log2 > 32:
+        ihi = hi & jnp.uint32((1 << (bits_log2 - 32)) - 1)
+        ilo = lo
+    else:
+        mask = (
+            jnp.uint32((1 << bits_log2) - 1)
+            if bits_log2 < 32
+            else jnp.uint32(0xFFFFFFFF)
+        )
+        ihi = jnp.zeros_like(hi)
+        ilo = lo & mask
+    shi, slo = _jax.lax.sort((ihi, ilo), num_keys=2)
+    first = jnp.concatenate(
+        [
+            jnp.ones((1,), dtype=bool),
+            (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1]),
+        ]
+    )
+    word = (slo >> jnp.uint32(5)).astype(jnp.int32) | (
+        shi.astype(jnp.int32) << 27
+    )
+    val = jnp.where(first, jnp.uint32(1) << (slo & jnp.uint32(31)), jnp.uint32(0))
+    words = jnp.zeros(n_words, dtype=jnp.uint32)
+    return words.at[word].add(val)
+
+
+def build_bitmap_device(
+    hi: jnp.ndarray, lo: jnp.ndarray, bits_log2: int | None = None
+) -> DeviceBitmap:
+    """Bitmap derived from device-resident key planes (e.g. a freshly
+    built or freshly uploaded baby table) with ZERO bulk host transfers —
+    the host-array build_bitmap() uploads 5 B/key, which dominates warm
+    boots through the device tunnel (~1.3 GB at m = 2^28)."""
+    if bits_log2 is None:
+        bits_log2 = default_bits_log2(lo.shape[0])
+    if bits_log2 < 5 or bits_log2 > MAX_BITS_LOG2:
+        raise ValueError(f"bits_log2 out of range (5..{MAX_BITS_LOG2})")
+    n_words = 1 << (bits_log2 - 5)
+    return DeviceBitmap(_build_words_device(hi, lo, bits_log2, n_words), bits_log2)
+
+
 def probe(bm: DeviceBitmap, qhi: jnp.ndarray, qlo: jnp.ndarray) -> jnp.ndarray:
     """(B,) bool possibly-present mask — exactly one gather round."""
     if bm.bits_log2 > 32:

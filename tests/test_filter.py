@@ -183,3 +183,43 @@ class TestBitmapCascade:
             bm, tab, jnp.asarray(np.asarray(tab.hi)), jnp.asarray(np.asarray(tab.lo)), 64
         )
         assert int(fl.n_candidates) == m  # > cand_max -> caller rescans
+
+
+class TestDevicePrimitives:
+    """Device-resident boot primitives (round 2): lax.sort table build and
+    on-device bitmap derivation must be bit-identical to the host paths."""
+
+    def test_build_bitmap_device_matches_host(self):
+        from keyhuntm1cpu_tpu.filter import bitmap as bmp
+
+        rng = np.random.default_rng(7)
+        for bits in (20, 32, 35):
+            n = 1 << 13
+            hi = rng.integers(0, 2**32, size=n, dtype=np.uint32)
+            lo = rng.integers(0, 2**32, size=n, dtype=np.uint32)
+            # duplicate keys at non-adjacent positions: the dedupe must be
+            # global (scatter-add would corrupt bits on any missed dup)
+            hi[5000:6000] = hi[:1000]
+            lo[5000:6000] = lo[:1000]
+            host = bmp.build_bitmap(hi, lo, bits, on_device=False)
+            dev = bmp.build_bitmap_device(jnp.asarray(hi), jnp.asarray(lo), bits)
+            assert host.bits_log2 == dev.bits_log2
+            assert np.array_equal(np.asarray(host.words), np.asarray(dev.words))
+
+    def test_build_sorted_table_device_matches_host(self):
+        from keyhuntm1cpu_tpu.filter import sorted_table as st
+
+        rng = np.random.default_rng(8)
+        n = 1 << 14
+        hi = rng.integers(0, 2**32, size=n, dtype=np.uint32)
+        lo = rng.integers(0, 2**32, size=n, dtype=np.uint32)
+        hi[100:200] = hi[:100]  # duplicate 64-bit keys: stability matters
+        lo[100:200] = lo[:100]
+        idx = np.arange(n, dtype=np.uint32)
+        a = st.build_sorted_table(hi.copy(), lo.copy(), idx.copy())
+        b = st.build_sorted_table_device(
+            jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(idx)
+        )
+        assert np.array_equal(np.asarray(a.hi), np.asarray(b.hi))
+        assert np.array_equal(np.asarray(a.lo), np.asarray(b.lo))
+        assert np.array_equal(np.asarray(a.idx), np.asarray(b.idx))
