@@ -27,10 +27,12 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
+import time
 from collections import deque
 from dataclasses import dataclass
 from functools import partial
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -63,6 +65,15 @@ class BSGSParams:
     # ~28 ms per-call host round trip (the round-1 wall: chunk dispatch +
     # summary pull were serialized, leaving the device idle most of the
     # time); bounded to keep async dispatch through the tunnel in check
+
+
+def _debug_sync(label: str, arr) -> None:
+    """KEYHUNT_BUILD_DEBUG=1: sync on one element and timestamp a build
+    phase (used to attribute boot time between kernels, sort, scatter and
+    the device tunnel)."""
+    if os.environ.get("KEYHUNT_BUILD_DEBUG"):
+        np.asarray(arr[:1])
+        print(f"[build] {label} t={time.time():.1f}", flush=True)
 
 
 class BSGSEngine:
@@ -109,6 +120,7 @@ class BSGSEngine:
         self.bitmap = bitmap if bitmap is not None else bmp.build_bitmap_device(
             self.table.hi, self.table.lo, params.bits_log2
         )
+        _debug_sync("bitmap done", self.bitmap.words)
         self._host_keys: Optional[Dict[int, List[int]]] = None
         self._chunk_fn = self._make_chunk_fn()
 
@@ -206,56 +218,77 @@ class BSGSEngine:
         base = ecref.scalar_mult(ub)
         px = jnp.asarray(fe.int_to_limbs(base[0]))
         py = jnp.asarray(fe.int_to_limbs(base[1]))
-        # Device-resident build: chunk results STAY on device — the only
-        # per-chunk host traffic is two scalars (degeneracy count +
-        # advance-chain flag), pipelined with async copies. Block 0 is the
-        # tiny host step table (ub * 4 B), everything else never crosses
-        # the tunnel; the final sort is a device lax.sort. Whole-multiple-
-        # of-8 chain lengths only (Montgomery groups of 8 sublane rows).
-        kmax = 128
+        # Device-resident build in ONE dispatch: a lax.scan over chunk
+        # iterations (each a K-block Pallas advance-chain + walk call),
+        # exactly like the search chunk fn. Per-chunk python dispatch was
+        # the wall: through the device tunnel a dispatch/pull costs a full
+        # RTT (observed 28 ms healthy to ~2 s degraded), and 512 of them
+        # dominated the whole build regardless of kernel speed. All chunk
+        # results and degeneracy metadata stay on device; ONE pull of the
+        # per-chunk degeneracy counts after the scan. Block 0 is the host
+        # step table (ub * 4 B); the sort is a device lax.sort.
+        kmax = 128  # blocks per scan iteration (multiple of 8:
+        # whole Montgomery sublane groups in the advance chain)
         chunks_hi: List[jnp.ndarray] = [jnp.asarray(btab_x[:, 1])]
         chunks_lo: List[jnp.ndarray] = [jnp.asarray(btab_x[:, 0])]
-        patches: List[Tuple[int, int]] = []  # (flat j-1, exact x)
-        pending: List[Tuple[int, int, object, object, object]] = []
+        metas: List[Tuple[int, int]] = []  # (first block, k) per chunk
+        deg_stacks: List[jnp.ndarray] = []  # (n_i, k_i, ub) bool per call
+        dcount_parts: List[jnp.ndarray] = []
+        adv_parts: List[jnp.ndarray] = []
 
-        def drain(entry):
-            done_, k_, res_, dcount_, adeg_ = entry
-            if int(np.asarray(dcount_)) > 0:
-                # walk-lane degeneracies (e.g. the doubling lane of block
-                # 1 at u = Ub) are rare: pull THIS chunk's mask only and
-                # patch those entries exactly before the sort
-                deg = np.asarray(res_.degenerate)[:k_].reshape(k_, ub)
-                for s, u0 in zip(*np.nonzero(deg)):
-                    j = (done_ + int(s)) * ub + int(u0) + 1
-                    patches.append((j - 1, ecref.scalar_mult(j)[0]))
-            assert not bool(np.asarray(adeg_)), (
-                "advance chain hit infinity during table build"
+        n_rem = n_blocks - 1
+        n_iter = n_rem // kmax
+        if n_iter:
+            sc = _build_scan_impl(
+                px, py, tx, ty, ax, ay,
+                n_iter=n_iter, K=kmax, U=ub, SB=p.pallas_sb,
             )
-
-        done = 1
-        while done < n_blocks:
-            k = min(kmax, n_blocks - done)
-            k_run = -(-k // 8) * 8
+            px, py = sc.next_x, sc.next_y
+            chunks_hi.append(sc.qhi.reshape(-1))
+            chunks_lo.append(sc.qlo.reshape(-1))
+            deg_stacks.append(sc.degenerate)
+            dcount_parts.append(sc.dcount)
+            adv_parts.append(sc.adv_any[None])
+            metas.extend((1 + i * kmax, kmax) for i in range(n_iter))
+        rem = n_rem - n_iter * kmax
+        if rem:
+            k_run = -(-rem // 8) * 8
             res = _build_chunk_impl(
                 px, py, tx, ty, ax, ay, K=k_run, U=ub, SB=p.pallas_sb
             )
-            dcount = res.degenerate[:k].sum(dtype=jnp.int32)
-            adeg = res.adv_degenerate[:k].any()
-            dcount.copy_to_host_async()
-            adeg.copy_to_host_async()
-            chunks_hi.append(res.qhi[:k].reshape(-1))
-            chunks_lo.append(res.qlo[:k].reshape(-1))
-            pending.append((done, k, res, dcount, adeg))
-            if len(pending) > 4:
-                drain(pending.pop(0))
-            px, py = res.next_x, res.next_y
-            done += k
-        for entry in pending:
-            drain(entry)
+            chunks_hi.append(res.qhi[:rem].reshape(-1))
+            chunks_lo.append(res.qlo[:rem].reshape(-1))
+            deg_stacks.append(res.degenerate[None, :rem])
+            dcount_parts.append(res.degenerate[:rem].sum(dtype=jnp.int32)[None])
+            adv_parts.append(res.adv_degenerate[:rem].any()[None])
+            metas.append((1 + n_iter * kmax, rem))
 
+        patches: List[Tuple[int, int]] = []  # (flat j-1, exact x)
+        if metas:
+            dcounts = np.asarray(jnp.concatenate(dcount_parts))
+            assert not bool(np.asarray(jnp.concatenate(adv_parts).any())), (
+                "advance chain hit infinity during table build"
+            )
+            flat_i = 0
+            for stack in deg_stacks:
+                for row in range(stack.shape[0]):
+                    done_, k_ = metas[flat_i]
+                    if int(dcounts[flat_i]) > 0:
+                        # walk-lane degeneracies (e.g. the doubling lane
+                        # of block 1 at u = Ub) are rare: pull only the
+                        # affected chunk's mask and patch exactly
+                        deg = np.asarray(stack[row])[:k_].reshape(k_, ub)
+                        for s, u0 in zip(*np.nonzero(deg)):
+                            j = (done_ + int(s)) * ub + int(u0) + 1
+                            patches.append((j - 1, ecref.scalar_mult(j)[0]))
+                    flat_i += 1
+        del deg_stacks, dcount_parts, adv_parts
+
+        _debug_sync("chunks done", chunks_hi[-1])
         his = jnp.concatenate(chunks_hi)[: p.m]
         los = jnp.concatenate(chunks_lo)[: p.m]
         del chunks_hi, chunks_lo
+        _debug_sync("concat done", his)
         if patches:
             pos = np.fromiter((q for q, _ in patches), dtype=np.int32)
             xs = [x for _, x in patches]
@@ -265,7 +298,9 @@ class BSGSEngine:
             his = his.at[pos[keep]].set(phi[keep])
             los = los.at[pos[keep]].set(plo[keep])
         idxs = (jnp.arange(p.m, dtype=jnp.uint32) + jnp.uint32(1))
-        return st.build_sorted_table_device(his, los, idxs)
+        tab = st.build_sorted_table_device(his, los, idxs)
+        _debug_sync("sort done", tab.hi)
+        return tab
 
     # ------------------------------------------------------------------
     # table persistence (reference -S files, keyhunt.cpp:1373-2025)
@@ -920,6 +955,42 @@ def _build_chunk_impl(px, py, tx, ty, ax, ay, *, K, U, SB):
     from ..curve import pwalk
 
     return pwalk.pallas_chunk(px, py, tx, ty, ax, ay, K=K, U=U, SB=SB)
+
+
+class _BuildScanResult(NamedTuple):
+    next_x: jnp.ndarray  # (8,) uint32 limbs
+    next_y: jnp.ndarray
+    qhi: jnp.ndarray  # (n_iter, K*U) uint32
+    qlo: jnp.ndarray
+    degenerate: jnp.ndarray  # (n_iter, K, U) bool
+    dcount: jnp.ndarray  # (n_iter,) int32 degeneracies per chunk
+    adv_any: jnp.ndarray  # () bool — any advance-chain infinity
+
+
+@partial(jax.jit, static_argnames=("n_iter", "K", "U", "SB"))
+def _build_scan_impl(px, py, tx, ty, ax, ay, *, n_iter, K, U, SB):
+    """The whole table-build chunk loop as ONE dispatch: lax.scan over
+    n_iter Pallas chunk calls (each K blocks of U baby points). Per-chunk
+    python dispatch pays a tunnel RTT each — at 512 chunks that dwarfed
+    the kernels themselves."""
+    from ..curve import pwalk
+
+    def body(carry, _):
+        cpx, cpy = carry
+        res = pwalk.pallas_chunk(cpx, cpy, tx, ty, ax, ay, K=K, U=U, SB=SB)
+        out = (
+            res.qhi.reshape(-1),
+            res.qlo.reshape(-1),
+            res.degenerate,
+            res.degenerate.sum(dtype=jnp.int32),
+            res.adv_degenerate.any(),
+        )
+        return (res.next_x, res.next_y), out
+
+    (nx, ny), (qhi, qlo, deg, dcount, adv) = jax.lax.scan(
+        body, (px, py), None, length=n_iter
+    )
+    return _BuildScanResult(nx, ny, qhi, qlo, deg, dcount, adv.any())
 
 
 @partial(jax.jit, static_argnames=("U", "K", "T", "C2", "SB", "bits_log2"))
