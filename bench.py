@@ -44,6 +44,8 @@ def log(*a):
 
 def main():
     t_start = time.time()
+    log(f"[bench] child starting m=2^{M.bit_length()-1} "
+        f"(pre-device: a hang before the next line is the tunnel)")
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -167,5 +169,55 @@ def main():
     }))
 
 
+def supervise() -> int:
+    """Run the bench as a child process with a deadline, falling back to
+    smaller m on timeout/crash. The device tunnel's health is erratic
+    (RTT 28 ms to ~2 s, bandwidth 25 MB/s to <1 MB/s observed within one
+    hour); a wedged attempt must not cost the round its BENCH json line.
+    Attempts: (BENCH_M, BENCH_DEADLINE) then m=2^26, then m=2^24 without
+    mode benches. The child's stdout (the ONE json line) is re-printed.
+    """
+    import subprocess
+
+    attempts = [(M, int(os.environ.get("BENCH_DEADLINE", 2400)), True)]
+    # fallback ladder scales with the requested M (a small custom M still
+    # gets retries: quarter size with modes, sixteenth without)
+    fb1, fb2 = min(1 << 26, M >> 2), min(1 << 24, M >> 4)
+    if fb1 >= 1 << 16:
+        attempts.append((fb1, 1200, True))
+    if fb2 >= 1 << 14:
+        attempts.append((fb2, 900, False))
+    for m, deadline, with_modes in attempts:
+        env = dict(os.environ)
+        env["BENCH_CHILD"] = "1"
+        env["BENCH_M"] = str(m)
+        if not with_modes:
+            env["BENCH_MODES"] = "0"
+        log(f"[bench] attempt m=2^{m.bit_length()-1} deadline={deadline}s")
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, stdout=subprocess.PIPE, timeout=deadline,
+            )
+        except subprocess.TimeoutExpired as e:
+            log(f"[bench] attempt m=2^{m.bit_length()-1} timed out; "
+                f"falling back")
+            continue
+        out = (r.stdout or b"").decode()
+        line = next(
+            (ln for ln in out.splitlines() if ln.startswith("{")), None
+        )
+        if r.returncode == 0 and line:
+            print(line)
+            return 0
+        log(f"[bench] attempt m=2^{m.bit_length()-1} failed "
+            f"(rc={r.returncode}); falling back")
+    log("[bench] all attempts failed")
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_CHILD") or os.environ.get("BENCH_NO_SUPERVISE"):
+        main()
+    else:
+        sys.exit(supervise())

@@ -53,18 +53,21 @@ def bench_brute_modes(seconds=5.0, gate_only=False):
         if gate_only:
             out[mode] = {"gate": "ok"}
             continue
-        # rate at tuned shapes
+        # rate at tuned shapes (time-bounded: a sick tunnel stops the
+        # loop at the deadline instead of stalling the whole bench; the
+        # rate is computed from steps actually covered, not planned)
         params = BruteParams(block_u=16384, steps_per_chunk=256,
                              pallas_sb=4, pallas="on")
         eng = BruteEngine(ts, 1 << 40, (1 << 40) + (1 << 50), mode=mode,
                           params=params)
         eng.search(max_steps=params.steps_per_chunk)  # compile + warm
         n = max(1, int(seconds / 0.11))  # ~110ms per 4M-pt chunk
+        k0 = eng.stats.keys_covered
         t0 = time.time()
-        eng.search(max_steps=n * params.steps_per_chunk)
+        eng.search(max_steps=n * params.steps_per_chunk,
+                   max_seconds=3 * seconds)
         dt = time.time() - t0
-        rate = n * params.steps_per_chunk * params.block_u / dt
-        eff = rate * eng.stats.multiplier
+        eff = (eng.stats.keys_covered - k0) * eng.stats.multiplier / dt
         out[mode] = {"keys_per_sec": eff, "gate": "ok"}
         log(f"[bench] {mode}: {eff/1e6:.1f}M keys/s effective "
             f"(mult {eng.stats.multiplier})")
@@ -81,10 +84,11 @@ def bench_brute_modes(seconds=5.0, gate_only=False):
                       params=params)
     eng.search(max_steps=params.steps_per_chunk)
     n = max(1, int(seconds / 0.25))
+    k0 = eng.stats.keys_covered
     t0 = time.time()
-    eng.search(max_steps=n * params.steps_per_chunk)
+    eng.search(max_steps=n * params.steps_per_chunk, max_seconds=3 * seconds)
     dt = time.time() - t0
-    eff = n * params.steps_per_chunk * params.block_u / dt * eng.stats.multiplier
+    eff = (eng.stats.keys_covered - k0) * eng.stats.multiplier / dt
     out["rmd160_endo"] = {"keys_per_sec": eff, "gate": "ok (rmd160 gate)"}
     log(f"[bench] rmd160 -e: {eff/1e6:.1f}M keys/s effective (mult 6)")
     return out
@@ -118,10 +122,11 @@ def bench_minikeys(seconds=5.0, gate_only=False):
         return {"gate": "ok"}
     eng.counter = 1 << 31
     n = max(2, int(seconds / 0.014))
+    k0 = eng.stats.keys_covered
     t0 = time.time()
-    eng.search(max_chunks=n, stop_on_first=False)
+    eng.search(max_chunks=n, stop_on_first=False, max_seconds=3 * seconds)
     dt = time.time() - t0
-    rate = n * params.batch / dt
+    rate = (eng.stats.keys_covered - k0) / dt
     log(f"[bench] minikeys: {rate/1e6:.2f}M minikeys/s")
     return {"keys_per_sec": rate, "gate": "ok"}
 
@@ -152,10 +157,11 @@ def bench_vanity(seconds=5.0, gate_only=False):
                       params=params, intervals=ivs, prefixes=[pref])
     eng.search(max_steps=params.steps_per_chunk)
     n = max(1, int(seconds / 0.11))
+    k0 = eng.stats.keys_covered
     t0 = time.time()
-    eng.search(max_steps=n * params.steps_per_chunk)
+    eng.search(max_steps=n * params.steps_per_chunk, max_seconds=3 * seconds)
     dt = time.time() - t0
-    eff = n * params.steps_per_chunk * params.block_u / dt * 2
+    eff = (eng.stats.keys_covered - k0) * eng.stats.multiplier / dt
     log(f"[bench] vanity: {eff/1e6:.1f}M keys/s effective (both parities)")
     return {"keys_per_sec": eff, "gate": "ok"}
 

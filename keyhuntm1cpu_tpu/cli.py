@@ -104,6 +104,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="minikey scan prefix base (reference -C)")
     p.add_argument("--max-chunks", type=int, default=None,
                    help="stop after N device chunks (smoke tests)")
+    p.add_argument("--max-seconds", type=float, default=None,
+                   help="wall-clock bound: stop at the next chunk boundary "
+                        "past the deadline (combines with --checkpoint for "
+                        "preemptible / time-sliced deployments)")
     p.add_argument("--notify-cmd", default=None,
                    help="shell command run once per found key; the key hex "
                         "and target are appended as arguments (capability of "
@@ -202,7 +206,8 @@ def _run(args, log) -> int:
             if args.save_table and table is None:
                 eng.save_table(cache)
             found = eng.search_sharded(
-                stop_on_first=not args.all, progress_every=progress
+                stop_on_first=not args.all, progress_every=progress,
+                max_seconds=args.max_seconds,
             )
         else:
             eng = BSGSEngine(targets.pubkeys, a, b, params, table=table)
@@ -215,6 +220,7 @@ def _run(args, log) -> int:
                 progress_every=progress,
                 checkpoint=ckmgr,
                 max_chunks=args.max_chunks,
+                max_seconds=args.max_seconds,
             )
     elif args.mode in BRUTE_MODES:
         a, b = args.range
@@ -258,6 +264,7 @@ def _run(args, log) -> int:
             progress_every=progress,
             max_steps=max_steps,
             checkpoint=ckmgr,
+            max_seconds=args.max_seconds,
         )
     elif args.mode == "minikeys":
         from .engine.minikeys import MinikeyEngine, MinikeyParams
@@ -278,6 +285,7 @@ def _run(args, log) -> int:
             stop_on_first=not args.all,
             progress_every=progress,
             checkpoint=ckmgr,
+            max_seconds=args.max_seconds,
         )
     elif args.mode == "vanity":
         from .engine.vanity import VanityEngine, VanityParams
@@ -310,7 +318,8 @@ def _run(args, log) -> int:
             eng = BruteEngine(
                 TargetSet(kind="hash160", raw=[], labels=[]),
                 a, b,
-                mode="rmd160_both" if look == "both" else "rmd160",
+                mode={"compress": "rmd160", "uncompress": "address_u",
+                      "both": "rmd160_both"}[look],
                 params=BruteParams(
                     block_u=max(4096, args.block_u),
                     steps_per_chunk=max(32, args.chunk_steps),
@@ -324,8 +333,13 @@ def _run(args, log) -> int:
                 max_steps=max_steps,
                 progress_every=progress,
                 checkpoint=ckmgr,
+                max_seconds=args.max_seconds,
             )
         else:
+            if look != "compress":
+                log.warn("CPU vanity path matches compressed addresses "
+                         "only; -l %s ignored (use the TPU fused path)"
+                         % look)
             eng = VanityEngine(
                 prefixes,
                 a,
@@ -341,6 +355,7 @@ def _run(args, log) -> int:
                 max_steps=max_steps,
                 progress_every=progress,
                 checkpoint=ckmgr,
+                max_seconds=args.max_seconds,
             )
 
     if eng is not None:

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import math
 import os
+import time
 from collections import deque
 from dataclasses import dataclass
 from functools import partial
@@ -385,8 +386,10 @@ class BruteEngine:
         stop_on_first: bool = False,
         progress_every: int = 0,
         checkpoint=None,
+        max_seconds: Optional[float] = None,
     ) -> List[FoundKey]:
         p = self.p
+        deadline = None if max_seconds is None else time.time() + max_seconds
         U, K = p.block_u, p.steps_per_chunk
         total = (
             self._fast_total_steps
@@ -436,6 +439,8 @@ class BruteEngine:
             px, py = self._fast_base(disp_step)
 
         def can_dispatch() -> bool:
+            if deadline is not None and time.time() > deadline:
+                return False  # time-bounded search: stop at chunk boundary
             if rng is not None:
                 return disp_chunks < n_chunks
             return disp_step < total
@@ -461,6 +466,8 @@ class BruteEngine:
                     px, py = px2, py2
                 disp_step = s0 + K
                 disp_chunks += 1
+            if not pending:
+                break  # deadline hit between outer check and dispatch
             step0, out = pending.popleft()
             if out is None:
                 new_found, k_eff = self._host_rescan_fast(step0, K), K
@@ -662,12 +669,15 @@ class BruteEngine:
         stop_on_first: bool = False,
         progress_every: int = 0,
         checkpoint=None,
+        max_seconds: Optional[float] = None,
     ) -> List[FoundKey]:
         if self._fast:
             return self._search_pallas(
-                max_steps, stop_on_first, progress_every, checkpoint
+                max_steps, stop_on_first, progress_every, checkpoint,
+                max_seconds,
             )
         p = self.p
+        deadline = None if max_seconds is None else time.time() + max_seconds
         total = self.steps_per_walker if max_steps is None else min(
             self.steps_per_walker, max_steps
         )
@@ -698,6 +708,8 @@ class BruteEngine:
         cx, cy = base_pts.x, base_pts.y
         n_found_saved = 0
         while step < total:
+            if deadline is not None and time.time() > deadline:
+                break  # time-bounded search: stop at chunk boundary
             k = min(p.steps_per_chunk, total - step)
             if rng is not None:
                 # random mode: every chunk, each walker re-bases to a

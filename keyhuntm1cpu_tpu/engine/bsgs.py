@@ -535,9 +535,15 @@ class BSGSEngine:
         start_step: int = 0,
         stop_on_first: bool = True,
         progress_every: int = 0,
+        max_seconds: Optional[float] = None,
     ) -> List[FoundKey]:
-        """Run the giant-step scan. Returns verified found keys."""
+        """Run the giant-step scan. Returns verified found keys.
+
+        max_seconds: optional wall-clock bound — dispatch stops at the
+        first chunk boundary past the deadline and in-flight chunks are
+        drained (stats stay exact)."""
         p = self.p
+        deadline = None if max_seconds is None else time.time() + max_seconds
         try:
             base = self._initial_base(start_step)
         except _ImmediateHit as hit:
@@ -558,11 +564,17 @@ class BSGSEngine:
         step = start_step  # next step to decode
         n_done = 0
         while pending or disp < end_step:
-            while disp < end_step and len(pending) < p.pipeline_depth:
+            while (
+                disp < end_step
+                and len(pending) < p.pipeline_depth
+                and (deadline is None or time.time() < deadline)
+            ):
                 px, py, outs = self._chunk_fn(px, py)
                 outs.copy_to_host_async()  # overlap the tunnel RTT
                 pending.append((disp, outs))
                 disp += K
+            if not pending:
+                break  # deadline cut dispatch with nothing in flight
             step, outs = pending.popleft()
             k = min(K, end_step - step)
             arr = np.asarray(outs)  # one transfer; overlaps device work
@@ -658,6 +670,7 @@ class BSGSEngine:
         stop_on_first: bool = True,
         progress_every: int = 0,
         checkpoint=None,
+        max_seconds: Optional[float] = None,
     ) -> List[FoundKey]:
         """Range scheduling policies (reference's 5 BSGS sub-schedulers,
         keyhunt.cpp:4012-5616: sequential / backward / both / random /
@@ -676,6 +689,7 @@ class BSGSEngine:
         (vastai_deploy.sh:88-106).
         """
         p = self.p
+        deadline = None if max_seconds is None else time.time() + max_seconds
         order = self.chunk_order(policy, seed)
         n_chunks = len(order)
 
@@ -725,7 +739,11 @@ class BSGSEngine:
 
         def dispatch_upto(limit: int):
             nonlocal disp_i
-            while disp_i < len(order) and len(pending) < limit:
+            while (
+                disp_i < len(order)
+                and len(pending) < limit
+                and (deadline is None or time.time() < deadline)
+            ):
                 idx = disp_i
                 step0 = order[idx] * p.steps_per_chunk
                 try:
@@ -742,6 +760,8 @@ class BSGSEngine:
             if i < resume_from:
                 continue
             dispatch_upto(p.pipeline_depth)
+            if not pending:
+                break  # deadline cut dispatch; progress is checkpointed
             idx, step0, outs = pending.popleft()
             assert idx == i, (idx, i)
             k = min(p.steps_per_chunk, self.n_steps - step0)

@@ -28,6 +28,7 @@ re-verified exactly on the host with the golden reference (hashref/ecref).
 from __future__ import annotations
 
 import secrets
+import time
 from collections import deque
 from dataclasses import dataclass
 from functools import partial
@@ -122,8 +123,10 @@ class MinikeyEngine:
         stop_on_first: bool = True,
         progress_every: int = 0,
         checkpoint=None,
+        max_seconds: Optional[float] = None,
     ) -> List[FoundKey]:
         p = self.p
+        deadline = None if max_seconds is None else time.time() + max_seconds
         B, V, HM = p.batch, p.valid_max, p.hit_max
         found: List[FoundKey] = []
         ck = None
@@ -155,7 +158,11 @@ class MinikeyEngine:
         decoded = 0
         n_saved = 0
         while decoded < max_chunks:
-            while dispatched < max_chunks and len(pending) < p.pipeline_depth:
+            while (
+                dispatched < max_chunks
+                and len(pending) < p.pipeline_depth
+                and (deadline is None or time.time() < deadline)
+            ):
                 high, low = divmod(self.counter, LOW_SPAN)
                 if low + B > LOW_SPAN:
                     low = LOW_SPAN - B  # clamp (tiny overlap, never a gap)
@@ -172,6 +179,8 @@ class MinikeyEngine:
                 out.copy_to_host_async()
                 pending.append((prefix17, low, self.counter, out))
                 dispatched += 1
+            if not pending:
+                break  # deadline hit with nothing in flight
             prefix17, low, counter_after, out = pending.popleft()
             arr = np.asarray(out)
             n_valid, n_check = int(arr[0]), int(arr[1])

@@ -14,6 +14,7 @@ re-verified on host by actual base58 prefix match.
 from __future__ import annotations
 
 import math
+import time
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
@@ -221,8 +222,10 @@ class VanityEngine:
         max_found: Optional[int] = None,
         progress_every: int = 0,
         checkpoint=None,
+        max_seconds: Optional[float] = None,
     ) -> List[FoundKey]:
         p = self.p
+        deadline = None if max_seconds is None else time.time() + max_seconds
 
         def centers_at(step0: int) -> points.PointBatch:
             pts = []
@@ -263,6 +266,8 @@ class VanityEngine:
         cx, cy = base.x, base.y
         n_saved = 0
         while step < total:
+            if deadline is not None and time.time() > deadline:
+                break  # time-bounded search: stop at chunk boundary
             k = min(p.steps_per_chunk, total - step)
             cx, cy, hits, advdeg = self._chunk_fn(cx, cy)
             hits_np = np.asarray(hits)

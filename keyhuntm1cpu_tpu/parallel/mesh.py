@@ -16,6 +16,7 @@ host-count-specific.
 from __future__ import annotations
 
 import math
+import time
 from collections import deque
 from typing import List, Optional, Sequence, Tuple
 
@@ -182,12 +183,14 @@ class ShardedBSGSEngine(BSGSEngine):
         max_steps: Optional[int] = None,
         stop_on_first: bool = True,
         progress_every: int = 0,
+        max_seconds: Optional[float] = None,
     ) -> List[FoundKey]:
         """Pipelined mesh search: chunks dispatch pipeline_depth ahead
         with async host copies of the summaries and the psum'd interest
         flag, so neither pull serializes the loop on the ~28 ms tunnel
         round trip; only interesting chunks are decoded."""
         p = self.p
+        deadline = None if max_seconds is None else time.time() + max_seconds
         K = p.steps_per_chunk
         try:
             px, py = self._initial_bases_sharded()
@@ -199,12 +202,18 @@ class ShardedBSGSEngine(BSGSEngine):
         disp = 0
         n_done = 0
         while pending or disp < total:
-            while disp < total and len(pending) < p.pipeline_depth:
+            while (
+                disp < total
+                and len(pending) < p.pipeline_depth
+                and (deadline is None or time.time() < deadline)
+            ):
                 px, py, outs, interest = self._sharded_chunk(px, py)
                 outs.copy_to_host_async()
                 interest.copy_to_host_async()
                 pending.append((disp, outs, interest))
                 disp += K
+            if not pending:
+                break  # deadline cut dispatch with nothing in flight
             step, outs, interest = pending.popleft()
             k = min(K, total - step)
             rebase = False

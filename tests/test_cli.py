@@ -103,3 +103,44 @@ def test_bits_shorthand_maps_to_range():
     # resolution logic mirror
     a, b = max(1, 1 << 23), 1 << 24
     assert a == 0x800000 and b == 0x1000000
+
+
+def test_vanity_look_mapping(monkeypatch):
+    """-m vanity maps -l to the fused-kernel mode on non-CPU backends
+    (uncompress must route to address_u, not silently compressed)."""
+    import jax
+
+    captured = {}
+
+    class _Stub:
+        def __init__(self, targets, a, b, mode=None, params=None, **kw):
+            captured["mode"] = mode
+            self.stats = type("S", (), {
+                "human": lambda self: "", "keys_covered": 0,
+                "multiplier": 1})()
+
+        def search(self, **kw):
+            return []
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(cli, "BruteEngine", _Stub)
+    for look, want in (("compress", "rmd160"), ("uncompress", "address_u"),
+                       ("both", "rmd160_both")):
+        rc = cli.main(["-m", "vanity", "-v", "1Love", "-r", "1:100000",
+                       "-l", look, "-q"])
+        assert rc == 1  # stub finds nothing; 1 = clean not-found exit
+        assert captured["mode"] == want, (look, captured["mode"])
+
+
+def test_cli_max_seconds_flag(tmp_path, pubfile, monkeypatch):
+    """--max-seconds=0 returns promptly with no key found (deadline
+    precedes any dispatch) and exits cleanly."""
+    monkeypatch.chdir(tmp_path)
+    path, key = pubfile
+    rc = cli.main([
+        "-m", "bsgs", "-f", path, "-r", "a00000:b00000",
+        "--m-babies", "512", "-u", "16", "--chunk-steps", "4",
+        "--max-seconds", "0", "-q",
+    ])
+    assert rc == 1  # deadline precedes any dispatch: clean not-found exit
+    assert not (tmp_path / "KEYFOUNDKEYFOUND.txt").exists()

@@ -1,0 +1,185 @@
+"""Time-bounded search (max_seconds deadlines).
+
+The bench harness runs against a device tunnel whose health is erratic;
+fixed-chunk-count loops turn a transient slump into a multi-minute
+stall. Every engine search loop therefore takes an optional
+``max_seconds`` and stops at the next chunk boundary past the deadline
+(reference analog: the stats/ETA loop keyhunt.cpp:2145-2252 never
+bounds work — this is a harness-robustness extension).
+
+The fused Pallas kernel itself never runs on CPU (multi-minute Mosaic
+compile; scripts/check_pbrute.py is the on-device gate), so the
+pallas-path tests stub ``_fast_chunk`` with a host summary — the
+deadline logic under test lives entirely in the dispatch/decode loop.
+"""
+
+import time
+
+import numpy as np
+
+from keyhuntm1cpu_tpu.engine.brute import BruteEngine, BruteParams
+from keyhuntm1cpu_tpu.engine.minikeys import (
+    SUFFIX_LEN,
+    MinikeyEngine,
+    MinikeyParams,
+)
+from keyhuntm1cpu_tpu.ref import ecref, hashref
+from keyhuntm1cpu_tpu.utils.targets import TargetSet, targets_from_ints
+
+
+def _targets(keys):
+    raw = [
+        hashref.pubkey_to_hash160(ecref.scalar_mult(k), compressed=True)
+        for k in keys
+    ]
+    return TargetSet(kind="hash160", raw=raw, labels=[str(k) for k in keys])
+
+
+def _fast_engine(keys=(1, 2, 3), a=100, b=1 << 30):
+    params = BruteParams(block_u=256, steps_per_chunk=4, pallas_sb=4,
+                         pallas="on", chunk_cand=64)
+    return BruteEngine(_targets(list(keys)), a, b, mode="rmd160",
+                       params=params)
+
+
+class _Out:
+    """Duck-typed device summary: np.asarray()-able, async-copyable."""
+
+    def __init__(self, arr, delay=0.0):
+        self._arr = arr
+        self._delay = delay
+
+    def copy_to_host_async(self):
+        pass
+
+    def __array__(self, dtype=None, copy=None):
+        if self._delay:
+            time.sleep(self._delay)
+        return self._arr
+
+
+def _stub_chunk(eng, hits=(), delay=0.0, calls=None):
+    """Replace the Pallas chunk with a host stub emitting ``hits``."""
+    C, K = eng.p.chunk_cand, eng.p.steps_per_chunk
+
+    def fake(px, py):
+        if calls is not None:
+            calls.append(1)
+        arr = np.zeros(2 * C + 3 * K + 1, dtype=np.int32)
+        for i, (pos, bits) in enumerate(hits):
+            arr[i] = pos
+            arr[C + i] = np.int32(np.uint32(bits))
+        arr[2 * C + 3 * K] = len(hits)
+        return px, py, _Out(arr, delay)
+
+    eng._fast_chunk = fake
+
+
+def test_brute_xla_deadline_stops():
+    params = BruteParams(walkers=2, block_u=64, steps_per_chunk=2,
+                         chain_len=8)
+    eng = BruteEngine(_targets([1, 2, 3]), 1, 1 << 30, params=params)
+    eng.search(max_steps=2)  # warm/compile outside the timed region
+    k0 = eng.stats.keys_covered
+    t0 = time.time()
+    eng.search(max_steps=10**7, max_seconds=1.0)
+    dt = time.time() - t0
+    # generous bound: one chunk past the deadline is allowed, a stall isn't
+    assert dt < 30.0
+    assert eng.stats.keys_covered > k0
+
+
+def test_brute_pallas_deadline_stops():
+    eng = _fast_engine()
+    calls = []
+    _stub_chunk(eng, delay=0.02, calls=calls)
+    k0 = eng.stats.keys_covered
+    t0 = time.time()
+    eng.search(max_steps=10**9, max_seconds=0.5)
+    dt = time.time() - t0
+    assert dt < 10.0
+    assert eng.stats.keys_covered > k0
+    # far fewer chunks than the requested work: the deadline cut it
+    assert 0 < len(calls) < 1000
+
+
+def test_brute_pallas_deadline_zero_returns_clean():
+    eng = _fast_engine()
+    calls = []
+    _stub_chunk(eng, calls=calls)
+    found = eng.search(max_steps=10**9, max_seconds=0.0)
+    assert found == []
+    assert calls == []  # nothing dispatched past an elapsed deadline
+
+
+def test_brute_pallas_deadline_still_finds_key():
+    # key 300 = a + j (a=100, stride 1) -> hit at flat pos 200, parity 0
+    eng = _fast_engine(keys=[300])
+    _stub_chunk(eng, hits=[(200, 0b01)])
+    found = eng.search(stop_on_first=True, max_seconds=30.0)
+    assert [f.private_key for f in found] == [300]
+
+
+def test_bsgs_deadline_stops():
+    from keyhuntm1cpu_tpu.engine import BSGSEngine, BSGSParams
+
+    params = BSGSParams(m=512, block_u=16, steps_per_chunk=4,
+                        build_block=128, chain_len=8)
+    pub = ecref.scalar_mult(0x123456789)
+    eng = BSGSEngine([pub], 1, 1 << 40, params)
+    eng.search(max_steps=4)  # warm/compile
+    k0 = eng.stats.keys_covered
+    t0 = time.time()
+    eng.search(max_steps=10**8, max_seconds=1.0)
+    dt = time.time() - t0
+    assert dt < 30.0
+    assert eng.stats.keys_covered > k0
+
+    # scheduled path: deadline stops mid-order, checkpointable progress
+    k1 = eng.stats.keys_covered
+    eng.search_scheduled(policy="sequential", max_seconds=1.0,
+                         stop_on_first=False)
+    assert eng.stats.keys_covered > k1
+
+
+def test_bsgs_deadline_zero_returns_clean():
+    from keyhuntm1cpu_tpu.engine import BSGSEngine, BSGSParams
+
+    params = BSGSParams(m=512, block_u=16, steps_per_chunk=4,
+                        build_block=128, chain_len=8)
+    pub = ecref.scalar_mult(0x123456789)
+    eng = BSGSEngine([pub], 1, 1 << 40, params)
+    assert eng.search(max_steps=10**8, max_seconds=0.0) == []
+    assert eng.search_scheduled(max_seconds=0.0, stop_on_first=False) == []
+
+
+def test_vanity_deadline_stops():
+    from keyhuntm1cpu_tpu.engine.vanity import VanityEngine, VanityParams
+
+    params = VanityParams(walkers=2, block_u=64, steps_per_chunk=2,
+                          chain_len=8)
+    eng = VanityEngine(["1Q"], 1, 1 << 20, params=params)
+    eng.search(max_steps=2)  # warm/compile
+    k0 = eng.stats.keys_covered
+    t0 = time.time()
+    eng.search(max_steps=10**7, max_seconds=1.0)
+    dt = time.time() - t0
+    assert dt < 30.0
+    assert eng.stats.keys_covered > k0
+
+
+def test_minikeys_deadline_stops():
+    prefix = "SdeadlineTPU"[: 22 - SUFFIX_LEN]
+    ts = targets_from_ints(
+        "hash160",
+        [hashref.pubkey_to_hash160(ecref.scalar_mult(99), compressed=False)],
+    )
+    eng = MinikeyEngine(ts, prefix=prefix,
+                        params=MinikeyParams(batch=256, chain_len=8))
+    eng.search(max_chunks=1)  # warm/compile
+    k0 = eng.stats.keys_covered
+    t0 = time.time()
+    eng.search(max_chunks=10**6, stop_on_first=False, max_seconds=1.0)
+    dt = time.time() - t0
+    assert dt < 30.0
+    assert eng.stats.keys_covered > k0
