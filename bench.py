@@ -169,25 +169,31 @@ def main():
     }))
 
 
+def attempt_ladder(m: int, deadline: int):
+    """(m, deadline_s, with_modes) attempts for supervise(): the request
+    first, then fallbacks scaled to it (quarter size with mode benches,
+    sixteenth without), floored so tiny custom m still gets retries."""
+    attempts = [(m, deadline, True)]
+    fb1, fb2 = min(1 << 26, m >> 2), min(1 << 24, m >> 4)
+    if fb1 >= 1 << 16:
+        attempts.append((fb1, 1200, True))
+    if fb2 >= 1 << 14:
+        attempts.append((fb2, 900, False))
+    return attempts
+
+
 def supervise() -> int:
     """Run the bench as a child process with a deadline, falling back to
     smaller m on timeout/crash. The device tunnel's health is erratic
     (RTT 28 ms to ~2 s, bandwidth 25 MB/s to <1 MB/s observed within one
     hour); a wedged attempt must not cost the round its BENCH json line.
-    Attempts: (BENCH_M, BENCH_DEADLINE) then m=2^26, then m=2^24 without
-    mode benches. The child's stdout (the ONE json line) is re-printed.
+    The child's stdout (the ONE json line) is re-printed.
     """
     import subprocess
 
-    attempts = [(M, int(os.environ.get("BENCH_DEADLINE", 2400)), True)]
-    # fallback ladder scales with the requested M (a small custom M still
-    # gets retries: quarter size with modes, sixteenth without)
-    fb1, fb2 = min(1 << 26, M >> 2), min(1 << 24, M >> 4)
-    if fb1 >= 1 << 16:
-        attempts.append((fb1, 1200, True))
-    if fb2 >= 1 << 14:
-        attempts.append((fb2, 900, False))
-    for m, deadline, with_modes in attempts:
+    for m, deadline, with_modes in attempt_ladder(
+        M, int(os.environ.get("BENCH_DEADLINE", 2400))
+    ):
         env = dict(os.environ)
         env["BENCH_CHILD"] = "1"
         env["BENCH_M"] = str(m)

@@ -183,3 +183,25 @@ def test_minikeys_deadline_stops():
     dt = time.time() - t0
     assert dt < 30.0
     assert eng.stats.keys_covered > k0
+
+
+def test_bench_attempt_ladder():
+    """Supervisor fallbacks scale with the requested m and never exceed
+    it (regression: a small BENCH_M used to filter out every fallback)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    big = bench.attempt_ladder(1 << 28, 2400)
+    assert big == [(1 << 28, 2400, True), (1 << 26, 1200, True),
+                   (1 << 24, 900, False)]
+    small = bench.attempt_ladder(1 << 22, 1500)
+    assert small[0] == (1 << 22, 1500, True)
+    assert len(small) == 3 and all(m <= 1 << 22 for m, _, _ in small)
+    tiny = bench.attempt_ladder(1 << 12, 600)
+    assert tiny == [(1 << 12, 600, True)]  # no sub-floor fallbacks
