@@ -33,8 +33,12 @@ class BSGSService:
     """Resident baby table + serialized request execution."""
 
     def __init__(self, params: BSGSParams, table: Optional[st.SortedXTable] = None,
-                 warm: bool = True):
+                 warm: bool = True, max_seconds: Optional[float] = None):
         self.params = params
+        # per-request wall-clock cap: a huge-range request cannot hold
+        # the serial search lock forever (reference bsgsd has no bound —
+        # one slow client starves the accept loop, bsgsd.cpp:1354-1378)
+        self.max_seconds = max_seconds
         boot = BSGSEngine([ecref.G], 1, 2, params, table=table)
         self.table = boot.table
         self.bitmap = boot.bitmap  # resident in HBM alongside the table
@@ -58,7 +62,8 @@ class BSGSService:
             eng = BSGSEngine(
                 [pt], a, b, self.params, table=self.table, bitmap=self.bitmap
             )
-            found = eng.search(stop_on_first=True)
+            found = eng.search(stop_on_first=True,
+                               max_seconds=self.max_seconds)
         for f in found:
             if a <= f.private_key < b:
                 return f.private_key
@@ -116,13 +121,17 @@ def main(argv=None):
     p.add_argument("-u", "--block-u", type=int, default=4096)
     p.add_argument("--chunk-steps", type=int, default=8)
     p.add_argument("--table-file", default=None)
+    p.add_argument("--max-seconds", type=float, default=None,
+                   help="per-request wall-clock cap (a too-large range "
+                        "replies 404 at the deadline instead of holding "
+                        "the search lock indefinitely)")
     args = p.parse_args(argv)
     params = BSGSParams(
         m=args.m_babies, block_u=args.block_u, steps_per_chunk=args.chunk_steps
     )
     table = BSGSEngine.load_table(args.table_file) if args.table_file else None
     print(f"[+] building/loading baby table m={args.m_babies} ...")
-    service = BSGSService(params, table)
+    service = BSGSService(params, table, max_seconds=args.max_seconds)
     print(f"[+] serving on {args.ip}:{args.port}")
     with BSGSDServer((args.ip, args.port), service) as srv:
         srv.serve_forever()

@@ -109,3 +109,14 @@ def test_sharded_table_refuses_single_device_search(table):
         eng.search()
     with pytest.raises(NotImplementedError):
         eng.search_scheduled()
+
+
+def test_sharded_deadline_stops(table):
+    """max_seconds=0 on the mesh path returns promptly and cleanly."""
+    a = 0x500000
+    eng = ShardedBSGSEngine(
+        [ecref.scalar_mult(a + 123)], a, a + 2**20, PARAMS, table=table
+    )
+    assert eng.search_sharded(stop_on_first=False, max_seconds=0.0) == []
+    found = eng.search_sharded(stop_on_first=False, max_seconds=120.0)
+    assert a + 123 in [f.private_key for f in found]

@@ -53,3 +53,20 @@ def test_bad_request(server):
     assert _request(server, "02aa bad:range") == "400 Bad Request"
     pub = ecref.serialize_pubkey(ecref.G).hex()
     assert _request(server, f"{pub} ff:01") == "400 Bad Request"
+
+
+def test_request_deadline_returns_404():
+    """A service with max_seconds=0 answers 404 at the deadline instead
+    of holding the search lock for the whole (huge) requested range."""
+    service = BSGSService(PARAMS, table=host_baby_table(PARAMS.m),
+                          warm=False, max_seconds=0.0)
+    srv = BSGSDServer(("127.0.0.1", 0), service)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        key = 0xA1B2C3
+        pub = ecref.serialize_pubkey(ecref.scalar_mult(key)).hex()
+        resp = _request(srv.server_address, f"{pub} a00000:{'f'*12}")
+        assert resp == "404 Not Found"
+    finally:
+        srv.shutdown()
