@@ -761,7 +761,11 @@ class BSGSEngine:
                 continue
             dispatch_upto(p.pipeline_depth)
             if not pending:
-                break  # deadline cut dispatch; progress is checkpointed
+                # deadline cut dispatch: persist exactly-completed progress
+                # before returning (resume continues at chunk i)
+                if ck is not None:
+                    checkpoint.save(ck, force=True)
+                break
             idx, step0, outs = pending.popleft()
             assert idx == i, (idx, i)
             k = min(p.steps_per_chunk, self.n_steps - step0)

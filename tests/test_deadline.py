@@ -205,3 +205,32 @@ def test_bench_attempt_ladder():
     assert len(small) == 3 and all(m <= 1 << 22 for m, _, _ in small)
     tiny = bench.attempt_ladder(1 << 12, 600)
     assert tiny == [(1 << 12, 600, True)]  # no sub-floor fallbacks
+
+
+def test_bsgs_deadline_checkpoint_resume(tmp_path):
+    """A deadline-cut scheduled search persists exact progress; a fresh
+    engine resumes past the covered chunks and finds a later key."""
+    from keyhuntm1cpu_tpu.core.checkpoint import CheckpointManager
+    from keyhuntm1cpu_tpu.engine import BSGSEngine, BSGSParams
+
+    params = BSGSParams(m=512, block_u=16, steps_per_chunk=4,
+                        build_block=128, chain_len=8)
+    key = 0xA01234
+    pub = ecref.scalar_mult(key)
+    a, b = 0xA00000, 0xB00000
+    path = str(tmp_path / "ck.json")
+
+    eng = BSGSEngine([pub], a, b, params)
+    # deadline elapses after the first decode loop entry: progress is
+    # cut early but saved with force on the break path
+    eng.search_scheduled(stop_on_first=False, max_seconds=0.0,
+                         checkpoint=CheckpointManager(path, every_s=3600))
+    ck = CheckpointManager(path).load()
+    assert ck is not None
+
+    eng2 = BSGSEngine([pub], a, b, params, table=eng.table,
+                      bitmap=eng.bitmap)
+    found = eng2.search_scheduled(
+        stop_on_first=True, checkpoint=CheckpointManager(path, every_s=0)
+    )
+    assert [f.private_key for f in found] == [key]
