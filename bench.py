@@ -171,14 +171,17 @@ def main():
 
 def attempt_ladder(m: int, deadline: int):
     """(m, deadline_s, with_modes) attempts for supervise(): the request
-    first, then fallbacks scaled to it (quarter size with mode benches,
-    sixteenth without), floored so tiny custom m still gets retries."""
+    first, then fallbacks scaled to it — quarter size with mode benches,
+    sixteenth without. Fallback deadlines never exceed the configured
+    one (BENCH_DEADLINE bounds every attempt, not just the first). At
+    tiny m (< 2^16) there is nothing meaningful to shrink to, so the
+    ladder is just the single requested attempt."""
     attempts = [(m, deadline, True)]
     fb1, fb2 = min(1 << 26, m >> 2), min(1 << 24, m >> 4)
     if fb1 >= 1 << 16:
-        attempts.append((fb1, 1200, True))
+        attempts.append((fb1, min(1200, deadline), True))
     if fb2 >= 1 << 14:
-        attempts.append((fb2, 900, False))
+        attempts.append((fb2, min(900, deadline), False))
     return attempts
 
 
@@ -199,6 +202,11 @@ def supervise() -> int:
         env["BENCH_M"] = str(m)
         if not with_modes:
             env["BENCH_MODES"] = "0"
+        if m != M:
+            # a cached table was built at the ORIGINAL m; loading it at a
+            # fallback size would probe a mismatched table (and re-upload
+            # GBs through the very link whose sickness caused the fallback)
+            env.pop("BENCH_TABLE_CACHE", None)
         log(f"[bench] attempt m=2^{m.bit_length()-1} deadline={deadline}s")
         try:
             r = subprocess.run(

@@ -29,7 +29,6 @@ from __future__ import annotations
 
 import math
 import os
-import time
 from collections import deque
 from dataclasses import dataclass
 from functools import partial
@@ -50,7 +49,7 @@ from ..hash import (
 )
 from ..ref import ecref, hashref
 from ..utils.targets import TargetSet
-from .common import FoundKey, SearchStats
+from .common import Deadline, FoundKey, SearchStats
 
 # lambda^e factors for GLV endomorphism key reconstruction (keyhunt.cpp:2800-2851)
 _LAM_POW = (1, ecref.LAMBDA, ecref.LAMBDA * ecref.LAMBDA % ecref.N)
@@ -389,7 +388,7 @@ class BruteEngine:
         max_seconds: Optional[float] = None,
     ) -> List[FoundKey]:
         p = self.p
-        deadline = None if max_seconds is None else time.time() + max_seconds
+        dl = Deadline(max_seconds)
         U, K = p.block_u, p.steps_per_chunk
         total = (
             self._fast_total_steps
@@ -439,7 +438,7 @@ class BruteEngine:
             px, py = self._fast_base(disp_step)
 
         def can_dispatch() -> bool:
-            if deadline is not None and time.time() > deadline:
+            if dl.expired():
                 return False  # time-bounded search: stop at chunk boundary
             if rng is not None:
                 return disp_chunks < n_chunks
@@ -677,7 +676,7 @@ class BruteEngine:
                 max_seconds,
             )
         p = self.p
-        deadline = None if max_seconds is None else time.time() + max_seconds
+        dl = Deadline(max_seconds)
         total = self.steps_per_walker if max_steps is None else min(
             self.steps_per_walker, max_steps
         )
@@ -708,8 +707,14 @@ class BruteEngine:
         cx, cy = base_pts.x, base_pts.y
         n_found_saved = 0
         while step < total:
-            if deadline is not None and time.time() > deadline:
-                break  # time-bounded search: stop at chunk boundary
+            if dl.expired():
+                # time-bounded search: stop at the chunk boundary and
+                # persist exactly-covered progress (resume re-enters here)
+                self._ckpt_save(
+                    checkpoint, ck, step, self.stats, found, False,
+                    force=True,
+                )
+                break
             k = min(p.steps_per_chunk, total - step)
             if rng is not None:
                 # random mode: every chunk, each walker re-bases to a

@@ -43,7 +43,7 @@ from ..field import fe
 from ..filter import bitmap as bmp
 from ..filter import sorted_table as st
 from ..ref import ecref
-from .common import FoundKey, SearchStats, verify_candidate_scalar
+from .common import Deadline, FoundKey, SearchStats, verify_candidate_scalar
 
 
 @dataclass(frozen=True)
@@ -543,7 +543,7 @@ class BSGSEngine:
         first chunk boundary past the deadline and in-flight chunks are
         drained (stats stay exact)."""
         p = self.p
-        deadline = None if max_seconds is None else time.time() + max_seconds
+        dl = Deadline(max_seconds)
         try:
             base = self._initial_base(start_step)
         except _ImmediateHit as hit:
@@ -567,7 +567,7 @@ class BSGSEngine:
             while (
                 disp < end_step
                 and len(pending) < p.pipeline_depth
-                and (deadline is None or time.time() < deadline)
+                and not dl.expired()
             ):
                 px, py, outs = self._chunk_fn(px, py)
                 outs.copy_to_host_async()  # overlap the tunnel RTT
@@ -689,7 +689,7 @@ class BSGSEngine:
         (vastai_deploy.sh:88-106).
         """
         p = self.p
-        deadline = None if max_seconds is None else time.time() + max_seconds
+        dl = Deadline(max_seconds)
         order = self.chunk_order(policy, seed)
         n_chunks = len(order)
 
@@ -742,7 +742,7 @@ class BSGSEngine:
             while (
                 disp_i < len(order)
                 and len(pending) < limit
-                and (deadline is None or time.time() < deadline)
+                and not dl.expired()
             ):
                 idx = disp_i
                 step0 = order[idx] * p.steps_per_chunk

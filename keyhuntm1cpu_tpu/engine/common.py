@@ -39,6 +39,24 @@ def write_found_key(found: FoundKey, path: str = "KEYFOUNDKEYFOUND.txt") -> None
         f.write(found.to_lines())
 
 
+class Deadline:
+    """Wall-clock bound shared by every search loop.
+
+    Built from ``max_seconds`` (None = unbounded); ``expired()`` gates
+    dispatch so the loop stops at the next chunk boundary past the
+    deadline while in-flight pipelined work drains (stats stay exact).
+    ``max_seconds=0`` expires immediately — nothing dispatches.
+    """
+
+    __slots__ = ("_t",)
+
+    def __init__(self, max_seconds: Optional[float]):
+        self._t = None if max_seconds is None else time.time() + max_seconds
+
+    def expired(self) -> bool:
+        return self._t is not None and time.time() >= self._t
+
+
 def verify_candidate_scalar(k: int, target_pubkey: Tuple[int, int]) -> Optional[int]:
     """Exact check: does k*G == target (or -k, matching X-only symmetry)?
 

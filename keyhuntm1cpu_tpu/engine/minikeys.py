@@ -28,7 +28,6 @@ re-verified exactly on the host with the golden reference (hashref/ecref).
 from __future__ import annotations
 
 import secrets
-import time
 from collections import deque
 from dataclasses import dataclass
 from functools import partial
@@ -44,7 +43,7 @@ from ..hash.hash160 import hash160_from_x_parity, hash160_from_xy
 from ..hash.sha256 import sha256_block_words
 from ..ref import ecref, hashref
 from ..utils.targets import TargetSet
-from .common import FoundKey, SearchStats
+from .common import Deadline, FoundKey, SearchStats
 
 _B58 = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
 SUFFIX_LEN = 10
@@ -126,7 +125,7 @@ class MinikeyEngine:
         max_seconds: Optional[float] = None,
     ) -> List[FoundKey]:
         p = self.p
-        deadline = None if max_seconds is None else time.time() + max_seconds
+        dl = Deadline(max_seconds)
         B, V, HM = p.batch, p.valid_max, p.hit_max
         found: List[FoundKey] = []
         ck = None
@@ -161,7 +160,7 @@ class MinikeyEngine:
             while (
                 dispatched < max_chunks
                 and len(pending) < p.pipeline_depth
-                and (deadline is None or time.time() < deadline)
+                and not dl.expired()
             ):
                 high, low = divmod(self.counter, LOW_SPAN)
                 if low + B > LOW_SPAN:
@@ -180,7 +179,11 @@ class MinikeyEngine:
                 pending.append((prefix17, low, self.counter, out))
                 dispatched += 1
             if not pending:
-                break  # deadline hit with nothing in flight
+                # deadline hit with nothing in flight: persist the exact
+                # scan position before returning (resume re-enters here)
+                if ck is not None:
+                    checkpoint.save(ck, force=True)
+                break
             prefix17, low, counter_after, out = pending.popleft()
             arr = np.asarray(out)
             n_valid, n_check = int(arr[0]), int(arr[1])

@@ -14,7 +14,6 @@ re-verified on host by actual base58 prefix match.
 from __future__ import annotations
 
 import math
-import time
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
@@ -27,7 +26,7 @@ from ..field import fe
 from ..hash import hash160_from_x_both_parities
 from ..ref import ecref, hashref
 from .brute import BruteParams
-from .common import FoundKey, SearchStats
+from .common import Deadline, FoundKey, SearchStats
 
 
 def vanity_intervals(prefix: str) -> List[Tuple[bytes, bytes]]:
@@ -225,7 +224,7 @@ class VanityEngine:
         max_seconds: Optional[float] = None,
     ) -> List[FoundKey]:
         p = self.p
-        deadline = None if max_seconds is None else time.time() + max_seconds
+        dl = Deadline(max_seconds)
 
         def centers_at(step0: int) -> points.PointBatch:
             pts = []
@@ -266,8 +265,12 @@ class VanityEngine:
         cx, cy = base.x, base.y
         n_saved = 0
         while step < total:
-            if deadline is not None and time.time() > deadline:
-                break  # time-bounded search: stop at chunk boundary
+            if dl.expired():
+                # time-bounded search: stop at the chunk boundary and
+                # persist exactly-covered progress (resume re-enters here)
+                if ck is not None:
+                    checkpoint.save(ck, force=True)
+                break
             k = min(p.steps_per_chunk, total - step)
             cx, cy, hits, advdeg = self._chunk_fn(cx, cy)
             hits_np = np.asarray(hits)

@@ -16,7 +16,6 @@ host-count-specific.
 from __future__ import annotations
 
 import math
-import time
 from collections import deque
 from typing import List, Optional, Sequence, Tuple
 
@@ -32,7 +31,7 @@ except AttributeError:  # pragma: no cover
 
 from ..curve import points, walk
 from ..engine.bsgs import BSGSEngine, BSGSParams, _ImmediateHit
-from ..engine.common import FoundKey
+from ..engine.common import Deadline, FoundKey
 from ..filter import bitmap as bmp
 from ..filter import sorted_table as st
 from .partition import RangePartitioner, RangeSlice
@@ -190,7 +189,7 @@ class ShardedBSGSEngine(BSGSEngine):
         flag, so neither pull serializes the loop on the ~28 ms tunnel
         round trip; only interesting chunks are decoded."""
         p = self.p
-        deadline = None if max_seconds is None else time.time() + max_seconds
+        dl = Deadline(max_seconds)
         K = p.steps_per_chunk
         try:
             px, py = self._initial_bases_sharded()
@@ -205,7 +204,7 @@ class ShardedBSGSEngine(BSGSEngine):
             while (
                 disp < total
                 and len(pending) < p.pipeline_depth
-                and (deadline is None or time.time() < deadline)
+                and not dl.expired()
             ):
                 px, py, outs, interest = self._sharded_chunk(px, py)
                 outs.copy_to_host_async()

@@ -56,7 +56,10 @@ class BSGSService:
 
     _lock = threading.Lock()
 
-    def solve(self, pubkey_hex: str, a: int, b: int) -> Optional[int]:
+    def solve(self, pubkey_hex: str, a: int, b: int):
+        """Returns (key_or_None, complete). complete=False means the
+        per-request deadline cut the search before the range was covered
+        — the caller must NOT treat it as an exhaustive miss."""
         pt = ecref.parse_pubkey(pubkey_hex)
         with self._lock:  # one search at a time (device is serial anyway)
             eng = BSGSEngine(
@@ -64,10 +67,13 @@ class BSGSService:
             )
             found = eng.search(stop_on_first=True,
                                max_seconds=self.max_seconds)
+        # coverage accounting is exact (stats.add per decoded chunk), so
+        # "searched the whole range" is a data check, not a timing guess
+        complete = bool(found) or eng.stats.keys_covered >= (b - a)
         for f in found:
             if a <= f.private_key < b:
-                return f.private_key
-        return found[0].private_key if found else None
+                return f.private_key, complete
+        return (found[0].private_key if found else None), complete
 
 
 class _Handler(socketserver.StreamRequestHandler):
@@ -89,11 +95,16 @@ class _Handler(socketserver.StreamRequestHandler):
             if not (1 <= a < b <= ecref.N):
                 self.wfile.write(b"400 Bad Request")
                 return
-            key = self.server.service.solve(parts[0], a, b)  # type: ignore
-            if key is None:
-                self.wfile.write(b"404 Not Found")
-            else:
+            key, complete = self.server.service.solve(parts[0], a, b)  # type: ignore
+            if key is not None:
                 self.wfile.write(f"{key:064x}".encode())
+            elif not complete:
+                # per-request deadline cut the search: NOT an exhaustive
+                # miss — a 404 here would make range-bookkeeping clients
+                # permanently skip an unsearched range
+                self.wfile.write(b"408 Request Timeout")
+            else:
+                self.wfile.write(b"404 Not Found")
         except (ValueError, IndexError):
             self.wfile.write(b"400 Bad Request")
         except BrokenPipeError:

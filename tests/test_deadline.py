@@ -207,8 +207,12 @@ def test_bench_attempt_ladder():
     small = bench.attempt_ladder(1 << 22, 1500)
     assert small[0] == (1 << 22, 1500, True)
     assert len(small) == 3 and all(m <= 1 << 22 for m, _, _ in small)
+    # BENCH_DEADLINE bounds EVERY attempt, not just the first
+    fast = bench.attempt_ladder(1 << 28, 300)
+    assert [d for _, d, _ in fast] == [300, 300, 300]
+    # at tiny m there is nothing meaningful to shrink to
     tiny = bench.attempt_ladder(1 << 12, 600)
-    assert tiny == [(1 << 12, 600, True)]  # no sub-floor fallbacks
+    assert tiny == [(1 << 12, 600, True)]
 
 
 def test_bsgs_deadline_checkpoint_resume(tmp_path):

@@ -55,9 +55,11 @@ def test_bad_request(server):
     assert _request(server, f"{pub} ff:01") == "400 Bad Request"
 
 
-def test_request_deadline_returns_404():
-    """A service with max_seconds=0 answers 404 at the deadline instead
-    of holding the search lock for the whole (huge) requested range."""
+def test_request_deadline_returns_408():
+    """A service with max_seconds=0 answers 408 at the deadline (NOT 404:
+    the range was not exhaustively searched, so a bookkeeping client must
+    not mark it cleared) instead of holding the search lock for the whole
+    (huge) requested range."""
     service = BSGSService(PARAMS, table=host_baby_table(PARAMS.m),
                           warm=False, max_seconds=0.0)
     srv = BSGSDServer(("127.0.0.1", 0), service)
@@ -67,6 +69,6 @@ def test_request_deadline_returns_404():
         key = 0xA1B2C3
         pub = ecref.serialize_pubkey(ecref.scalar_mult(key)).hex()
         resp = _request(srv.server_address, f"{pub} a00000:{'f'*12}")
-        assert resp == "404 Not Found"
+        assert resp == "408 Request Timeout"
     finally:
         srv.shutdown()
