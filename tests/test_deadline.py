@@ -128,21 +128,28 @@ def test_bsgs_deadline_stops():
     pub = ecref.scalar_mult(0x123456789)
     eng = BSGSEngine([pub], 1, 1 << 40, params)
     eng.search(max_steps=4)  # warm/compile
+    # A short deadline may legitimately cut before the first chunk
+    # lands on a loaded host (zero progress is a correct outcome), so
+    # escalate the budget until progress is observed — the real
+    # assertions are "stops promptly" and "eventually makes progress".
     k0 = eng.stats.keys_covered
-    t0 = time.time()
-    eng.search(max_steps=10**8, max_seconds=1.0)
-    dt = time.time() - t0
-    assert dt < 30.0
+    for budget in (1.0, 5.0, 30.0):
+        t0 = time.time()
+        eng.search(max_steps=10**8, max_seconds=budget)
+        assert time.time() - t0 < budget + 30.0
+        if eng.stats.keys_covered > k0:
+            break
     assert eng.stats.keys_covered > k0
 
     # scheduled path: deadline stops mid-order, checkpointable progress
-    # (5 s not 1 s: on a loaded host the first dispatch can take >1 s,
-    # and zero progress here would be a legitimate deadline cut)
     k1 = eng.stats.keys_covered
-    t0 = time.time()
-    eng.search_scheduled(policy="sequential", max_seconds=5.0,
-                         stop_on_first=False)
-    assert time.time() - t0 < 60.0
+    for budget in (5.0, 30.0):
+        t0 = time.time()
+        eng.search_scheduled(policy="sequential", max_seconds=budget,
+                             stop_on_first=False)
+        assert time.time() - t0 < budget + 60.0
+        if eng.stats.keys_covered > k1:
+            break
     assert eng.stats.keys_covered > k1
 
 
