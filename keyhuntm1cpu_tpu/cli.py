@@ -14,6 +14,7 @@ from core.config (which the reference's getopt never had).
 from __future__ import annotations
 
 import argparse
+import math
 import sys
 
 from .core.checkpoint import CheckpointManager
@@ -53,8 +54,27 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-b", "--bits", type=int, default=None,
                    help="puzzle-style shorthand for -r: scan [2^(b-1), 2^b) "
                         "(reference -b)")
-    p.add_argument("--m-babies", type=int, default=1 << 22,
-                   help="BSGS baby-table size m (reference -n/-k sizing)")
+    p.add_argument("--m-babies", type=int, default=None,
+                   help="BSGS baby-table size m directly (overrides -n/-k)")
+    p.add_argument("-k", "--k-factor", type=int, default=1,
+                   help="BSGS k factor: m = sqrt(N) * k — more speed, "
+                        "more HBM (reference -k)")
+    p.add_argument("-n", "--n-value", type=lambda s: int(s, 0), default=None,
+                   help="BSGS N per scheduling cycle (hex with 0x or "
+                        "decimal); must have an exact integer square root "
+                        "(reference -n); default 0x100000000000")
+    p.add_argument("-c", "--crypto", default="btc", choices=["btc", "eth"],
+                   help="coin to search; eth only valid with -m address "
+                        "(reference -c)")
+    p.add_argument("-8", "--alphabet", default=None, dest="alphabet",
+                   help="custom 58-character base58 alphabet for minikeys "
+                        "(reference -8)")
+    p.add_argument("-z", "--filter-mult", type=int, default=1,
+                   help="membership-filter size multiplier >= 1: enlarges "
+                        "the BSGS probe bitmap to cut false-positive host "
+                        "verifications (reference -z bloom multiplier; "
+                        "brute modes here use exact in-kernel compares, "
+                        "so it only applies to bsgs)")
     p.add_argument("-u", "--block-u", type=int, default=4096,
                    help="giant centers / walk offsets per device step")
     p.add_argument("--chunk-steps", type=int, default=8,
@@ -64,7 +84,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="BSGS range scheduling policy (reference -B)")
     p.add_argument("--seed", type=int, default=0,
                    help="seed for random/both/dance policies and -R")
-    p.add_argument("-w", "--walkers", type=int, default=8,
+    p.add_argument("-w", "-t", "--walkers", "--threads", type=int, default=8,
+                   dest="walkers",
                    help="brute-mode parallel walkers (reference -t threads)")
     p.add_argument("-I", "--stride", type=int, default=1,
                    help="key-space stride (reference -I)")
@@ -168,6 +189,33 @@ def _run(args, log) -> int:
         else None
     )
 
+    if args.crypto == "eth":
+        # reference: -c eth valid only with -m address (keyhunt.cpp:528-546,
+        # menu) — it re-routes the address pipeline to keccak
+        if args.mode != "address":
+            log.error("-c eth is only valid with -m address")
+            return 2
+        args.mode = "eth"
+    if args.k_factor < 1:
+        args.k_factor = 1  # reference clamps KFACTOR <= 0 to 1
+    if args.filter_mult > 1 and args.mode != "bsgs":
+        log.plus("-z noted: brute-mode membership here is an exact "
+                 "in-kernel compare (no false-positive filter to enlarge)")
+    if args.alphabet is not None and args.mode != "minikeys":
+        log.warn("-8 alphabet only applies to -m minikeys")
+    if args.m_babies is None:
+        n_val = args.n_value if args.n_value is not None else (1 << 44)
+        r = math.isqrt(n_val)
+        if r * r != n_val:
+            # reference requires an exact square root for BSGS N
+            # (keyhunt.cpp:1069-1076)
+            log.error(f"-n value 0x{n_val:x} must have an exact integer "
+                      "square root")
+            return 2
+        args.m_babies = r * args.k_factor
+    elif args.n_value is not None:
+        log.warn("--m-babies overrides -n/-k sizing")
+
     if args.bits is not None:
         if args.range is not None:
             log.error("-r and -b are mutually exclusive")
@@ -186,8 +234,18 @@ def _run(args, log) -> int:
     if args.mode == "bsgs":
         targets = parse_target_file(args.file, "pubkey")
         a, b = args.range
+        bits = None
+        if args.filter_mult > 1:
+            from .filter.bitmap import MAX_BITS_LOG2, default_bits_log2
+
+            bits = min(
+                MAX_BITS_LOG2,
+                default_bits_log2(args.m_babies)
+                + math.ceil(math.log2(args.filter_mult)),
+            )
         params = BSGSParams(
-            m=args.m_babies, block_u=args.block_u, steps_per_chunk=args.chunk_steps
+            m=args.m_babies, block_u=args.block_u,
+            steps_per_chunk=args.chunk_steps, bits_log2=bits,
         )
         table = None
         cache = args.table_file or f"keyhunt_tpu_baby_{args.m_babies}.npz"
@@ -279,6 +337,7 @@ def _run(args, log) -> int:
             targets,
             prefix=args.minikey_prefix,
             params=MinikeyParams(batch=max(default_batch, args.block_u)),
+            alphabet=args.alphabet,
         )
         found = eng.search(
             max_chunks=args.max_chunks or (1 << 30),

@@ -51,11 +51,11 @@ DEVICE_DIGITS = 5  # low digits generated on device (58^5 < 2^31: u32 math)
 LOW_SPAN = 58 ** DEVICE_DIGITS
 
 
-def _b58_digits(v: int, n: int) -> str:
+def _b58_digits(v: int, n: int, alphabet: str = _B58) -> str:
     out = []
     for _ in range(n):
         v, d = divmod(v, 58)
-        out.append(_B58[d])
+        out.append(alphabet[d])
     return "".join(reversed(out))
 
 
@@ -74,14 +74,25 @@ class MinikeyEngine:
         targets: TargetSet,
         prefix: Optional[str] = None,
         params: MinikeyParams = MinikeyParams(),
+        alphabet: Optional[str] = None,
     ):
         self.targets = targets
         self.table = targets.build_table()
         self.p = params
         self.stats = SearchStats()
+        if alphabet is None:
+            alphabet = _B58
+        if len(alphabet) != 58 or len(set(alphabet)) != 58:
+            raise ValueError(
+                "minikey alphabet must be 58 distinct characters "
+                "(reference -8, keyhunt.cpp:756-765)"
+            )
+        if any(ord(c) > 0x7F for c in alphabet):
+            raise ValueError("minikey alphabet must be ASCII")
+        self.alphabet = alphabet
         if prefix is None:
             prefix = "S" + "".join(
-                secrets.choice(_B58) for _ in range(21 - SUFFIX_LEN)
+                secrets.choice(alphabet) for _ in range(21 - SUFFIX_LEN)
             )
         if not prefix.startswith("S") or len(prefix) != 22 - SUFFIX_LEN:
             raise ValueError(
@@ -112,7 +123,8 @@ class MinikeyEngine:
         return pair
 
     def _minikey_str(self, prefix17: str, low: int, lane: int) -> str:
-        return prefix17 + _b58_digits(low + lane, DEVICE_DIGITS)
+        return prefix17 + _b58_digits(low + lane, DEVICE_DIGITS,
+                                      self.alphabet)
 
     # ------------------------------------------------------------------
 
@@ -132,7 +144,7 @@ class MinikeyEngine:
         if checkpoint is not None:
             from ..core.checkpoint import Checkpoint, fingerprint
 
-            params_fp = fingerprint(B, V, HM)
+            params_fp = fingerprint(B, V, HM, self.alphabet)
             targets_fp = fingerprint(sorted(self.targets.raw))
             ck = checkpoint.load()
             if ck is not None:
@@ -168,12 +180,13 @@ class MinikeyEngine:
                     self.counter = (high + 1) * LOW_SPAN
                 else:
                     self.counter += B
-                prefix17 = self.prefix + _b58_digits(high, 5)
+                prefix17 = self.prefix + _b58_digits(high, 5, self.alphabet)
                 w22b, w23b = self._base_words(prefix17)
                 out = _minikey_chunk_impl(
                     jnp.uint32(low), w22b, w23b, self._gx, self._gy,
                     self.table.hi, self.table.lo, self.table.idx,
                     B=B, V=V, HM=HM, chain=p.chain_len,
+                    alphabet=self.alphabet,
                 )
                 out.copy_to_host_async()
                 pending.append((prefix17, low, self.counter, out))
@@ -274,21 +287,31 @@ def _pack_block_words(msgs: np.ndarray, msg_len: int) -> np.ndarray:
     )
 
 
-def _b58_char(d: jnp.ndarray) -> jnp.ndarray:
-    """Arithmetic base58 digit -> ASCII (no gathers): six contiguous
-    alphabet runs ('1'-'9', 'A'-'H', 'J'-'N', 'P'-'Z', 'a'-'k', 'm'-'z')."""
-    c = jnp.where(d < 9, 49 + d, 0)
-    c = jnp.where((d >= 9) & (d < 17), 56 + d, c)
-    c = jnp.where((d >= 17) & (d < 22), 57 + d, c)
-    c = jnp.where((d >= 22) & (d < 33), 58 + d, c)
-    c = jnp.where((d >= 33) & (d < 44), 64 + d, c)
-    c = jnp.where(d >= 44, 65 + d, c)
+def _b58_char(d: jnp.ndarray, alphabet: str = _B58) -> jnp.ndarray:
+    """Arithmetic base58 digit -> ASCII (no gathers): the alphabet is
+    decomposed into maximal runs of consecutive ASCII codes, each run a
+    single range-select `char = d + (code0 - digit0)`. The canonical
+    alphabet has six runs ('1'-'9', 'A'-'H', 'J'-'N', 'P'-'Z', 'a'-'k',
+    'm'-'z'); a custom one (reference -8) is at worst 58 selects —
+    still branch- and gather-free."""
+    vals = [ord(c) for c in alphabet]
+    c = jnp.zeros_like(d)
+    i = 0
+    while i < 58:
+        j = i
+        while j + 1 < 58 and vals[j + 1] == vals[j] + 1:
+            j += 1
+        off = np.uint32((vals[i] - i) & 0xFFFFFFFF)  # uint32 wrap-add
+        run = (d >= i) & (d <= j) if i else (d <= j)
+        c = jnp.where(run, d + off, c)
+        i = j + 1
     return c.astype(jnp.uint32)
 
 
-@partial(jax.jit, static_argnames=("B", "V", "HM", "chain"))
+@partial(jax.jit, static_argnames=("B", "V", "HM", "chain", "alphabet"))
 def _minikey_chunk_impl(base_lo, w22_base, w23_base, gtx, gty,
-                       thi, tlo, tidx, *, B, V, HM, chain):
+                       thi, tlo, tidx, *, B, V, HM, chain,
+                       alphabet: str = _B58):
     """Returns packed int32 summary [n_valid, n_check, lanes(HM)] where
     lanes are batch indices needing exact host verification (table hits
     or scalar-ladder edge cases); fill value B."""
@@ -300,7 +323,7 @@ def _minikey_chunk_impl(base_lo, w22_base, w23_base, gtx, gty,
         digits.append(x - q * jnp.uint32(58))
         x = q
     digits.reverse()  # most-significant first
-    ch = [_b58_char(d) for d in digits]
+    ch = [_b58_char(d, alphabet) for d in digits]
     w4or = (ch[0] << 16) | (ch[1] << 8) | ch[2]
     w5or = (ch[3] << 24) | (ch[4] << 16)
 

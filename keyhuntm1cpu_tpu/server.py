@@ -128,19 +128,47 @@ def main(argv=None):
     p = argparse.ArgumentParser(prog="keyhunt-tpu-bsgsd")
     p.add_argument("-i", "--ip", default="127.0.0.1")
     p.add_argument("-p", "--port", type=int, default=8080)
-    p.add_argument("--m-babies", type=int, default=1 << 22)
+    p.add_argument("--m-babies", type=int, default=None,
+                   help="baby-table size m directly (overrides -n/-k)")
+    p.add_argument("-k", "--k-factor", type=int, default=1,
+                   help="m = sqrt(N) * k (reference bsgsd -k)")
+    p.add_argument("-n", "--n-value", type=lambda s: int(s, 0), default=None,
+                   help="BSGS N; needs an exact integer square root "
+                        "(reference bsgsd -n); default 0x100000000000")
+    p.add_argument("-t", "--threads", type=int, default=None,
+                   help="accepted for reference-client compatibility; "
+                        "parallelism is owned by the device (no-op)")
+    p.add_argument("-6", "--skip-checksum", action="store_true",
+                   dest="skip_checksum",
+                   help="skip table-file checksum verification "
+                        "(reference -6)")
     p.add_argument("-u", "--block-u", type=int, default=4096)
     p.add_argument("--chunk-steps", type=int, default=8)
     p.add_argument("--table-file", default=None)
     p.add_argument("--max-seconds", type=float, default=None,
                    help="per-request wall-clock cap (a too-large range "
-                        "replies 404 at the deadline instead of holding "
+                        "replies 408 at the deadline instead of holding "
                         "the search lock indefinitely)")
     args = p.parse_args(argv)
+    if args.m_babies is None:
+        import math
+
+        n_val = args.n_value if args.n_value is not None else (1 << 44)
+        r = math.isqrt(n_val)
+        if r * r != n_val:
+            p.error(f"-n value 0x{n_val:x} must have an exact integer "
+                    "square root")
+        args.m_babies = r * max(1, args.k_factor)
     params = BSGSParams(
         m=args.m_babies, block_u=args.block_u, steps_per_chunk=args.chunk_steps
     )
-    table = BSGSEngine.load_table(args.table_file) if args.table_file else None
+    table = (
+        BSGSEngine.load_table(
+            args.table_file, verify_checksum=not args.skip_checksum
+        )
+        if args.table_file
+        else None
+    )
     print(f"[+] building/loading baby table m={args.m_babies} ...")
     service = BSGSService(params, table, max_seconds=args.max_seconds)
     print(f"[+] serving on {args.ip}:{args.port}")

@@ -144,3 +144,76 @@ def test_cli_max_seconds_flag(tmp_path, pubfile, monkeypatch):
     ])
     assert rc == 1  # deadline precedes any dispatch: clean not-found exit
     assert not (tmp_path / "KEYFOUNDKEYFOUND.txt").exists()
+
+
+def test_bsgs_k_and_n_sizing(tmp_path, pubfile, monkeypatch):
+    """-k/-n size m like the reference: m = sqrt(N) * k
+    (keyhunt.cpp:1129-1161); default N = 0x100000000000."""
+    monkeypatch.chdir(tmp_path)
+    path, key = pubfile
+    captured = {}
+
+    class _Stub:
+        def __init__(self, pubs, a, b, params, table=None):
+            captured["m"] = params.m
+            captured["bits"] = params.bits_log2
+            self.stats = type("S", (), {
+                "human": lambda self: "", "keys_covered": 0})()
+
+        def search_scheduled(self, **kw):
+            return []
+
+    monkeypatch.setattr(cli, "BSGSEngine", _Stub)
+    rc = cli.main(["-m", "bsgs", "-f", path, "-r", "1:100000",
+                   "-n", "0x10000", "-k", "3", "-q"])
+    assert rc == 1
+    assert captured["m"] == 256 * 3  # sqrt(0x10000) * k
+
+    # -z enlarges the probe bitmap (reference bloom multiplier)
+    rc = cli.main(["-m", "bsgs", "-f", path, "-r", "1:100000",
+                   "--m-babies", "512", "-z", "4", "-q"])
+    assert rc == 1
+    from keyhuntm1cpu_tpu.filter.bitmap import default_bits_log2
+
+    assert captured["bits"] == default_bits_log2(512) + 2
+
+    # non-square N is rejected (reference keyhunt.cpp:1069-1076)
+    rc = cli.main(["-m", "bsgs", "-f", path, "-r", "1:100000",
+                   "-n", "0x10001", "-q"])
+    assert rc == 2
+
+
+def test_crypto_flag_routes_eth(tmp_path, monkeypatch):
+    """-c eth with -m address searches ETH addresses (reference -c)."""
+    monkeypatch.chdir(tmp_path)
+    key = 0x9ABC
+    eth = hashref.pubkey_to_eth_address(ecref.scalar_mult(key))
+    f = tmp_path / "targets.eth"
+    f.write_text("0x" + eth.hex() + "\n")
+    captured = {}
+
+    class _Stub:
+        def __init__(self, targets, a, b, mode=None, params=None, **kw):
+            captured["mode"] = mode
+            self.stats = type("S", (), {
+                "human": lambda self: "", "keys_covered": 0})()
+
+        def search(self, **kw):
+            return []
+
+    monkeypatch.setattr(cli, "BruteEngine", _Stub)
+    rc = cli.main(["-m", "address", "-c", "eth", "-f", str(f),
+                   "-r", "1:10000", "-q"])
+    assert rc == 1
+    assert captured["mode"] == "eth"
+    # -c eth outside address mode is rejected (reference constraint)
+    rc = cli.main(["-m", "bsgs", "-c", "eth", "-f", str(f),
+                   "-r", "1:10000", "-q"])
+    assert rc == 2
+
+
+def test_threads_alias(tmp_path, pubfile):
+    from keyhuntm1cpu_tpu.cli import build_parser
+
+    args = build_parser().parse_args(["-m", "rmd160", "-f", "x", "-t", "4"])
+    assert args.walkers == 4

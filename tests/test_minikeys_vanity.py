@@ -80,3 +80,52 @@ def test_vanity_search_finds_prefix():
     assert any(f.private_key == 41 for f in found)
     for f in found:
         assert f.target.startswith(prefix)
+
+
+def test_minikey_custom_alphabet():
+    """Reference -8: a custom 58-char base58 alphabet changes minikey
+    GENERATION (the scanned strings), and recovery must be bit-exact
+    under it (keyhunt.cpp:756-765)."""
+    alpha = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+    custom = alpha[29:] + alpha[:29]  # rotated: many non-contiguous runs
+
+    def mk_of(prefix, counter):
+        digits = []
+        v = counter
+        for _ in range(SUFFIX_LEN):
+            v, d = divmod(v, 58)
+            digits.append(custom[d])
+        return prefix + "".join(reversed(digits))
+
+    prefix = "SkeyhuntALTx"[: 22 - SUFFIX_LEN]
+    c = 0
+    while hashref.sha256((mk_of(prefix, c) + "?").encode())[0] != 0:
+        c += 1
+    mk = mk_of(prefix, c)
+    k = int.from_bytes(hashref.sha256(mk.encode()), "big")
+    pt = ecref.scalar_mult(k)
+    ts = targets_from_ints(
+        "hash160", [hashref.pubkey_to_hash160(pt, compressed=False)]
+    )
+    eng = MinikeyEngine(ts, prefix=prefix,
+                        params=MinikeyParams(batch=256, chain_len=8),
+                        alphabet=custom)
+    found = eng.search(max_chunks=(c // 256) + 2)
+    assert len(found) == 1
+    assert found[0].private_key == k
+    assert mk in found[0].target
+
+    # the same scan under the canonical alphabet must NOT produce mk
+    eng2 = MinikeyEngine(ts, prefix=prefix,
+                         params=MinikeyParams(batch=256, chain_len=8))
+    assert eng2.search(max_chunks=(c // 256) + 2) == []
+
+
+def test_minikey_alphabet_validation():
+    import pytest as _pytest
+
+    ts = targets_from_ints("hash160", [b"\x00" * 20])
+    with _pytest.raises(ValueError):
+        MinikeyEngine(ts, alphabet="abc")  # wrong length
+    with _pytest.raises(ValueError):
+        MinikeyEngine(ts, alphabet="a" * 58)  # duplicates
