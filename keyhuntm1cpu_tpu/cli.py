@@ -203,18 +203,11 @@ def _run(args, log) -> int:
                  "in-kernel compare (no false-positive filter to enlarge)")
     if args.alphabet is not None and args.mode != "minikeys":
         log.warn("-8 alphabet only applies to -m minikeys")
-    if args.m_babies is None:
-        n_val = args.n_value if args.n_value is not None else (1 << 44)
-        r = math.isqrt(n_val)
-        if r * r != n_val:
-            # reference requires an exact square root for BSGS N
-            # (keyhunt.cpp:1069-1076)
-            log.error(f"-n value 0x{n_val:x} must have an exact integer "
-                      "square root")
-            return 2
-        args.m_babies = r * args.k_factor
-    elif args.n_value is not None:
+    if args.m_babies is not None and args.n_value is not None:
         log.warn("--m-babies overrides -n/-k sizing")
+    from .engine.bsgs import resolve_m
+
+    args.m_babies = resolve_m(args.m_babies, args.n_value, args.k_factor)
 
     if args.bits is not None:
         if args.range is not None:

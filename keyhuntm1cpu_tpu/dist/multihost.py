@@ -127,7 +127,10 @@ def main(argv=None) -> int:
                    help="WorkCoordinator host:port for found-key reports")
     p.add_argument("-f", "--file", required=True)
     p.add_argument("-r", "--range", required=True, help="start:end hex")
-    p.add_argument("--m-babies", type=int, default=1 << 22)
+    p.add_argument("--m-babies", type=int, default=None)
+    p.add_argument("-k", "--k-factor", type=int, default=1,
+                   help="m = sqrt(N) * k (reference -k)")
+    p.add_argument("-n", "--n-value", type=lambda s: int(s, 0), default=None)
     p.add_argument("-u", "--block-u", type=int, default=4096)
     p.add_argument("--chunk-steps", type=int, default=16)
     p.add_argument("-B", "--policy", default="sequential")
@@ -136,6 +139,12 @@ def main(argv=None) -> int:
     p.add_argument("--all", action="store_true")
     args = p.parse_args(argv)
 
+    from ..engine.bsgs import resolve_m
+
+    try:
+        args.m_babies = resolve_m(args.m_babies, args.n_value, args.k_factor)
+    except ValueError as e:
+        p.error(str(e))
     initialize(args.coordinator, args.num_processes, args.process_id)
     a, b = (int(x, 16) for x in args.range.split(":", 1))
     targets = parse_target_file(args.file, "pubkey")

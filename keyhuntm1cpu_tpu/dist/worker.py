@@ -112,13 +112,22 @@ def main(argv=None):
     p = argparse.ArgumentParser(prog="keyhunt-tpu-worker")
     p.add_argument("-c", "--coordinator", required=True, help="host:port")
     p.add_argument("-f", "--file", required=True, help="pubkey target file")
-    p.add_argument("--m-babies", type=int, default=1 << 22)
+    p.add_argument("--m-babies", type=int, default=None)
+    p.add_argument("-k", "--k-factor", type=int, default=1,
+                   help="m = sqrt(N) * k (reference -k)")
+    p.add_argument("-n", "--n-value", type=lambda s: int(s, 0), default=None)
     p.add_argument("-u", "--block-u", type=int, default=4096)
     p.add_argument("--chunk-steps", type=int, default=8)
     args = p.parse_args(argv)
     host, port = args.coordinator.rsplit(":", 1)
     targets = parse_target_file(args.file, "pubkey")
-    params = BSGSParams(m=args.m_babies, block_u=args.block_u,
+    from ..engine.bsgs import resolve_m
+
+    try:
+        m = resolve_m(args.m_babies, args.n_value, args.k_factor)
+    except ValueError as e:
+        p.error(str(e))
+    params = BSGSParams(m=m, block_u=args.block_u,
                         steps_per_chunk=args.chunk_steps)
     w = DistributedWorker(host, int(port),
                           bsgs_search_fn(targets.pubkeys, params))

@@ -46,6 +46,27 @@ from ..ref import ecref
 from .common import Deadline, FoundKey, SearchStats, verify_candidate_scalar
 
 
+def resolve_m(
+    m_babies: "int | None" = None,
+    n_value: "int | None" = None,
+    k_factor: int = 1,
+) -> int:
+    """Reference BSGS table sizing (keyhunt.cpp:1052-1161): m = sqrt(N)*k,
+    N defaulting to 0x100000000000 (sqrt = 2^22) and required to have an
+    exact integer square root (keyhunt.cpp:1069-1076). An explicit
+    m_babies overrides -n/-k. Shared by the CLI, bsgsd, and the dist
+    entry points so every surface sizes identically."""
+    if m_babies is not None:
+        return m_babies
+    n_val = n_value if n_value is not None else (1 << 44)
+    r = math.isqrt(n_val)
+    if r * r != n_val:
+        raise ValueError(
+            f"-n value 0x{n_val:x} must have an exact integer square root"
+        )
+    return r * max(1, k_factor)
+
+
 @dataclass(frozen=True)
 class BSGSParams:
     m: int = 1 << 20  # baby steps

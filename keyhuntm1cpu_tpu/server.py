@@ -5,6 +5,9 @@ Text line protocol over TCP, wire-compatible with the reference
 
     request:  "<pubkey_hex> <from_hex>:<to_hex>\\n"
     reply:    "<privkey_hex>" | "404 Not Found" | "400 Bad Request"
+              | "408 Request Timeout" (per-request --max-seconds cap cut
+                the search before full coverage — NOT a clean miss, so
+                range-bookkeeping clients must not mark the range cleared)
 
 The baby table is built once at startup and stays resident in device HBM
 (reference keeps blooms+bPtable resident in RAM, BSGSD.md:98-102).
@@ -150,15 +153,12 @@ def main(argv=None):
                         "replies 408 at the deadline instead of holding "
                         "the search lock indefinitely)")
     args = p.parse_args(argv)
-    if args.m_babies is None:
-        import math
+    from .engine.bsgs import resolve_m
 
-        n_val = args.n_value if args.n_value is not None else (1 << 44)
-        r = math.isqrt(n_val)
-        if r * r != n_val:
-            p.error(f"-n value 0x{n_val:x} must have an exact integer "
-                    "square root")
-        args.m_babies = r * max(1, args.k_factor)
+    try:
+        args.m_babies = resolve_m(args.m_babies, args.n_value, args.k_factor)
+    except ValueError as e:
+        p.error(str(e))
     params = BSGSParams(
         m=args.m_babies, block_u=args.block_u, steps_per_chunk=args.chunk_steps
     )
