@@ -69,17 +69,25 @@ def _const_tile(like: jnp.ndarray, value: int) -> jnp.ndarray:
 
 def _brute_kernel(bx_ref, by_ref, tabx_ref, taby_ref, tgt_ref,
                   hit_ref, dens, prefs,
-                  SB: int, U: int, mode: str, n_endo: int, T: int):
+                  SB: int, U: int, mode: str, n_endo: int, T: int,
+                  HR: int):
     """One grid block: SB steps x U offsets; emits packed hit words.
 
     Membership is INTERVAL containment against T SMEM-resident 64-bit
     big-endian bounds (tgt rows: [lo_hi, lo_lo, hi_hi, hi_lo]): an exact
     target is a point interval (lo == hi), a vanity prefix is a real
     range — one compare path serves both, and composes them (the
-    reference's -v alongside address mode, keyhunt.cpp:6270-6272)."""
+    reference's -v alongside address mode, keyhunt.cpp:6270-6272).
+
+    HR (hash sub-block rows, 8 | HR | rows) bounds the emit phase's live
+    working set: the hash pipelines keep ~25-50 state words live, and on
+    (rows, 128) tiles each word is rows/8 vregs — far past the physical
+    register file, so every op spills. Hashing (8*HR, 128)-point
+    sub-blocks instead shrinks each live word to HR/8 vregs (the same
+    aligned dynamic-offset pattern the grouped inverse uses). HR = rows
+    reproduces the original single-pass emit."""
     rows = U // LANES
     tx = tabx_ref[:, :, :]  # (8, rows, 128)
-    ty = taby_ref[:, :, :]
     # bases arrive in (8, RB, 128) blocks (RB = min(8, K): Mosaic needs
     # sublane-divisible blocks); this grid step's rows start at `off`
     rb = bx_ref.shape[1]
@@ -98,15 +106,23 @@ def _brute_kernel(bx_ref, by_ref, tabx_ref, taby_ref, tgt_ref,
     jax.lax.fori_loop(0, SB, build, 0)
     pwalk._group_inverse_inplace(dens, prefs, (SB * rows) // 8)
 
+    nr = rows // HR
+    sub_shape = (8, HR, LANES)
     if n_endo == 3:
-        beta = _const_tile(tx, ecref.BETA)
-        beta2 = _const_tile(tx, ecref.BETA * ecref.BETA % ecref.P)
+        beta = _const_tile(jnp.zeros(sub_shape, jnp.uint32), ecref.BETA)
+        beta2 = _const_tile(
+            jnp.zeros(sub_shape, jnp.uint32), ecref.BETA * ecref.BETA % ecref.P
+        )
 
-    def emit(s, _):
+    def emit(i, _):
+        s = i // nr
+        r = i % nr
+        tx = tabx_ref[:, pl.ds(r * HR, HR), :]
+        ty = taby_ref[:, pl.ds(r * HR, HR), :]
         bx = jnp.broadcast_to(bx_ref[:, pl.ds(off + s, 1), :], tx.shape)
         by = jnp.broadcast_to(by_ref[:, pl.ds(off + s, 1), :], ty.shape)
-        degrow = ft.is_zero(ft.sub(tx, bx))  # (rows, 128)
-        inv_s = dens[:, pl.ds(s * rows, rows), :]
+        degrow = ft.is_zero(ft.sub(tx, bx))  # (HR, 128)
+        inv_s = dens[:, pl.ds(s * rows + r * HR, HR), :]
         lam = ft.mul(ft.sub(ty, by), inv_s)
         x3 = ft.sub(ft.sub(ft.sqr(lam), bx), tx)
         if needs_y:
@@ -156,18 +172,20 @@ def _brute_kernel(bx_ref, by_ref, tabx_ref, taby_ref, tgt_ref,
         # degenerate lanes produced garbage x3: suppress their hash hits,
         # flag for exact host verification of that key instead
         hit = jnp.where(degrow, jnp.uint32(1) << 30, hit)
-        hit_ref[pl.ds(s, 1)] = hit[None]
+        hit_ref[pl.ds(s, 1), pl.ds(r * HR, HR), :] = hit[None]
         return 0
 
-    jax.lax.fori_loop(0, SB, emit, 0)
+    jax.lax.fori_loop(0, SB * nr, emit, 0)
 
 
 def brute_walk_blocks(bases_x, bases_y, tab_x, tab_y, tgt,
                       U: int, SB: int, mode: str, n_endo: int,
-                      interpret: bool = False) -> jnp.ndarray:
+                      interpret: bool = False,
+                      hash_rows: int | None = None) -> jnp.ndarray:
     """bases: (8, K, 128); tab: (8, U/128, 128); tgt: (4, T) uint32
     interval bounds [lo_hi, lo_lo, hi_hi, hi_lo] (pack_intervals).
-    Returns packed hit words (K, U/128, 128) uint32."""
+    Returns packed hit words (K, U/128, 128) uint32. hash_rows bounds
+    the emit phase's live register set (see _brute_kernel)."""
     K = bases_x.shape[1]
     assert K % SB == 0, (K, SB)
     rows = U // LANES
@@ -175,6 +193,12 @@ def brute_walk_blocks(bases_x, bases_y, tab_x, tab_y, tgt,
         raise ValueError(
             f"brute_walk_blocks needs SB*U/128 to be a positive multiple "
             f"of 8 (got SB={SB}, U={U})"
+        )
+    hr = hash_rows if hash_rows is not None else rows
+    if hr % 8 != 0 or rows % hr != 0:
+        raise ValueError(
+            f"hash_rows must be a multiple of 8 dividing U/128 "
+            f"(got hash_rows={hr}, U={U})"
         )
     T = tgt.shape[1]
     grid = (K // SB,)
@@ -190,7 +214,7 @@ def brute_walk_blocks(bases_x, bases_y, tab_x, tab_y, tgt,
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_brute_kernel, SB=SB, U=U, mode=mode,
-                          n_endo=n_endo, T=T),
+                          n_endo=n_endo, T=T, HR=hr),
         out_shape=jax.ShapeDtypeStruct((K, rows, LANES), jnp.uint32),
         grid=grid,
         in_specs=[base_spec, base_spec, tab_spec, tab_spec, tgt_spec],
@@ -205,10 +229,12 @@ def brute_walk_blocks(bases_x, bases_y, tab_x, tab_y, tgt,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("K", "U", "SB", "C", "mode", "n_endo", "interpret"),
+    static_argnames=("K", "U", "SB", "C", "mode", "n_endo", "interpret",
+                     "hash_rows"),
 )
 def pallas_brute_chunk(px, py, tab_x_lm, tab_y_lm, ax, ay, tgt,
-                       *, K, U, SB, C, mode, n_endo, interpret=False):
+                       *, K, U, SB, C, mode, n_endo, interpret=False,
+                       hash_rows=None):
     """px/py: (8,) limbs of the chunk's base point ((start)*G). tgt:
     (4, T) uint32 interval bounds (pack_intervals). Returns
     (next_x, next_y, out) where
@@ -222,7 +248,7 @@ def pallas_brute_chunk(px, py, tab_x_lm, tab_y_lm, ax, ay, tgt,
     )
     hits = brute_walk_blocks(
         bx, by, tab_x_lm, tab_y_lm, tgt, U, SB, mode, n_endo,
-        interpret=interpret,
+        interpret=interpret, hash_rows=hash_rows,
     )
     rows2 = hits.reshape(-1, LANES)  # (K*U/128, 128)
     qbits2 = rows2 & jnp.uint32((1 << 30) - 1)

@@ -86,6 +86,9 @@ class BruteParams:
     pipeline_depth: int = 8  # chunks dispatched ahead of decode (hides
     # the ~28 ms host round trip behind device compute; bounded to avoid
     # unbounded async dispatch through the device tunnel)
+    hash_rows: Optional[int] = None  # emit-phase sub-block rows in the
+    # fused kernel (None = full tile): smaller values bound the hash
+    # pipelines' live register set (see pbrute._brute_kernel)
 
 
 class BruteEngine:
@@ -237,6 +240,11 @@ class BruteEngine:
             and p.steps_per_chunk % p.pallas_sb == 0
             and (p.block_u // 128) * p.pallas_sb % 8 == 0
             and (p.block_u // 128) * p.pallas_sb >= 8
+            and (
+                p.hash_rows is None
+                or (p.hash_rows % 8 == 0
+                    and (p.block_u // 128) % p.hash_rows == 0)
+            )
         )
         if p.pallas == "on":
             if not ok:
@@ -310,7 +318,7 @@ class BruteEngine:
                 self._adv_x_f, self._adv_y_f, self._tgt_words,
                 K=p.steps_per_chunk, U=p.block_u, SB=p.pallas_sb,
                 C=p.chunk_cand, mode=self.mode, n_endo=self._n_endo_fast,
-                interpret=self._interpret,
+                interpret=self._interpret, hash_rows=p.hash_rows,
             )
 
         self._fast_chunk = chunk
