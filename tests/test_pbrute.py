@@ -189,3 +189,22 @@ def test_on_gate_rejects_sb_not_dividing_8():
         BruteEngine(ts, 1, 1 << 20, mode="rmd160",
                     params=BruteParams(block_u=384, steps_per_chunk=6,
                                        pallas_sb=3, pallas="on"))
+
+
+def test_on_gate_validates_hash_rows():
+    ts = _targets([1, 2, 3])
+    # not a multiple of 8
+    with pytest.raises(ValueError):
+        BruteEngine(ts, 1, 1 << 20, mode="rmd160",
+                    params=BruteParams(block_u=1024, pallas="on",
+                                       hash_rows=4))
+    # does not divide U/128
+    with pytest.raises(ValueError):
+        BruteEngine(ts, 1, 1 << 20, mode="rmd160",
+                    params=BruteParams(block_u=1024, pallas="on",
+                                       hash_rows=48))
+    # valid divisor passes the gate
+    eng = BruteEngine(ts, 1, 1 << 20, mode="rmd160",
+                      params=BruteParams(block_u=1024, pallas="on",
+                                         hash_rows=8))
+    assert eng._fast
