@@ -14,7 +14,6 @@ from core.config (which the reference's getopt never had).
 from __future__ import annotations
 
 import argparse
-import math
 import sys
 
 from .core.checkpoint import CheckpointManager
@@ -227,15 +226,9 @@ def _run(args, log) -> int:
     if args.mode == "bsgs":
         targets = parse_target_file(args.file, "pubkey")
         a, b = args.range
-        bits = None
-        if args.filter_mult > 1:
-            from .filter.bitmap import MAX_BITS_LOG2, default_bits_log2
+        from .filter.bitmap import scaled_bits_log2
 
-            bits = min(
-                MAX_BITS_LOG2,
-                default_bits_log2(args.m_babies)
-                + math.ceil(math.log2(args.filter_mult)),
-            )
+        bits = scaled_bits_log2(args.m_babies, args.filter_mult)
         params = BSGSParams(
             m=args.m_babies, block_u=args.block_u,
             steps_per_chunk=args.chunk_steps, bits_log2=bits,

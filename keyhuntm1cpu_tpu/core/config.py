@@ -31,8 +31,10 @@ class Config:
     range_start: int = 1  # reference -r / -b bits
     range_end: int = 1 << 32
 
-    # BSGS knobs (reference -n, -k, and the 5 sub-schedulers §2.2 #25)
-    m_babies: int = 1 << 22
+    # BSGS knobs (reference -n, -k, and the 5 sub-schedulers §2.2 #25).
+    # m_babies None = "not set here": the CLI then applies -n/-k sizing
+    # (engine.bsgs.resolve_m) instead of a config value silently winning
+    m_babies: Optional[int] = None
     bsgs_policy: str = "sequential"
     block_u: int = 4096
     steps_per_chunk: int = 8
@@ -86,8 +88,10 @@ class Config:
             raise ConfigError("stride is not allowed with BSGS mode")
         if self.look not in ("compress", "uncompress", "both"):
             raise ConfigError("look must be compress|uncompress|both")
-        if self.m_babies < 1 or self.block_u < 1 or self.steps_per_chunk < 1:
-            raise ConfigError("m_babies/block_u/steps_per_chunk must be >= 1")
+        if self.m_babies is not None and self.m_babies < 1:
+            raise ConfigError("m_babies must be >= 1")
+        if self.block_u < 1 or self.steps_per_chunk < 1:
+            raise ConfigError("block_u/steps_per_chunk must be >= 1")
         return self
 
     # -- serialization ----------------------------------------------------

@@ -195,10 +195,12 @@ def brute_walk_blocks(bases_x, bases_y, tab_x, tab_y, tgt,
             f"of 8 (got SB={SB}, U={U})"
         )
     hr = hash_rows if hash_rows is not None else rows
-    if hr % 8 != 0 or rows % hr != 0:
+    # hr == rows is the original single-pass emit (any tile size);
+    # genuine sub-blocking needs aligned (multiple-of-8) sub-offsets
+    if hr != rows and (hr < 8 or hr % 8 != 0 or rows % hr != 0):
         raise ValueError(
-            f"hash_rows must be a multiple of 8 dividing U/128 "
-            f"(got hash_rows={hr}, U={U})"
+            f"hash_rows must equal U/128 or be a multiple of 8 dividing "
+            f"U/128 (got hash_rows={hr}, U={U})"
         )
     T = tgt.shape[1]
     grid = (K // SB,)

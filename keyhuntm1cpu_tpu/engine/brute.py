@@ -242,7 +242,8 @@ class BruteEngine:
             and (p.block_u // 128) * p.pallas_sb >= 8
             and (
                 p.hash_rows is None
-                or (p.hash_rows % 8 == 0
+                or p.hash_rows == p.block_u // 128
+                or (p.hash_rows >= 8 and p.hash_rows % 8 == 0
                     and (p.block_u // 128) % p.hash_rows == 0)
             )
         )

@@ -144,7 +144,13 @@ class MinikeyEngine:
         if checkpoint is not None:
             from ..core.checkpoint import Checkpoint, fingerprint
 
-            params_fp = fingerprint(B, V, HM, self.alphabet)
+            # canonical alphabet keeps the historical fingerprint so
+            # pre-existing checkpoints stay resumable
+            params_fp = (
+                fingerprint(B, V, HM)
+                if self.alphabet == _B58
+                else fingerprint(B, V, HM, self.alphabet)
+            )
             targets_fp = fingerprint(sorted(self.targets.raw))
             ck = checkpoint.load()
             if ck is not None:

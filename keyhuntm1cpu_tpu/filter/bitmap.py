@@ -48,6 +48,20 @@ MAX_BITS_LOG2 = 35  # 4 GB of words; 2^30 word indices fit int32
 # (bits=36 would need 2^31 word indices -> int32 overflow in jnp take)
 
 
+def scaled_bits_log2(m: int, mult: int) -> "int | None":
+    """Probe-bitmap size for a filter-size multiplier (reference -z
+    FLAGBLOOMMULTIPLIER, keyhunt.cpp:766-772): mult-fold more bits than
+    the default fp target, clamped to MAX_BITS_LOG2. Returns None for
+    mult <= 1 (use the engine default). Shared by every entry point that
+    exposes -z."""
+    import math
+
+    if mult <= 1:
+        return None
+    return min(MAX_BITS_LOG2,
+               default_bits_log2(m) + math.ceil(math.log2(mult)))
+
+
 def _bit_indices(hi: np.ndarray, lo: np.ndarray, bits_log2: int) -> np.ndarray:
     idx = lo.astype(np.uint64)
     if bits_log2 > 32:

@@ -217,3 +217,68 @@ def test_threads_alias(tmp_path, pubfile):
 
     args = build_parser().parse_args(["-m", "rmd160", "-f", "x", "-t", "4"])
     assert args.walkers == 4
+
+
+def test_config_without_m_babies_keeps_k_sizing(tmp_path, pubfile,
+                                                monkeypatch):
+    """A config file that does not set m_babies must not disable -k/-n
+    sizing (Config.m_babies defaults to None = 'not set here')."""
+    import json
+
+    monkeypatch.chdir(tmp_path)
+    path, _ = pubfile
+    cfg = tmp_path / "cfg.json"
+    cfg.write_text(json.dumps({"block_u": 16, "steps_per_chunk": 4}))
+    captured = {}
+
+    class _Stub:
+        def __init__(self, pubs, a, b, params, table=None):
+            captured["m"] = params.m
+            self.stats = type("S", (), {
+                "human": lambda self: "", "keys_covered": 0})()
+
+        def search_scheduled(self, **kw):
+            return []
+
+    monkeypatch.setattr(cli, "BSGSEngine", _Stub)
+    rc = cli.main(["--config", str(cfg), "-m", "bsgs", "-f", path,
+                   "-r", "1:100000", "-n", "0x10000", "-k", "2", "-q"])
+    assert rc == 1
+    assert captured["m"] == 256 * 2
+    # but a config file that DOES set m_babies is honored
+    cfg.write_text(json.dumps({"m_babies": 1024, "block_u": 16}))
+    rc = cli.main(["--config", str(cfg), "-m", "bsgs", "-f", path,
+                   "-r", "1:100000", "-q"])
+    assert rc == 1
+    assert captured["m"] == 1024
+
+
+def test_hash_rows_small_tile_default_ok():
+    """hash_rows=None must accept tiles with U/128 < 8 (the pre-sub-block
+    default shapes, e.g. block_u=256) — regression for the hr%8 check."""
+    from keyhuntm1cpu_tpu.engine.brute import BruteEngine, BruteParams
+    from keyhuntm1cpu_tpu.ref import ecref, hashref
+    from keyhuntm1cpu_tpu.utils.targets import TargetSet
+
+    raw = [hashref.pubkey_to_hash160(ecref.scalar_mult(5), compressed=True)]
+    ts = TargetSet(kind="hash160", raw=raw, labels=["5"])
+    eng = BruteEngine(ts, 1, 1 << 16, mode="rmd160",
+                      params=BruteParams(block_u=256, steps_per_chunk=4,
+                                         pallas_sb=4, pallas="on"))
+    assert eng._fast
+    # the kernel wrapper's validation must also accept hr == rows < 8
+    import jax
+    import jax.numpy as jnp
+
+    from keyhuntm1cpu_tpu.curve import pbrute
+
+    tgt = jnp.asarray(pbrute.pack_intervals([5], [5]))
+    out = jax.eval_shape(
+        lambda t: pbrute.brute_walk_blocks(
+            jnp.zeros((8, 4, 128), jnp.uint32),
+            jnp.zeros((8, 4, 128), jnp.uint32),
+            jnp.zeros((8, 2, 128), jnp.uint32),
+            jnp.zeros((8, 2, 128), jnp.uint32),
+            t, U=256, SB=4, mode="xpoint", n_endo=1, hash_rows=None),
+        tgt)
+    assert out.shape == (4, 2, 128)
