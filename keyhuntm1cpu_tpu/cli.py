@@ -103,8 +103,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="seconds between checkpoint writes")
     p.add_argument("--metrics-port", type=int, default=None,
                    help="serve /metrics.json + dashboard on this port")
-    p.add_argument("--sharded", action="store_true",
-                   help="shard the range across all visible devices")
+    p.add_argument("--sharded", nargs="?", const="range", default=None,
+                   choices=["range", "table"],
+                   help="multi-device BSGS: 'range' (default) replicates "
+                        "the baby table and shards the scalar range; "
+                        "'table' shards the TABLE itself (1/D per device "
+                        "+ all_gather probes) so m scales past one chip's "
+                        "HBM")
     p.add_argument("-s", "--stats-every", type=float, default=5.0,
                    help="progress print interval factor (reference -s)")
     p.add_argument("-q", "--quiet", action="store_true", help="reference -q")
@@ -244,9 +249,11 @@ def _run(args, log) -> int:
             except (FileNotFoundError, ValueError):
                 table = None
         if args.sharded:
-            from .parallel import ShardedBSGSEngine
+            from .parallel import ShardedBSGSEngine, ShardedTableBSGSEngine
 
-            eng = ShardedBSGSEngine(targets.pubkeys, a, b, params, table=table)
+            cls = (ShardedTableBSGSEngine if args.sharded == "table"
+                   else ShardedBSGSEngine)
+            eng = cls(targets.pubkeys, a, b, params, table=table)
             if args.save_table and table is None:
                 eng.save_table(cache)
             found = eng.search_sharded(

@@ -282,3 +282,17 @@ def test_hash_rows_small_tile_default_ok():
             t, U=256, SB=4, mode="xpoint", n_endo=1, hash_rows=None),
         tgt)
     assert out.shape == (4, 2, 128)
+
+
+def test_sharded_table_cli(tmp_path, pubfile, monkeypatch):
+    """--sharded table routes to the table-sharded engine (m scales past
+    one device's memory) and still recovers the key via the CLI."""
+    monkeypatch.chdir(tmp_path)
+    path, key = pubfile
+    rc = cli.main([
+        "-m", "bsgs", "-f", path, "-r", "a00000:b00000",
+        "--m-babies", "512", "-u", "16", "--chunk-steps", "4", "-q",
+        "--sharded", "table",
+    ])
+    assert rc == 0
+    assert f"{key:064x}" in (tmp_path / "KEYFOUNDKEYFOUND.txt").read_text()
