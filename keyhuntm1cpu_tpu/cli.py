@@ -175,7 +175,11 @@ def _run(args, log) -> int:
     if args.quiet:
         log.set_level("warn")
     log.matrix = args.matrix
-    progress = 0 if args.quiet else max(1, int(args.stats_every))
+    # reference -s 0 omits the stats output entirely (menu())
+    progress = (
+        0 if (args.quiet or args.stats_every == 0)
+        else max(1, int(args.stats_every))
+    )
 
     metrics_srv = None
     if args.metrics_port is not None:
