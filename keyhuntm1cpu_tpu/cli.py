@@ -113,6 +113,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-s", "--stats-every", type=float, default=5.0,
                    help="progress print interval factor (reference -s)")
     p.add_argument("-q", "--quiet", action="store_true", help="reference -q")
+    p.add_argument("-d", "--debug", action="store_true",
+                   help="debug-level logging (reference -d)")
     p.add_argument("-M", "--matrix", action="store_true",
                    help="matrix mode: plain newline output (reference -M)")
     p.add_argument("--all", action="store_true",
@@ -174,6 +176,8 @@ def main(argv=None) -> int:
 def _run(args, log) -> int:
     if args.quiet:
         log.set_level("warn")
+    elif args.debug:
+        log.set_level("debug")
     log.matrix = args.matrix
     # reference -s 0 omits the stats output entirely (menu())
     progress = (
