@@ -43,7 +43,9 @@ def engine(mode, hr, a, b):
     raw = [MK[mode](ecref.scalar_mult(k)) for k in keys]
     ts = TargetSet(kind=KIND[mode], raw=raw,
                    labels=[str(k) for k in keys])
-    params = BruteParams(block_u=U, steps_per_chunk=K, pallas_sb=8,
+    # pallas_sb=4 matches bench_modes.py so the hr=None row reproduces
+    # the round-2 baseline numbers
+    params = BruteParams(block_u=U, steps_per_chunk=K, pallas_sb=4,
                          pallas="on", hash_rows=hr)
     return BruteEngine(ts, a, b, mode=mode, params=params)
 
