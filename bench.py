@@ -194,6 +194,33 @@ def supervise() -> int:
     """
     import subprocess
 
+    # Device probe gate: when the tunnel is fully down, jax.devices()
+    # HANGS (observed multi-hour outages), and every ladder attempt would
+    # burn its whole deadline discovering that. Probe cheaply first and
+    # keep re-probing for up to BENCH_PROBE_BUDGET seconds so a tunnel
+    # that recovers mid-wait still gets its bench.
+    probe_budget = float(os.environ.get("BENCH_PROBE_BUDGET", 1200))
+    t0 = time.time()
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; print(jax.devices())"],
+                env=os.environ, timeout=180, stdout=subprocess.PIPE,
+                stderr=subprocess.DEVNULL,
+            )
+            if r.returncode == 0:
+                log(f"[bench] device probe ok: "
+                    f"{(r.stdout or b'').decode().strip()}")
+                break
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() - t0 > probe_budget:
+            log("[bench] device probe failed for "
+                f"{probe_budget:.0f}s (tunnel down) — no bench possible")
+            return 1
+        log("[bench] device probe hung/failed; retrying in 60s")
+        time.sleep(60)
+
     for m, deadline, with_modes in attempt_ladder(
         M, int(os.environ.get("BENCH_DEADLINE", 2400))
     ):

@@ -249,3 +249,30 @@ def test_bsgs_deadline_checkpoint_resume(tmp_path):
         stop_on_first=True, checkpoint=CheckpointManager(path, every_s=0)
     )
     assert [f.private_key for f in found] == [key]
+
+
+def test_bench_probe_gate_fails_fast(monkeypatch):
+    """supervise() must not burn the full attempt ladder when the device
+    tunnel is down: the probe gate returns 1 within the probe budget."""
+    import importlib.util
+    import os
+    import subprocess
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    calls = []
+
+    def fake_run(*a, **kw):
+        calls.append(a)
+        raise subprocess.TimeoutExpired(cmd="probe", timeout=180)
+
+    monkeypatch.setenv("BENCH_PROBE_BUDGET", "0")
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    t0 = time.time()
+    assert bench.supervise() == 1
+    assert time.time() - t0 < 10.0
+    assert len(calls) == 1  # one probe, no ladder attempts
