@@ -162,6 +162,9 @@ def main(argv=None) -> int:
                 ("stride", "stride"), ("policy", "bsgs_policy"),
                 ("seed", "seed"), ("checkpoint", "checkpoint_file"),
                 ("metrics_port", "metrics_port"), ("quiet", "quiet"),
+                ("k_factor", "k_factor"), ("n_value", "n_value"),
+                ("filter_mult", "filter_mult"), ("crypto", "crypto"),
+                ("alphabet", "minikey_alphabet"),
             ):
                 if getattr(args, attr) == getattr(defaults, attr):
                     v = getattr(cfg, key)

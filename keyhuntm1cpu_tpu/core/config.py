@@ -35,6 +35,9 @@ class Config:
     # m_babies None = "not set here": the CLI then applies -n/-k sizing
     # (engine.bsgs.resolve_m) instead of a config value silently winning
     m_babies: Optional[int] = None
+    k_factor: int = 1  # reference -k: m = sqrt(N) * k
+    n_value: Optional[int] = None  # reference -n (exact-square N)
+    filter_mult: int = 1  # reference -z probe-filter multiplier
     bsgs_policy: str = "sequential"
     block_u: int = 4096
     steps_per_chunk: int = 8
@@ -42,13 +45,17 @@ class Config:
     chain_len: int = 32
 
     # brute knobs (reference -t threads / -I stride / -R random / -e endo
-    # / -l look)
+    # / -l look / -c crypto)
     walkers: int = 8
     stride: int = 1
     random_mode: bool = False
     endomorphism: bool = False
     look: str = "compress"  # compress | uncompress | both
+    crypto: str = "btc"  # btc | eth (reference -c)
     seed: int = 0
+
+    # minikeys (reference -C prefix / -8 alphabet)
+    minikey_alphabet: Optional[str] = None
 
     # persistence (reference -S save, -6 skip checksum)
     save_tables: bool = False
@@ -92,6 +99,10 @@ class Config:
             raise ConfigError("m_babies must be >= 1")
         if self.block_u < 1 or self.steps_per_chunk < 1:
             raise ConfigError("block_u/steps_per_chunk must be >= 1")
+        if self.crypto not in ("btc", "eth"):
+            raise ConfigError("crypto must be btc|eth")
+        if self.k_factor < 1 or self.filter_mult < 1:
+            raise ConfigError("k_factor/filter_mult must be >= 1")
         return self
 
     # -- serialization ----------------------------------------------------

@@ -296,3 +296,38 @@ def test_sharded_table_cli(tmp_path, pubfile, monkeypatch):
     ])
     assert rc == 0
     assert f"{key:064x}" in (tmp_path / "KEYFOUNDKEYFOUND.txt").read_text()
+
+
+def test_config_file_k_n_and_crypto(tmp_path, pubfile, monkeypatch):
+    """New flags are settable from the config file: k_factor/n_value size
+    m, crypto routes address->eth (flags still win over the file)."""
+    import json
+
+    monkeypatch.chdir(tmp_path)
+    path, _ = pubfile
+    cfg = tmp_path / "cfg.json"
+    cfg.write_text(json.dumps(
+        {"n_value": 0x10000, "k_factor": 3, "block_u": 16,
+         "steps_per_chunk": 4}
+    ))
+    captured = {}
+
+    class _Stub:
+        def __init__(self, pubs, a, b, params, table=None):
+            captured["m"] = params.m
+            self.stats = type("S", (), {
+                "human": lambda self: "", "keys_covered": 0})()
+
+        def search_scheduled(self, **kw):
+            return []
+
+    monkeypatch.setattr(cli, "BSGSEngine", _Stub)
+    rc = cli.main(["--config", str(cfg), "-m", "bsgs", "-f", path,
+                   "-r", "1:100000", "-q"])
+    assert rc == 1
+    assert captured["m"] == 256 * 3
+    # explicit -k beats the file's k_factor
+    rc = cli.main(["--config", str(cfg), "-m", "bsgs", "-f", path,
+                   "-r", "1:100000", "-k", "5", "-q"])
+    assert rc == 1
+    assert captured["m"] == 256 * 5
