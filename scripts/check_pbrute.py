@@ -14,9 +14,16 @@ from keyhuntm1cpu_tpu.ref import ecref, hashref
 from keyhuntm1cpu_tpu.utils.targets import TargetSet
 
 ONLY = sys.argv[1] if len(sys.argv) > 1 else "all"
+# CHECK_HASH_ROWS=8 gates the emit sub-blocking variant (block_u=256 ->
+# rows=2, so hr must equal 2 or divide into nothing; use block_u=1024
+# when sub-blocking) on the same bit-exact recoveries
+HR = os.environ.get("CHECK_HASH_ROWS")
+HR = int(HR) if HR else None
+BU = int(os.environ.get("CHECK_BLOCK_U", 1024 if HR else 256))
 
 params = BruteParams(
-    block_u=256, steps_per_chunk=4, pallas_sb=4, pallas="on", chunk_cand=64
+    block_u=BU, steps_per_chunk=4, pallas_sb=4, pallas="on", chunk_cand=64,
+    hash_rows=HR,
 )
 
 for mode, mk in () if ONLY == "extras" else (
@@ -55,8 +62,8 @@ for k in keys:
     )
 if ONLY != "extras":
     ts = TargetSet(kind="hash160", raw=raw, labels=[str(i) for i in range(len(raw))])
-    p2 = BruteParams(block_u=256, steps_per_chunk=4, pallas_sb=4, pallas="on",
-                     chunk_cand=64, endo=True)
+    p2 = BruteParams(block_u=BU, steps_per_chunk=4, pallas_sb=4, pallas="on",
+                     chunk_cand=64, endo=True, hash_rows=HR)
     eng = BruteEngine(ts, 1, 1025, mode="rmd160", params=p2)
     found = eng.search()
     got = sorted(f.private_key for f in found)
@@ -73,7 +80,8 @@ if ONLY != "extras":
 from keyhuntm1cpu_tpu.engine.vanity import vanity_intervals
 from keyhuntm1cpu_tpu.utils.targets import TargetSet
 
-params_b = BruteParams(block_u=256, steps_per_chunk=4, pallas_sb=4,
+params_b = BruteParams(block_u=BU, steps_per_chunk=4, pallas_sb=4,
+                       hash_rows=HR,
                        pallas="on", chunk_cand=64)
 raw = [hashref.pubkey_to_hash160(ecref.scalar_mult(5), compressed=True),
        hashref.pubkey_to_hash160(ecref.scalar_mult(9), compressed=False)]
