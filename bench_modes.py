@@ -91,6 +91,43 @@ def bench_brute_modes(seconds=5.0, gate_only=False):
     eff = (eng.stats.keys_covered - k0) * eng.stats.multiplier / dt
     out["rmd160_endo"] = {"keys_per_sec": eff, "gate": "ok (rmd160 gate)"}
     log(f"[bench] rmd160 -e: {eff/1e6:.1f}M keys/s effective (mult 6)")
+
+    # bucketed large-T variant: 4096 exact targets outgrow the SMEM
+    # compare budget, so membership moves to the lane-bucketed table
+    # (curve/pbrute.pack_buckets) — the set size the XLA fallback
+    # previously served at ~45M keys/s
+    import hashlib
+
+    mk = _mk("rmd160")
+    keys = list(range(1, 33))
+    raw = [mk(ecref.scalar_mult(k)) for k in keys]
+    decoys = [hashlib.sha256(f"bench-decoy{i}".encode()).digest()[:20]
+              for i in range(4096 - len(keys))]
+    ts = TargetSet(kind="hash160", raw=raw + decoys,
+                   labels=[str(k) for k in keys]
+                   + [f"d{i}" for i in range(len(decoys))])
+    gate_params = BruteParams(block_u=1024, steps_per_chunk=4, pallas_sb=4,
+                              pallas="on", chunk_cand=64)
+    eng = BruteEngine(ts, 1, 4097, mode="rmd160", params=gate_params)
+    assert eng._bucketed, "T=4096 must take the bucketed kernel path"
+    got = sorted(f.private_key for f in eng.search(stop_on_first=False))
+    missing = [k for k in keys if k not in got]
+    assert not missing, f"rmd160_T4096 gate FAILED: missing {missing}"
+    log(f"[gate] rmd160 T=4096 bucketed ({eng._n_bucket_rows} rows): "
+        "keys 1..32 recovered bit-exact")
+    params = BruteParams(block_u=16384, steps_per_chunk=256, pallas_sb=4,
+                         pallas="on")
+    eng = BruteEngine(ts, 1 << 40, (1 << 40) + (1 << 50), mode="rmd160",
+                      params=params)
+    eng.search(max_steps=params.steps_per_chunk)
+    n = max(1, int(seconds / 0.15))
+    k0 = eng.stats.keys_covered
+    t0 = time.time()
+    eng.search(max_steps=n * params.steps_per_chunk, max_seconds=3 * seconds)
+    dt = time.time() - t0
+    eff = (eng.stats.keys_covered - k0) * eng.stats.multiplier / dt
+    out["rmd160_T4096"] = {"keys_per_sec": eff, "gate": "ok"}
+    log(f"[bench] rmd160 T=4096: {eff/1e6:.1f}M keys/s effective")
     return out
 
 

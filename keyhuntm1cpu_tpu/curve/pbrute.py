@@ -67,10 +67,10 @@ def _const_tile(like: jnp.ndarray, value: int) -> jnp.ndarray:
     )
 
 
-def _brute_kernel(bx_ref, by_ref, tabx_ref, taby_ref, tgt_ref,
+def _brute_kernel(bx_ref, by_ref, tabx_ref, taby_ref, tgt_ref, btab_ref,
                   hit_ref, dens, prefs,
                   SB: int, U: int, mode: str, n_endo: int, T: int,
-                  HR: int):
+                  HR: int, TB: int):
     """One grid block: SB steps x U offsets; emits packed hit words.
 
     Membership is INTERVAL containment against T SMEM-resident 64-bit
@@ -78,6 +78,18 @@ def _brute_kernel(bx_ref, by_ref, tabx_ref, taby_ref, tgt_ref,
     target is a point interval (lo == hi), a vanity prefix is a real
     range — one compare path serves both, and composes them (the
     reference's -v alongside address mode, keyhunt.cpp:6270-6272).
+
+    TB > 0 adds LANE-BUCKETED exact membership for large target sets
+    (the unrolled SMEM compare stops scaling past ~512 entries): targets
+    are bucketed host-side by the low 7 bits of their 64-bit compare
+    value into the 128 lanes (pack_buckets), and each point gathers its
+    own bucket's rows by a dynamic lane shuffle (the take_along_axis
+    lowering validated in scripts/exp_gather.py) — comparing only the
+    HIGH 32 bits. That half-compare is sound: a real match shares all 64
+    bits, hence the bucket AND the high word; spurious survivors
+    (~T/128 * 2^-32 per point) are removed by the exact host verify that
+    every candidate already gets. Cost is TB gathers per point per query
+    set, linear in T/128 rather than T.
 
     HR (hash sub-block rows, 8 | HR | rows) bounds the emit phase's live
     working set: the hash pipelines keep ~25-50 state words live, and on
@@ -167,6 +179,20 @@ def _brute_kernel(bx_ref, by_ref, tabx_ref, taby_ref, tgt_ref,
                     ge = (a > lo_h) | ((a == lo_h) & (b >= lo_l))
                     le = (a < hi_h) | ((a == hi_h) & (b <= hi_l))
                     m = m | (ge & le)
+                if TB:
+                    # bucketed exact targets: per-point dynamic lane
+                    # shuffle of the bucket rows, high-word compare only
+                    idx = (b & np.uint32(127)).astype(jnp.int32)
+
+                    def bcmp(l8, mm):
+                        blk = btab_ref[pl.ds(l8 * 8, 8), :]  # aligned
+                        for r in range(8):
+                            row = jnp.broadcast_to(blk[r][None, :], a.shape)
+                            hv = jnp.take_along_axis(row, idx, axis=-1)
+                            mm = mm | (a == hv)
+                        return mm
+
+                    m = jax.lax.fori_loop(0, TB // 8, bcmp, m)
                 hit = hit | (m.astype(jnp.uint32) << q)
                 q += 1
         # degenerate lanes produced garbage x3: suppress their hash hits,
@@ -178,12 +204,15 @@ def _brute_kernel(bx_ref, by_ref, tabx_ref, taby_ref, tgt_ref,
     jax.lax.fori_loop(0, SB * nr, emit, 0)
 
 
-def brute_walk_blocks(bases_x, bases_y, tab_x, tab_y, tgt,
+def brute_walk_blocks(bases_x, bases_y, tab_x, tab_y, tgt, btab,
                       U: int, SB: int, mode: str, n_endo: int,
                       interpret: bool = False,
-                      hash_rows: int | None = None) -> jnp.ndarray:
+                      hash_rows: int | None = None,
+                      n_bucket_rows: int = 0) -> jnp.ndarray:
     """bases: (8, K, 128); tab: (8, U/128, 128); tgt: (4, T) uint32
-    interval bounds [lo_hi, lo_lo, hi_hi, hi_lo] (pack_intervals).
+    interval bounds [lo_hi, lo_lo, hi_hi, hi_lo] (pack_intervals);
+    btab: (max(n_bucket_rows, 8), 128) uint32 bucketed high words
+    (pack_buckets; unused rows when n_bucket_rows == 0).
     Returns packed hit words (K, U/128, 128) uint32. hash_rows bounds
     the emit phase's live register set (see _brute_kernel)."""
     K = bases_x.shape[1]
@@ -203,6 +232,12 @@ def brute_walk_blocks(bases_x, bases_y, tab_x, tab_y, tgt,
             f"U/128 (got hash_rows={hr}, U={U})"
         )
     T = tgt.shape[1]
+    TB = n_bucket_rows
+    if TB and (TB % 8 != 0 or btab.shape != (TB, LANES)):
+        raise ValueError(
+            f"n_bucket_rows must be a multiple of 8 matching btab's rows "
+            f"(got {TB}, btab {btab.shape})"
+        )
     grid = (K // SB,)
     rb = min(8, K)  # base block rows: sublane-divisible or full
     if rb % SB != 0:
@@ -212,33 +247,37 @@ def brute_walk_blocks(bases_x, bases_y, tab_x, tab_y, tgt,
     tab_spec = pl.BlockSpec((8, rows, LANES), lambda g: (0, 0, 0),
                             memory_space=pltpu.VMEM)
     tgt_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    btab_spec = pl.BlockSpec(btab.shape, lambda g: (0, 0),
+                             memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((SB, rows, LANES), lambda g: (g, 0, 0),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_brute_kernel, SB=SB, U=U, mode=mode,
-                          n_endo=n_endo, T=T, HR=hr),
+                          n_endo=n_endo, T=T, HR=hr, TB=TB),
         out_shape=jax.ShapeDtypeStruct((K, rows, LANES), jnp.uint32),
         grid=grid,
-        in_specs=[base_spec, base_spec, tab_spec, tab_spec, tgt_spec],
+        in_specs=[base_spec, base_spec, tab_spec, tab_spec, tgt_spec,
+                  btab_spec],
         out_specs=out_spec,
         scratch_shapes=[
             pltpu.VMEM((8, SB * rows, LANES), jnp.uint32),
             pltpu.VMEM((8, SB * rows, LANES), jnp.uint32),
         ],
         interpret=interpret,
-    )(bases_x, bases_y, tab_x, tab_y, tgt)
+    )(bases_x, bases_y, tab_x, tab_y, tgt, btab)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("K", "U", "SB", "C", "mode", "n_endo", "interpret",
-                     "hash_rows"),
+                     "hash_rows", "n_bucket_rows"),
 )
-def pallas_brute_chunk(px, py, tab_x_lm, tab_y_lm, ax, ay, tgt,
+def pallas_brute_chunk(px, py, tab_x_lm, tab_y_lm, ax, ay, tgt, btab,
                        *, K, U, SB, C, mode, n_endo, interpret=False,
-                       hash_rows=None):
+                       hash_rows=None, n_bucket_rows=0):
     """px/py: (8,) limbs of the chunk's base point ((start)*G). tgt:
-    (4, T) uint32 interval bounds (pack_intervals). Returns
+    (4, T) uint32 interval bounds (pack_intervals); btab: bucketed
+    high-word table (pack_buckets) when n_bucket_rows > 0. Returns
     (next_x, next_y, out) where
     `out` is ONE packed int32 summary vector (single host transfer):
         [cand_pos (C), cand_bits (C), n_deg (K), first_deg (K),
@@ -249,8 +288,9 @@ def pallas_brute_chunk(px, py, tab_x_lm, tab_y_lm, ax, ay, tgt,
         rep(px), rep(py), rep(ax), rep(ay), K, interpret=interpret
     )
     hits = brute_walk_blocks(
-        bx, by, tab_x_lm, tab_y_lm, tgt, U, SB, mode, n_endo,
+        bx, by, tab_x_lm, tab_y_lm, tgt, btab, U, SB, mode, n_endo,
         interpret=interpret, hash_rows=hash_rows,
+        n_bucket_rows=n_bucket_rows,
     )
     rows2 = hits.reshape(-1, LANES)  # (K*U/128, 128)
     qbits2 = rows2 & jnp.uint32((1 << 30) - 1)
@@ -293,6 +333,31 @@ def pallas_brute_chunk(px, py, tab_x_lm, tab_y_lm, ax, ay, tgt,
         ]
     )  # (2C + 3K + 1,)
     return nx[:, 0, 0], ny[:, 0, 0], out
+
+
+def pack_buckets(vals64) -> np.ndarray:
+    """(Lmax, 128) uint32 bucketed HIGH words for the kernel's lane-
+    bucketed exact membership: 64-bit compare value v lands in lane
+    v & 127, storing (v >> 32). Lmax = largest bucket, rounded up to a
+    multiple of 8 (the kernel reads aligned 8-row blocks). Padding
+    repeats the bucket's first entry (a harmless duplicate compare);
+    empty buckets stay zero — a zero high word can only fire a spurious
+    candidate (p = 2^-32 per point), which exact host verification
+    removes, exactly like a 64-bit truncation collision."""
+    if not len(vals64):
+        raise ValueError("empty bucketed target set")
+    buckets: list = [[] for _ in range(LANES)]
+    for v in vals64:
+        v = int(v)
+        buckets[v & 127].append((v >> 32) & 0xFFFFFFFF)
+    lmax = max(8, -(-max(len(b) for b in buckets) // 8) * 8)
+    out = np.zeros((lmax, LANES), dtype=np.uint32)
+    for lane, vals in enumerate(buckets):
+        if not vals:
+            continue
+        for r in range(lmax):
+            out[r, lane] = vals[r] if r < len(vals) else vals[0]
+    return out
 
 
 def pack_intervals(lo64, hi64) -> np.ndarray:

@@ -82,7 +82,13 @@ class BruteParams:
     chunk_cand: int = 1024  # chunk-level compacted candidates (the compare
     # membership has no false positives beyond 64-bit truncation, so this
     # never overflows in practice; overflow -> exact host rescan)
-    compare_max: int = 512  # largest target set for in-kernel compares
+    compare_max: int = 512  # largest target set for the unrolled SMEM
+    # interval compares (exact targets + vanity/-l ranges)
+    bucket_max: int = 1 << 16  # largest EXACT target set for the lane-
+    # bucketed in-kernel membership (pbrute.pack_buckets): when the set
+    # outgrows compare_max, exact targets move to 128-lane buckets
+    # (cost ~T/128 gathers per point) and only intervals stay in SMEM;
+    # past bucket_max the engine falls back to the XLA bitmap path
     pipeline_depth: int = 8  # chunks dispatched ahead of decode (hides
     # the ~28 ms host round trip behind device compute; bounded to avoid
     # unbounded async dispatch through the device tunnel)
@@ -223,6 +229,7 @@ class BruteEngine:
         from ..curve import pbrute
 
         p = self.p
+        self._bucketed = False
         needs_kernel = bool(self.intervals) or not len(self.targets.raw)
         if p.pallas == "off":
             if needs_kernel:
@@ -232,9 +239,17 @@ class BruteEngine:
                     "serve it"
                 )
             return False
+        n_exact = len(self.targets.raw)
+        n_iv = len(self.intervals)
+        smem_ok = n_exact + n_iv <= p.compare_max
+        # large exact sets: lane-bucketed membership (intervals stay in
+        # SMEM, so they alone must fit the unrolled compare budget)
+        self._bucketed = (
+            not smem_ok and n_iv <= p.compare_max and n_exact <= p.bucket_max
+        )
         ok = (
             self.mode in pbrute.MODES
-            and len(self.targets.raw) + len(self.intervals) <= p.compare_max
+            and (smem_ok or self._bucketed)
             and p.block_u % 128 == 0
             and 8 % p.pallas_sb == 0  # base blocks stream in 8-row slices
             and p.steps_per_chunk % p.pallas_sb == 0
@@ -251,9 +266,10 @@ class BruteEngine:
             if not ok:
                 raise ValueError(
                     "brute pallas path needs mode in "
-                    f"{pbrute.MODES}, <= {p.compare_max} targets+intervals, "
-                    "block_u % 128 == 0, steps_per_chunk % pallas_sb == 0, "
-                    "SB*U/128 a positive multiple of 8"
+                    f"{pbrute.MODES}, <= {p.compare_max} targets+intervals "
+                    f"(or <= {p.bucket_max} exact targets for the bucketed "
+                    "path), block_u % 128 == 0, steps_per_chunk % pallas_sb "
+                    "== 0, SB*U/128 a positive multiple of 8"
                 )
             return True
         use = ok and jax.default_backend() != "cpu"
@@ -263,8 +279,8 @@ class BruteEngine:
             get_logger().warn(
                 "brute fused-kernel path disabled (target set "
                 f"{len(self.targets.raw)}+{len(self.intervals)} > "
-                f"{p.compare_max} or shapes untiled) — expect ~5-10x lower "
-                "keys/s on the XLA fallback"
+                f"{p.compare_max} (bucketed cap {p.bucket_max}) or shapes "
+                "untiled) — expect ~5-10x lower keys/s on the XLA fallback"
             )
         if needs_kernel and not use:
             raise ValueError(
@@ -287,19 +303,35 @@ class BruteEngine:
         self._adv_x_f = jnp.asarray(fe.int_to_limbs(adv[0]))
         self._adv_y_f = jnp.asarray(fe.int_to_limbs(adv[1]))
         # membership = 64-bit big-endian intervals: exact targets become
-        # point intervals, vanity prefixes real ranges (one compare path)
-        lo64, hi64 = [], []
-        for raw in self.targets.raw:
+        # point intervals, vanity prefixes real ranges (one compare path).
+        # Large exact sets instead go to the lane-bucketed table
+        # (pack_buckets) and only the intervals stay in SMEM.
+        def cmp64(raw: bytes) -> int:
             if self.mode == "xpoint":
-                v = int.from_bytes(raw, "big") & ((1 << 64) - 1)
-            else:
-                v = int.from_bytes(raw[:8], "big")
-            lo64.append(v)
-            hi64.append(v)
+                return int.from_bytes(raw, "big") & ((1 << 64) - 1)
+            return int.from_bytes(raw[:8], "big")
+
+        lo64, hi64 = [], []
+        if not self._bucketed:
+            for raw in self.targets.raw:
+                v = cmp64(raw)
+                lo64.append(v)
+                hi64.append(v)
         for lo20, hi20 in self.intervals:
             lo64.append(int.from_bytes(lo20[:8], "big"))
             hi64.append(int.from_bytes(hi20[:8], "big"))
+        if not lo64:
+            # bucketed run with no intervals: one impossible interval
+            # (lo > hi never contains anything) keeps the kernel uniform
+            lo64, hi64 = [1], [0]
         self._tgt_words = jnp.asarray(pbrute.pack_intervals(lo64, hi64))
+        if self._bucketed:
+            btab = pbrute.pack_buckets([cmp64(r) for r in self.targets.raw])
+            self._btab = jnp.asarray(btab)
+            self._n_bucket_rows = btab.shape[0]
+        else:
+            self._btab = jnp.zeros((8, 128), jnp.uint32)
+            self._n_bucket_rows = 0
         # lattice-shift edge: base(0) = a - stride would be the point at
         # infinity when a == stride; shift by one stride and host-verify
         # the single skipped key
@@ -316,10 +348,11 @@ class BruteEngine:
         def chunk(px, py):
             return pbrute.pallas_brute_chunk(
                 px, py, self._tab_x_lm, self._tab_y_lm,
-                self._adv_x_f, self._adv_y_f, self._tgt_words,
+                self._adv_x_f, self._adv_y_f, self._tgt_words, self._btab,
                 K=p.steps_per_chunk, U=p.block_u, SB=p.pallas_sb,
                 C=p.chunk_cand, mode=self.mode, n_endo=self._n_endo_fast,
                 interpret=self._interpret, hash_rows=p.hash_rows,
+                n_bucket_rows=self._n_bucket_rows,
             )
 
         self._fast_chunk = chunk

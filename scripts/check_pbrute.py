@@ -26,7 +26,7 @@ params = BruteParams(
     hash_rows=HR,
 )
 
-for mode, mk in () if ONLY == "extras" else (
+for mode, mk in () if ONLY in ("extras", "buckets") else (
     ("rmd160", lambda pt: hashref.pubkey_to_hash160(pt, compressed=True)),
     ("xpoint", lambda pt: pt[0].to_bytes(32, "big")),
     ("eth", lambda pt: hashref.pubkey_to_eth_address(pt)),
@@ -47,11 +47,11 @@ for mode, mk in () if ONLY == "extras" else (
     assert not missing, (mode, missing)
 
 # endomorphism lanes: plant lambda*k and lambda^2*k artifacts, scan small k
-if ONLY == "extras":
+if ONLY in ("extras", "buckets"):
     lam = None
 else:
     lam = ecref.LAMBDA
-keys = [] if ONLY == "extras" else [5, 17]
+keys = [] if ONLY in ("extras", "buckets") else [5, 17]
 raw = []
 for k in keys:
     raw.append(hashref.pubkey_to_hash160(ecref.scalar_mult(k * lam % ecref.N), True))
@@ -60,7 +60,7 @@ for k in keys:
             ecref.scalar_mult(k * lam * lam % ecref.N), True
         )
     )
-if ONLY != "extras":
+if ONLY not in ("extras", "buckets"):
     ts = TargetSet(kind="hash160", raw=raw, labels=[str(i) for i in range(len(raw))])
     p2 = BruteParams(block_u=BU, steps_per_chunk=4, pallas_sb=4, pallas="on",
                      chunk_cand=64, endo=True, hash_rows=HR)
@@ -80,34 +80,70 @@ if ONLY != "extras":
 from keyhuntm1cpu_tpu.engine.vanity import vanity_intervals
 from keyhuntm1cpu_tpu.utils.targets import TargetSet
 
-params_b = BruteParams(block_u=BU, steps_per_chunk=4, pallas_sb=4,
-                       hash_rows=HR,
-                       pallas="on", chunk_cand=64)
-raw = [hashref.pubkey_to_hash160(ecref.scalar_mult(5), compressed=True),
-       hashref.pubkey_to_hash160(ecref.scalar_mult(9), compressed=False)]
-ts = TargetSet(kind="hash160", raw=raw, labels=["c5", "u9"])
-eng = BruteEngine(ts, 1, 2049, mode="rmd160_both", params=params_b)
-assert eng._fast
-got = sorted(f.private_key for f in eng.search())
-assert got == [5, 9], got
-print("rmd160_both fused: OK (compressed + uncompressed forms)")
+if ONLY != "buckets":
+    params_b = BruteParams(block_u=BU, steps_per_chunk=4, pallas_sb=4,
+                           hash_rows=HR,
+                           pallas="on", chunk_cand=64)
+    raw = [hashref.pubkey_to_hash160(ecref.scalar_mult(5), compressed=True),
+           hashref.pubkey_to_hash160(ecref.scalar_mult(9), compressed=False)]
+    ts = TargetSet(kind="hash160", raw=raw, labels=["c5", "u9"])
+    eng = BruteEngine(ts, 1, 2049, mode="rmd160_both", params=params_b)
+    assert eng._fast
+    got = sorted(f.private_key for f in eng.search())
+    assert got == [5, 9], got
+    print("rmd160_both fused: OK (compressed + uncompressed forms)")
 
-# vanity interval: prefix of key 777's compressed address
-addr = hashref.pubkey_to_address(ecref.scalar_mult(777), compressed=True)
-ivs = vanity_intervals(addr[:5])
-eng = BruteEngine(TargetSet(kind="hash160", raw=[], labels=[]), 1, 2049,
-                  mode="rmd160", params=params_b,
-                  intervals=ivs, prefixes=[addr[:5]])
-found = eng.search()
-assert any(f.private_key == 777 for f in found), found
-print(f"vanity interval fused: OK (prefix {addr[:5]} -> key 777)")
+    # vanity interval: prefix of key 777's compressed address
+    addr = hashref.pubkey_to_address(ecref.scalar_mult(777), compressed=True)
+    ivs = vanity_intervals(addr[:5])
+    eng = BruteEngine(TargetSet(kind="hash160", raw=[], labels=[]), 1, 2049,
+                      mode="rmd160", params=params_b,
+                      intervals=ivs, prefixes=[addr[:5]])
+    found = eng.search()
+    assert any(f.private_key == 777 for f in found), found
+    print(f"vanity interval fused: OK (prefix {addr[:5]} -> key 777)")
 
-# composition: exact target + vanity interval in ONE scan
-raw = [hashref.pubkey_to_hash160(ecref.scalar_mult(31), compressed=True)]
-eng = BruteEngine(TargetSet(kind="hash160", raw=raw, labels=["c31"]),
-                  1, 2049, mode="rmd160", params=params_b,
-                  intervals=ivs, prefixes=[addr[:5]])
-got = sorted(f.private_key for f in eng.search(stop_on_first=False))
-assert 31 in got and 777 in got, got
-print("vanity + address composition fused: OK (both found in one scan)")
-print("ROUND2 EXTRAS OK")
+    # composition: exact target + vanity interval in ONE scan
+    raw = [hashref.pubkey_to_hash160(ecref.scalar_mult(31), compressed=True)]
+    eng = BruteEngine(TargetSet(kind="hash160", raw=raw, labels=["c31"]),
+                      1, 2049, mode="rmd160", params=params_b,
+                      intervals=ivs, prefixes=[addr[:5]])
+    got = sorted(f.private_key for f in eng.search(stop_on_first=False))
+    assert 31 in got and 777 in got, got
+    print("vanity + address composition fused: OK (both found in one scan)")
+    print("ROUND2 EXTRAS OK")
+
+# ---- bucketed membership (T > compare_max): planted keys among decoys.
+# Decoys are synthetic 20-byte values (membership only compares the
+# first 8 bytes, so any bytes exercise the bucket table); block_u=1024
+# keeps the gather tiles at full (8, 128) registers.
+if ONLY in ("all", "buckets"):
+    import hashlib
+
+    for mode, mk, kind in (
+        ("rmd160",
+         lambda pt: hashref.pubkey_to_hash160(pt, compressed=True),
+         "hash160"),
+        ("xpoint", lambda pt: pt[0].to_bytes(32, "big"), "xpoint"),
+    ):
+        keys = list(range(1, 33)) + [999, 3333]
+        raw = [mk(ecref.scalar_mult(k)) for k in keys]
+        nb = 32 if kind == "xpoint" else 20
+        decoys = [
+            hashlib.sha256(f"decoy{i}".encode()).digest()[:nb]
+            for i in range(1500)
+        ]
+        ts = TargetSet(kind=kind, raw=raw + decoys,
+                       labels=[f"k{k}" for k in keys]
+                       + [f"d{i}" for i in range(len(decoys))])
+        pb = BruteParams(block_u=1024, steps_per_chunk=4, pallas_sb=4,
+                         pallas="on", chunk_cand=64, hash_rows=HR)
+        eng = BruteEngine(ts, 1, 4097, mode=mode, params=pb)
+        assert eng._fast and eng._bucketed, (mode, eng._bucketed)
+        found = eng.search()
+        got = sorted(f.private_key for f in found)
+        missing = [k for k in keys if k not in got]
+        print(f"bucketed {mode}: T={len(ts.raw)} rows={eng._n_bucket_rows} "
+              f"found {len(got)}/{len(keys)} missing={missing}")
+        assert not missing, (mode, missing)
+    print("BUCKETED OK")

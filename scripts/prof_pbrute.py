@@ -47,7 +47,10 @@ import functools
 
 @functools.partial(jax.jit, static_argnames=("mode",))
 def kernel_b_brute(bx, by, txl, tyl, tgt, mode):
-    return pbrute.brute_walk_blocks(bx, by, txl, tyl, tgt, U, SB, mode, 1)
+    return pbrute.brute_walk_blocks(
+        bx, by, txl, tyl, tgt, jnp.zeros((8, 128), jnp.uint32), U, SB,
+        mode, 1,
+    )
 
 
 @jax.jit

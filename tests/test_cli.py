@@ -279,7 +279,8 @@ def test_hash_rows_small_tile_default_ok():
             jnp.zeros((8, 4, 128), jnp.uint32),
             jnp.zeros((8, 2, 128), jnp.uint32),
             jnp.zeros((8, 2, 128), jnp.uint32),
-            t, U=256, SB=4, mode="xpoint", n_endo=1, hash_rows=None),
+            t, jnp.zeros((8, 128), jnp.uint32),
+            U=256, SB=4, mode="xpoint", n_endo=1, hash_rows=None),
         tgt)
     assert out.shape == (4, 2, 128)
 

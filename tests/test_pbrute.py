@@ -191,6 +191,95 @@ def test_on_gate_rejects_sb_not_dividing_8():
                                        pallas_sb=3, pallas="on"))
 
 
+def test_pack_buckets_routing_and_padding():
+    # values chosen to share lane 5: low 7 bits == 5
+    v1 = (0xAAAA0000 << 32) | 0x85  # lane 5
+    v2 = (0xBBBB0000 << 32) | 0x105  # lane 5 (bit 8 ignored by & 127)
+    v3 = (0xCCCC0000 << 32) | 0x07  # lane 7
+    out = pbrute.pack_buckets([v1, v2, v3])
+    assert out.shape == (8, 128)
+    assert out[0, 5] == 0xAAAA0000 and out[1, 5] == 0xBBBB0000
+    # padding repeats the bucket's first entry
+    assert out[2, 5] == 0xAAAA0000 and out[7, 5] == 0xAAAA0000
+    assert out[0, 7] == 0xCCCC0000 and out[3, 7] == 0xCCCC0000
+    # empty buckets stay zero
+    assert out[0, 9] == 0
+    # Lmax rounds up to a multiple of 8
+    big = pbrute.pack_buckets([5 + ((i + 1) << 32) for i in range(11)])
+    assert big.shape == (16, 128)
+    assert sorted(big[:11, 5]) == list(range(1, 12))
+
+
+def test_bucketed_gate_and_packing():
+    # 600 exact targets > compare_max=512: the kernel path stays on via
+    # lane buckets; intervals (none) become one impossible SMEM interval
+    keys = list(range(1, 601))
+    eng = _fast_engine(keys=keys, a=100)
+    assert eng._fast and eng._bucketed
+    assert eng._n_bucket_rows == eng._btab.shape[0]
+    assert eng._n_bucket_rows % 8 == 0
+    tw = np.asarray(eng._tgt_words)
+    # impossible interval: lo = (0,1), hi = (0,0) -> never contains
+    assert tw[0, 0] == 0 and tw[1, 0] == 1
+    assert tw[2, 0] == 0 and tw[3, 0] == 0
+    # every target's high word is present in its bucket's lane column
+    raw = eng.targets.raw
+    btab = np.asarray(eng._btab)
+    for r in raw[:16]:
+        v = int.from_bytes(r[:8], "big")
+        assert (v >> 32) & 0xFFFFFFFF in btab[:, v & 127]
+
+
+def test_bucketed_gate_past_bucket_max_falls_back():
+    ts = _targets([1, 2, 3])
+    params = BruteParams(block_u=256, steps_per_chunk=4, pallas_sb=4,
+                         pallas="on", compare_max=2, bucket_max=2)
+    with pytest.raises(ValueError, match="bucketed"):
+        BruteEngine(ts, 1, 1 << 16, mode="rmd160", params=params)
+
+
+def test_bucketed_with_intervals_keeps_both():
+    from keyhuntm1cpu_tpu.engine.vanity import vanity_intervals
+
+    keys = list(range(1, 601))
+    ivs = vanity_intervals("1Q")
+    params = BruteParams(block_u=256, steps_per_chunk=4, pallas_sb=4,
+                         pallas="on", chunk_cand=64)
+    eng = BruteEngine(_targets(keys), 1, 1 << 16, mode="rmd160",
+                      params=params, intervals=ivs)
+    assert eng._bucketed
+    tw = np.asarray(eng._tgt_words)
+    lo = (int(tw[0, 0]) << 32) | int(tw[1, 0])
+    hi = (int(tw[2, 0]) << 32) | int(tw[3, 0])
+    assert lo == int.from_bytes(ivs[0][0][:8], "big")
+    assert hi == int.from_bytes(ivs[0][1][:8], "big")
+
+
+def test_bucketed_chunk_traces():
+    # eval_shape the full bucketed chunk: catches shape/indexing bugs in
+    # the kernel body without Mosaic lowering (CPU-viable; the on-device
+    # bit-exact gate is scripts/check_pbrute.py buckets)
+    import jax
+
+    from keyhuntm1cpu_tpu.curve import pbrute as pb
+    from keyhuntm1cpu_tpu.field import fe
+
+    eng = _fast_engine(keys=list(range(1, 601)), a=100)
+    pt = ecref.scalar_mult(99)
+    px = np.asarray(fe.int_to_limbs(pt[0]), dtype=np.uint32)
+    py = np.asarray(fe.int_to_limbs(pt[1]), dtype=np.uint32)
+    shapes = jax.eval_shape(
+        lambda ppx, ppy: pb.pallas_brute_chunk(
+            ppx, ppy, eng._tab_x_lm, eng._tab_y_lm,
+            eng._adv_x_f, eng._adv_y_f, eng._tgt_words, eng._btab,
+            K=4, U=256, SB=4, C=64, mode="rmd160", n_endo=1,
+            n_bucket_rows=eng._n_bucket_rows,
+        ),
+        px, py,
+    )
+    assert shapes[2].shape == (2 * 64 + 3 * 4 + 1,)
+
+
 def test_on_gate_validates_hash_rows():
     ts = _targets([1, 2, 3])
     # not a multiple of 8
