@@ -335,7 +335,7 @@ class PallasChunkMultiResult(NamedTuple):
 def pallas_chunk_multi(px_bm, py_bm, tab_x_lm, tab_y_lm, adv_x_lm, adv_y_lm,
                        K: int, U: int, T: int, SB: int = 4,
                        interpret: bool = False) -> PallasChunkMultiResult:
-    """px/py: (T, 8) limbs, one target walk base per row (T <= 128).
+    """px/py: (T, 8) limbs, one target walk base per row.
 
     The advance chain is elementwise across lanes, so ALL T chains run in
     ONE kernel-A call with target t in lane t (the lane replication of the
@@ -343,9 +343,30 @@ def pallas_chunk_multi(px_bm, py_bm, tab_x_lm, tab_y_lm, adv_x_lm, adv_y_lm,
     grids over T*K blocks — total query count scales with T, matching the
     reference's per-pubkey hot loop (keyhunt.cpp:3859-3869), but the
     serial chain cost is shared.
+
+    T > 128 splits into lane-width groups, one kernel-A call each, and
+    concatenates block rows in group order — identical global t*K + s
+    block indexing, so callers never see the grouping. Memory (not lane
+    count) becomes the cap: the query arrays grow as T*K*U words.
     """
     if T > LANES:
-        raise ValueError(f"pallas multi-target supports T <= {LANES}")
+        parts = [
+            pallas_chunk_multi(
+                px_bm[g : g + LANES], py_bm[g : g + LANES],
+                tab_x_lm, tab_y_lm, adv_x_lm, adv_y_lm,
+                K=K, U=U, T=min(LANES, T - g), SB=SB, interpret=interpret,
+            )
+            for g in range(0, T, LANES)
+        ]
+        cat = lambda xs: jnp.concatenate(xs, axis=0)
+        return PallasChunkMultiResult(
+            cat([p.next_x for p in parts]),
+            cat([p.next_y for p in parts]),
+            cat([p.qhi for p in parts]),
+            cat([p.qlo for p in parts]),
+            cat([p.degenerate for p in parts]),
+            cat([p.adv_degenerate for p in parts]),
+        )
     # lane-pack: lane t carries target t; pad lanes repeat target 0
     pad = jnp.broadcast_to(px_bm[0][:, None], (8, LANES - T))
     px_l = jnp.concatenate([jnp.transpose(px_bm, (1, 0)), pad], axis=1)[:, None, :]

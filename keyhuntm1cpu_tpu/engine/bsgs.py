@@ -377,7 +377,10 @@ class BSGSEngine:
         if p.pallas == "off":
             return False
         ok_shape = (
-            len(self.targets) <= 128  # targets ride kernel-A lanes
+            # targets ride kernel-A lanes, lane-width groups past 128;
+            # the real cap is chunk memory (query arrays ~ T*K*U words),
+            # so shrink steps_per_chunk as T grows
+            len(self.targets) <= 1024
             and p.block_u % 128 == 0
             and 8 % p.pallas_sb == 0  # base blocks stream in 8-row slices
             and p.steps_per_chunk % p.pallas_sb == 0
@@ -390,7 +393,7 @@ class BSGSEngine:
         if p.pallas == "on":
             if not ok_shape:
                 raise ValueError(
-                    "pallas path needs T <= 128, block_u % 128 == 0, "
+                    "pallas path needs T <= 1024, block_u % 128 == 0, "
                     "steps_per_chunk % pallas_sb == 0"
                 )
             return True
@@ -398,7 +401,7 @@ class BSGSEngine:
             from ..core.log import get_logger
 
             get_logger().warn(
-                "BSGS Pallas walk kernels disabled (T > 128 or untiled "
+                "BSGS Pallas walk kernels disabled (T > 1024 or untiled "
                 "block_u/steps_per_chunk) — expect ~8x lower keys/s on "
                 "the XLA fallback"
             )

@@ -37,6 +37,7 @@ run() {
 run check_pbrute        python scripts/check_pbrute.py
 run check_pbrute_extras python scripts/check_pbrute.py extras
 run check_pbrute_bkt    python scripts/check_pbrute.py buckets
+run validate_pwalk      python scripts/validate_pwalk.py
 CHECK_HASH_ROWS=8 run check_pbrute_hr8 python scripts/check_pbrute.py
 run exp_hash_rows       python scripts/exp_hash_rows.py eth rmd160
 echo "$(date -Is) queue complete" >>"$LOG/status"

@@ -145,6 +145,26 @@ def validate_hash_and_inv():
     print("pallas inversion bit-exact on 300 random elements")
 
 
+def validate_multi_target_groups():
+    """T > 128 multi-target walks (lane-width kernel-A groups): a 160-
+    target engine search must recover the planted keys through the
+    grouped pallas path on real hardware."""
+    from keyhuntm1cpu_tpu.engine.bsgs import BSGSEngine, BSGSParams
+
+    params = BSGSParams(m=1 << 14, block_u=1024, steps_per_chunk=8,
+                        pallas="on")
+    a, b = 1 << 24, (1 << 24) + (1 << 21)
+    planted = [a + 12345, a + (1 << 20) + 777]
+    decoys = [b + 999 + 17 * i for i in range(158)]
+    pubs = [ecref.scalar_mult(k) for k in planted + decoys]
+    eng = BSGSEngine(pubs, a, b, params)
+    assert eng._use_pallas(), "160 targets must stay on the kernel path"
+    found = sorted(f.private_key for f in eng.search(stop_on_first=False))
+    assert found == sorted(planted), (found, planted)
+    print(f"multi-target T=160 grouped kernel path: recovered {found}")
+
+
 if __name__ == "__main__":
     main()
     validate_hash_and_inv()
+    validate_multi_target_groups()

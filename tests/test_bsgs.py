@@ -202,3 +202,48 @@ def test_immediate_hit_checks_all_targets():
     eng = BSGSEngine(pubs, a, a + 2**18, params, table=table)
     found = eng.search(stop_on_first=False, max_steps=2)
     assert c_base in [f.private_key for f in found]
+
+
+def test_multi_target_group_split_shapes():
+    """T > 128 splits into lane-width kernel-A groups; the concatenated
+    block rows must keep the global t*K + s indexing (shape-level check;
+    the on-device recovery gate is validate_pwalk.validate_multi_target_groups)."""
+    import jax
+    import jax.numpy as jnp
+
+    from keyhuntm1cpu_tpu.curve import pwalk
+    from keyhuntm1cpu_tpu.field import fe
+
+    T, K, U = 136, 8, 256
+    pts = [ecref.scalar_mult(1000 + i) for i in range(2)]
+    px = np.stack([fe.int_to_limbs(pts[i % 2][0]) for i in range(T)])
+    py = np.stack([fe.int_to_limbs(pts[i % 2][1]) for i in range(T)])
+    tab = np.zeros((8, U // 128, 128), np.uint32)
+    adv = np.zeros((8,), np.uint32)
+    res = jax.eval_shape(
+        lambda a, b: pwalk.pallas_chunk_multi(
+            a, b, tab, tab, adv, adv, K=K, U=U, T=T, SB=4),
+        px.astype(np.uint32), py.astype(np.uint32))
+    assert res.next_x.shape == (T, 8)
+    assert res.qhi.shape == (T * K, U)
+    assert res.degenerate.shape == (T * K, U)
+    assert res.adv_degenerate.shape == (T, K)
+
+
+def test_use_pallas_gate_accepts_large_T():
+    """Up to 1024 targets stay on the kernel path (grouped); beyond falls
+    back with a warning."""
+    params = BSGSParams(m=256, block_u=256, steps_per_chunk=4, chain_len=8)
+    pub = ecref.scalar_mult(7)
+    from keyhuntm1cpu_tpu.engine.bsgs import host_baby_table
+
+    table = host_baby_table(params.m)
+    eng = BSGSEngine([pub] * 200, 0x900000, 0xA00000, params, table=table)
+    import dataclasses
+
+    p_on = dataclasses.replace(params, pallas="on")
+    eng.p = p_on
+    assert eng._use_pallas()
+    eng.targets = [pub] * 1025
+    with pytest.raises(ValueError):
+        eng._use_pallas()
