@@ -103,6 +103,26 @@ def bsgs_search_fn(pubkeys, params=None, table=None) -> SearchFn:
     return search
 
 
+def brute_search_fn(targets, mode: str = "rmd160", params=None,
+                    stop_on_first: bool = False) -> SearchFn:
+    """Brute-mode search function (rmd160/address/xpoint/eth/address_u):
+    lets the distributed tier fleet-scan an address/xpoint list over
+    leased sub-ranges — beyond the reference, whose only distribution
+    mechanism (bsgsd) served BSGS alone (bsgsd.cpp:1318-1381). Defaults
+    to exhaustive units (a hunt over many targets wants every hit; the
+    coordinator's stop_on_first still ends the run globally on a find)."""
+    from ..engine.brute import BruteEngine, BruteParams
+
+    params = params or BruteParams()
+
+    def search(a: int, b: int) -> List[str]:
+        eng = BruteEngine(targets, a, b, mode=mode, params=params)
+        found = eng.search(stop_on_first=stop_on_first)
+        return [f"{f.private_key:x}" for f in found]
+
+    return search
+
+
 def main(argv=None):
     import argparse
 
@@ -111,7 +131,12 @@ def main(argv=None):
 
     p = argparse.ArgumentParser(prog="keyhunt-tpu-worker")
     p.add_argument("-c", "--coordinator", required=True, help="host:port")
-    p.add_argument("-f", "--file", required=True, help="pubkey target file")
+    p.add_argument("-f", "--file", required=True,
+                   help="target file (pubkeys for bsgs; addresses/"
+                        "hash160s/xpoints/eth for brute modes)")
+    p.add_argument("-m", "--mode", default="bsgs",
+                   choices=["bsgs", "address", "rmd160", "xpoint", "eth"],
+                   help="search mode this worker runs (default bsgs)")
     p.add_argument("--m-babies", type=int, default=None)
     p.add_argument("-k", "--k-factor", type=int, default=1,
                    help="m = sqrt(N) * k (reference -k)")
@@ -120,17 +145,25 @@ def main(argv=None):
     p.add_argument("--chunk-steps", type=int, default=8)
     args = p.parse_args(argv)
     host, port = args.coordinator.rsplit(":", 1)
-    targets = parse_target_file(args.file, "pubkey")
-    from ..engine.bsgs import resolve_m
+    if args.mode == "bsgs":
+        targets = parse_target_file(args.file, "pubkey")
+        from ..engine.bsgs import resolve_m
 
-    try:
-        m = resolve_m(args.m_babies, args.n_value, args.k_factor)
-    except ValueError as e:
-        p.error(str(e))
-    params = BSGSParams(m=m, block_u=args.block_u,
-                        steps_per_chunk=args.chunk_steps)
-    w = DistributedWorker(host, int(port),
-                          bsgs_search_fn(targets.pubkeys, params))
+        try:
+            m = resolve_m(args.m_babies, args.n_value, args.k_factor)
+        except ValueError as e:
+            p.error(str(e))
+        params = BSGSParams(m=m, block_u=args.block_u,
+                            steps_per_chunk=args.chunk_steps)
+        fn = bsgs_search_fn(targets.pubkeys, params)
+    else:
+        from ..engine.brute import BruteParams
+
+        targets = parse_target_file(args.file, args.mode)
+        params = BruteParams(block_u=args.block_u,
+                             steps_per_chunk=args.chunk_steps)
+        fn = brute_search_fn(targets, mode=args.mode, params=params)
+    w = DistributedWorker(host, int(port), fn)
     found = w.run()
     print(f"[+] worker {w.worker_id}: {w.units_done} units, found {found}")
 

@@ -209,3 +209,44 @@ def test_two_workers_real_bsgs_engine_with_lease_expiry():
         assert sum(w.units_done for w in workers) >= 8
     finally:
         srv.shutdown()
+
+
+def test_worker_real_brute_engine_finds_all_hits():
+    """e2e with the REAL brute engine: a worker fleet-scans an rmd160
+    target list over leased units and reports every hit in its range
+    (brute_search_fn defaults to exhaustive units, unlike the
+    stop_on_first BSGS fn)."""
+    import threading
+
+    from keyhuntm1cpu_tpu.dist.worker import DistributedWorker, brute_search_fn
+    from keyhuntm1cpu_tpu.engine.brute import BruteParams
+    from keyhuntm1cpu_tpu.ref import ecref, hashref
+    from keyhuntm1cpu_tpu.utils.targets import TargetSet
+
+    keys = [0x90100, 0x90500]  # both inside the first two units
+    raw = [hashref.pubkey_to_hash160(ecref.scalar_mult(k), compressed=True)
+           for k in keys]
+    ts = TargetSet(kind="hash160", raw=raw, labels=[str(k) for k in keys])
+    params = BruteParams(walkers=2, block_u=32, steps_per_chunk=2)
+    coord = WorkCoordinator(
+        0x90000, 0x90000 + 4 * 1024, n_units=4, align=1,
+        lease_s=60.0, stop_on_first=False,
+    )
+    srv = CoordinatorServer(("127.0.0.1", 0), coord)
+    port = srv.server_address[1]
+    srv.start_background()
+    try:
+        w = DistributedWorker(
+            "127.0.0.1", port,
+            brute_search_fn(ts, mode="rmd160", params=params),
+            worker_id="bw0", poll_s=0.1,
+        )
+        t = threading.Thread(target=w.run)
+        t.start()
+        t.join(timeout=300)
+        assert not t.is_alive()
+        assert coord.status()["completed"] == 4
+        got = sorted(int(f["private_key"], 16) for f in coord.found_keys())
+        assert got == sorted(keys)
+    finally:
+        srv.shutdown()
