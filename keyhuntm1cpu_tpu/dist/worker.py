@@ -110,7 +110,11 @@ def brute_search_fn(targets, mode: str = "rmd160", params=None,
     leased sub-ranges — beyond the reference, whose only distribution
     mechanism (bsgsd) served BSGS alone (bsgsd.cpp:1318-1381). Defaults
     to exhaustive units (a hunt over many targets wants every hit; the
-    coordinator's stop_on_first still ends the run globally on a find)."""
+    coordinator's stop_on_first still ends the run globally on a find).
+
+    A fresh engine per unit is cheap: the heavy pieces (walk step table,
+    sorted target table, bitmap, bucket packing) are memoized on the
+    shared TargetSet / lru-cached, so only range bookkeeping recomputes."""
     from ..engine.brute import BruteEngine, BruteParams
 
     params = params or BruteParams()

@@ -119,6 +119,12 @@ class BruteEngine:
             raise ValueError("bad range")
         self.mode = "rmd160" if mode == "address" else mode
         self.targets = targets
+        # dict lookup for host verification: candidates are rare but
+        # target sets reach 64k on the bucketed path — a linear
+        # raw.index scan is O(T) each. First occurrence wins on dups.
+        self._raw_index = {
+            r: i for i, r in reversed(list(enumerate(targets.raw)))
+        }
         self.intervals = list(intervals or [])
         self.prefixes = list(prefixes or [])
         if len(targets.raw) > 0:
@@ -326,9 +332,15 @@ class BruteEngine:
             lo64, hi64 = [1], [0]
         self._tgt_words = jnp.asarray(pbrute.pack_intervals(lo64, hi64))
         if self._bucketed:
-            btab = pbrute.pack_buckets([cmp64(r) for r in self.targets.raw])
-            self._btab = jnp.asarray(btab)
-            self._n_bucket_rows = btab.shape[0]
+            # memoized on the TargetSet: fleet workers re-create engines
+            # per leased range over the same (possibly 64k-entry) set
+            bkey = ("btab", self.mode == "xpoint")
+            if bkey not in self.targets._built:
+                self.targets._built[bkey] = jnp.asarray(
+                    pbrute.pack_buckets([cmp64(r) for r in self.targets.raw])
+                )
+            self._btab = self.targets._built[bkey]
+            self._n_bucket_rows = self._btab.shape[0]
         else:
             self._btab = jnp.zeros((8, 128), jnp.uint32)
             self._n_bucket_rows = 0
@@ -679,18 +691,18 @@ class BruteEngine:
     def _verify(self, k: int, row: int) -> Optional[FoundKey]:
         """Exact host check of candidate scalar k: exact target match
         first, then vanity-prefix match (interval hits)."""
-        rawset = self.targets.raw
         for cand in (k, ecref.N - (k % ecref.N)):
             if not (1 <= cand < ecref.N):
                 continue
             pt = ecref.scalar_mult(cand)
             for got, compressed in self._artifacts(pt):
-                if got in rawset:
+                i = self._raw_index.get(got)
+                if i is not None:
                     return FoundKey(
                         private_key=cand,
                         pubkey=pt,
                         compressed=compressed,
-                        target=self.targets.labels[rawset.index(got)],
+                        target=self.targets.labels[i],
                     )
                 if self.prefixes and self.mode != "xpoint":
                     addr = hashref.b58check_encode(b"\x00" + got)

@@ -437,6 +437,26 @@ class BSGSEngine:
         K = self.p.steps_per_chunk
         T = len(self.targets)
         SB = self.p.pallas_sb
+        # chunk intermediates (qhi/qlo/deg + compaction) scale as T*K*U
+        # words; grouped multi-target admits T up to 1024, where tuned
+        # single-target K values would OOM the chip. Shrink K to keep a
+        # chunk's query arrays bounded (~1.2 GB at the cap) — the search
+        # loop reads steps_per_chunk from self.p, so replace it there.
+        CHUNK_WORD_CAP = 1 << 27
+        if T * K * U > CHUNK_WORD_CAP:
+            import dataclasses
+
+            k_new = max(SB, (CHUNK_WORD_CAP // (T * U)) // SB * SB)
+            if k_new < K:
+                from ..core.log import get_logger
+
+                get_logger().warn(
+                    f"multi-target chunk would need {T}*{K}*{U} query "
+                    f"words; shrinking steps_per_chunk {K} -> {k_new} to "
+                    "bound device memory"
+                )
+                self.p = dataclasses.replace(self.p, steps_per_chunk=k_new)
+                K = k_new
         bits_log2 = self.bitmap.bits_log2
         # keep the chunk compaction budget >= 4x the expected bitmap
         # survivors (fp = m/2^bits), else large m saturates it and every

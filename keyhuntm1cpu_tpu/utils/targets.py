@@ -29,16 +29,22 @@ class TargetSet:
     raw: List[bytes]  # 20-byte digests or 32-byte X (for exact host compare)
     labels: List[str]  # original text form for reporting
     pubkeys: List[Tuple[int, int]] = field(default_factory=list)  # pubkey kind
+    _built: dict = field(default_factory=dict, repr=False, compare=False)
 
     def build_bitmap(self, bits_log2: Optional[int] = None):
         """Device bitmap over the 64-bit target keys (filter/bitmap.py) —
-        the brute engines' level-1 membership probe."""
-        from ..filter import bitmap as bmp
+        the brute engines' level-1 membership probe. Memoized per
+        instance: fleet workers construct a fresh engine per leased
+        range over the SAME target set (dist/worker.brute_search_fn)."""
+        key = ("bitmap", bits_log2)
+        if key not in self._built:
+            from ..filter import bitmap as bmp
 
-        t = self.build_table()
-        return bmp.build_bitmap(
-            np.asarray(t.hi), np.asarray(t.lo), bits_log2
-        )
+            t = self.build_table()
+            self._built[key] = bmp.build_bitmap(
+                np.asarray(t.hi), np.asarray(t.lo), bits_log2
+            )
+        return self._built[key]
 
     def target_words(self) -> Tuple[np.ndarray, np.ndarray]:
         """(lo, hi) uint32 arrays of the 64-bit truncated target keys,
@@ -60,9 +66,11 @@ class TargetSet:
         )
 
     def build_table(self) -> st.SortedXTable:
-        lo, hi = self.target_words()
-        idx = np.arange(len(self.raw), dtype=np.uint32)
-        return st.build_sorted_table(hi, lo, idx)
+        if "table" not in self._built:
+            lo, hi = self.target_words()
+            idx = np.arange(len(self.raw), dtype=np.uint32)
+            self._built["table"] = st.build_sorted_table(hi, lo, idx)
+        return self._built["table"]
 
     def __len__(self) -> int:
         return len(self.raw)

@@ -117,7 +117,9 @@ if ONLY != "buckets":
 # Decoys are synthetic 20-byte values (membership only compares the
 # first 8 bytes, so any bytes exercise the bucket table); block_u=1024
 # keeps the gather tiles at full (8, 128) registers.
-if ONLY in ("all", "buckets"):
+if ONLY == "buckets" or (ONLY == "all" and HR is None):
+    # skipped in CHECK_HASH_ROWS runs: those gate the emit sub-blocking,
+    # and repeating the bucket compiles would double tunnel time
     import hashlib
 
     for mode, mk, kind in (

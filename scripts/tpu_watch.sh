@@ -31,12 +31,14 @@ run() {
   name=$1; shift
   echo "$(date -Is) start $name" >>"$LOG/status"
   timeout 5400 "$@" >"$LOG/$name.log" 2>&1
-  echo "$(date -Is) done $name rc=$?" >>"$LOG/status"
+  rc=$?  # capture BEFORE the next command substitution resets $?
+  echo "$(date -Is) done $name rc=$rc" >>"$LOG/status"
 }
 
+# (the default check_pbrute run already includes the bucketed gate —
+# ONLY='all'; no separate buckets entry, the tunnel window is precious)
 run check_pbrute        python scripts/check_pbrute.py
 run check_pbrute_extras python scripts/check_pbrute.py extras
-run check_pbrute_bkt    python scripts/check_pbrute.py buckets
 run validate_pwalk      python scripts/validate_pwalk.py
 CHECK_HASH_ROWS=8 run check_pbrute_hr8 python scripts/check_pbrute.py
 run exp_hash_rows       python scripts/exp_hash_rows.py eth rmd160

@@ -247,3 +247,22 @@ def test_use_pallas_gate_accepts_large_T():
     eng.targets = [pub] * 1025
     with pytest.raises(ValueError):
         eng._use_pallas()
+
+
+def test_multi_target_chunk_memory_autoshrink():
+    """A T*K*U combination past the chunk word cap must shrink
+    steps_per_chunk instead of building an OOM-sized chunk."""
+    import dataclasses
+
+    from keyhuntm1cpu_tpu.engine.bsgs import host_baby_table
+
+    params = BSGSParams(m=256, block_u=1024, steps_per_chunk=256,
+                        chain_len=8, pallas="on")
+    table = host_baby_table(params.m)
+    pub = ecref.scalar_mult(7)
+    eng = BSGSEngine([pub] * 1024, 1 << 30, 1 << 40, params, table=table)
+    # 1024 * 256 * 1024 = 2^28 > 2^27 cap -> K shrinks to 128
+    assert eng.p.steps_per_chunk == 128
+    # single target at the same shapes stays untouched
+    eng1 = BSGSEngine([pub], 1 << 30, 1 << 40, params, table=table)
+    assert eng1.p.steps_per_chunk == 256
