@@ -76,6 +76,7 @@ def search_bsgs_multihost(
     progress_every: int = 0,
     max_chunks: Optional[int] = None,
     table=None,
+    sharded: Optional[str] = None,
 ) -> List[FoundKey]:
     """Search this process's slice; report found keys to the coordinator.
 
@@ -85,19 +86,42 @@ def search_bsgs_multihost(
     coordinator (op=report with a synthetic unit id -1-process_index) so
     any process's find sets the global stop flag; callers polling
     heartbeat (or re-invoking) observe it.
+
+    sharded='table' runs each process's slice on its LOCAL device mesh
+    with the baby table sharded 1/D per device (ShardedTableBSGSEngine):
+    the two-tier layout of SURVEY §2.4 — range slices across hosts over
+    the control plane / DCN, one big membership structure striped across
+    each host's chips over ICI — so m scales with local chip count while
+    hosts stay lock-free.
     """
     window = params.block_u * 2 * params.m
     sl = process_slice(range_start, range_end, window)
     if sl.start >= sl.end:
         return []
-    eng = BSGSEngine(list(pubkeys), sl.start, sl.end, params, table=table)
-    found = eng.search_scheduled(
-        policy=policy,
-        seed=seed,
-        stop_on_first=stop_on_first,
-        progress_every=progress_every,
-        max_chunks=max_chunks,
-    )
+    if sharded == "table":
+        from ..parallel.mesh import ShardedTableBSGSEngine
+
+        eng = ShardedTableBSGSEngine(
+            list(pubkeys), sl.start, sl.end, params, table=table,
+            devices=jax.local_devices(),
+        )
+        found = eng.search_sharded(
+            stop_on_first=stop_on_first,
+            progress_every=progress_every,
+            max_steps=(
+                max_chunks * params.steps_per_chunk
+                if max_chunks is not None else None
+            ),
+        )
+    else:
+        eng = BSGSEngine(list(pubkeys), sl.start, sl.end, params, table=table)
+        found = eng.search_scheduled(
+            policy=policy,
+            seed=seed,
+            stop_on_first=stop_on_first,
+            progress_every=progress_every,
+            max_chunks=max_chunks,
+        )
     if report_addr is not None:
         host, port = report_addr
         wid = f"mh-{jax.process_index()}"
@@ -137,6 +161,10 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max-chunks", type=int, default=None)
     p.add_argument("--all", action="store_true")
+    p.add_argument("--sharded", nargs="?", const="table", default=None,
+                   choices=["table"],
+                   help="shard the baby table across this host's local "
+                        "devices (m scales with local chip count)")
     args = p.parse_args(argv)
 
     from ..engine.bsgs import resolve_m
@@ -162,6 +190,7 @@ def main(argv=None) -> int:
         policy=args.policy,
         seed=args.seed,
         max_chunks=args.max_chunks,
+        sharded=args.sharded,
     )
     for f in found:
         write_found_key(f)

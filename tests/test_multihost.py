@@ -92,3 +92,53 @@ def test_two_process_multihost_search():
         assert coord.status()["stopped"]  # stop_on_first propagated
     finally:
         srv.shutdown()
+
+
+_CHILD_SHARDED = r"""
+import sys
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_keyhunt_tests")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+coord, pid, pub_hex = sys.argv[1:4]
+jax.distributed.initialize(coordinator_address=coord, num_processes=2,
+                           process_id=int(pid),
+                           local_device_ids=list(range(4)))
+assert jax.process_count() == 2 and len(jax.local_devices()) == 4
+from keyhuntm1cpu_tpu.dist.multihost import search_bsgs_multihost
+from keyhuntm1cpu_tpu.engine.bsgs import BSGSParams
+
+x, y = (int(t, 16) for t in pub_hex.split(":"))
+found = search_bsgs_multihost(
+    [(x, y)], 0xA00000, 0xC00000,
+    BSGSParams(m=256, block_u=16, steps_per_chunk=2, build_block=64,
+               chain_len=8),
+    sharded="table",
+)
+print("CHILD", pid, "found", [hex(f.private_key) for f in found], flush=True)
+"""
+
+
+def test_two_process_multihost_sharded_table():
+    """Two-tier layout (SURVEY §2.4): range slices across 2 processes,
+    baby table sharded 1/4 per local device within each process. The
+    key-owning process must recover it through the sharded path."""
+    jd_port = _free_port()
+    x, y = ecref.scalar_mult(KEY)
+    pub_hex = f"{x:x}:{y:x}"
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=4")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _CHILD_SHARDED, f"127.0.0.1:{jd_port}",
+             str(pid), pub_hex],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+    assert any(hex(KEY) in out for out in outs), outs
