@@ -312,8 +312,6 @@ def _run(args, log) -> int:
             for pref in args.vanity:
                 intervals += vanity_intervals(pref)
             prefixes = list(args.vanity)
-        eng = BruteEngine(targets, a, b, mode=mode, params=params,
-                          intervals=intervals, prefixes=prefixes)
         # --max-chunks counts device CHUNKS everywhere; brute engines count
         # device steps, so convert (chunk = chunk_steps device steps)
         max_steps = (
@@ -321,13 +319,32 @@ def _run(args, log) -> int:
             if args.max_chunks is not None
             else None
         )
-        found = eng.search(
-            stop_on_first=not args.all,
-            progress_every=progress,
-            max_steps=max_steps,
-            checkpoint=ckmgr,
-            max_seconds=args.max_seconds,
-        )
+        if args.sharded:
+            if args.sharded == "table":
+                log.error("--sharded table applies to bsgs only (brute "
+                          "modes have no baby table); use --sharded")
+                return 2
+            from .parallel import ShardedBruteEngine
+
+            eng = ShardedBruteEngine(targets, a, b, mode=mode,
+                                     params=params, intervals=intervals,
+                                     prefixes=prefixes)
+            found = eng.search_sharded(
+                stop_on_first=not args.all,
+                progress_every=progress,
+                max_steps=max_steps,
+                max_seconds=args.max_seconds,
+            )
+        else:
+            eng = BruteEngine(targets, a, b, mode=mode, params=params,
+                              intervals=intervals, prefixes=prefixes)
+            found = eng.search(
+                stop_on_first=not args.all,
+                progress_every=progress,
+                max_steps=max_steps,
+                checkpoint=ckmgr,
+                max_seconds=args.max_seconds,
+            )
     elif args.mode == "minikeys":
         from .engine.minikeys import MinikeyEngine, MinikeyParams
 

@@ -11,7 +11,10 @@ TPU-native re-design (SURVEY.md §2.4):
   a disjoint range slice (data parallel over the 'shard' axis), the baby
   table and stride tables are replicated, and hit counts are aggregated
   with a psum over ICI.
+- ``brute_mesh``: the same range sharding for the brute/hash modes —
+  every device runs the fused walk+hash+membership kernel on its slice.
 """
 
 from .partition import RangePartitioner, RangeSlice  # noqa: F401
 from .mesh import ShardedBSGSEngine, ShardedTableBSGSEngine  # noqa: F401
+from .brute_mesh import ShardedBruteEngine  # noqa: F401

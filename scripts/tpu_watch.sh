@@ -40,6 +40,7 @@ run() {
 run check_pbrute        python scripts/check_pbrute.py
 run check_pbrute_extras python scripts/check_pbrute.py extras
 run validate_pwalk      python scripts/validate_pwalk.py
+run check_sbrute        python scripts/check_sbrute.py
 CHECK_HASH_ROWS=8 run check_pbrute_hr8 python scripts/check_pbrute.py
 run exp_hash_rows       python scripts/exp_hash_rows.py eth rmd160
 echo "$(date -Is) queue complete" >>"$LOG/status"

@@ -332,3 +332,63 @@ def test_config_file_k_n_and_crypto(tmp_path, pubfile, monkeypatch):
                    "-r", "1:100000", "-k", "5", "-q"])
     assert rc == 1
     assert captured["m"] == 256 * 5
+
+
+def test_sharded_brute_cli_wiring(tmp_path, monkeypatch):
+    """--sharded with a brute mode routes to ShardedBruteEngine (kernel
+    runs on TPU meshes; here the engine is stubbed to verify the CLI
+    plumbing end-to-end: construction args, search call, key output)."""
+    from keyhuntm1cpu_tpu.engine.common import FoundKey
+    from keyhuntm1cpu_tpu.parallel import brute_mesh
+    from keyhuntm1cpu_tpu.ref import ecref, hashref
+
+    monkeypatch.chdir(tmp_path)
+    key = 0x5055
+    rmd = tmp_path / "t.rmd"
+    rmd.write_text(
+        hashref.pubkey_to_hash160(ecref.scalar_mult(key), True).hex() + "\n"
+    )
+    seen = {}
+
+    class Stub:
+        def __init__(self, targets, a, b, mode, params, intervals=None,
+                     prefixes=None):
+            seen.update(a=a, b=b, mode=mode, params=params)
+            self.stats = type("S", (), {
+                "human": lambda self: "", "keys_covered": 0.0,
+                "multiplier": 1})()
+
+        def search_sharded(self, **kw):
+            seen["search_kw"] = kw
+            return [FoundKey(private_key=key,
+                             pubkey=ecref.scalar_mult(key),
+                             compressed=True, target="t")]
+
+    monkeypatch.setattr(brute_mesh, "ShardedBruteEngine", Stub)
+    import keyhuntm1cpu_tpu.parallel as par
+
+    monkeypatch.setattr(par, "ShardedBruteEngine", Stub)
+    rc = cli.main([
+        "-m", "rmd160", "-f", str(rmd), "-r", "5000:5100", "-q",
+        "--sharded", "--max-chunks", "3", "--chunk-steps", "2",
+    ])
+    assert rc == 0
+    assert seen["a"] == 0x5000 and seen["b"] == 0x5100
+    assert seen["mode"] == "rmd160"
+    assert seen["search_kw"]["max_steps"] == 6  # chunks * chunk_steps
+    assert f"{key:064x}" in (tmp_path / "KEYFOUNDKEYFOUND.txt").read_text()
+
+
+def test_sharded_table_with_brute_mode_errors(tmp_path, monkeypatch):
+    from keyhuntm1cpu_tpu.ref import ecref, hashref
+
+    monkeypatch.chdir(tmp_path)
+    rmd = tmp_path / "t.rmd"
+    rmd.write_text(
+        hashref.pubkey_to_hash160(ecref.scalar_mult(5), True).hex() + "\n"
+    )
+    rc = cli.main([
+        "-m", "rmd160", "-f", str(rmd), "-r", "5000:5100", "-q",
+        "--sharded", "table",
+    ])
+    assert rc == 2

@@ -120,3 +120,141 @@ def test_sharded_deadline_stops(table):
     assert eng.search_sharded(stop_on_first=False, max_seconds=0.0) == []
     found = eng.search_sharded(stop_on_first=False, max_seconds=120.0)
     assert a + 123 in [f.private_key for f in found]
+
+
+class TestShardedBrute:
+    """Mesh orchestration of the fused brute kernel (parallel/brute_mesh).
+
+    The kernel itself cannot execute on CPU (scripts/check_sbrute.py is
+    the on-device gate); these tests drive the orchestration — slice
+    assignment, decode fan-out, interest gating, degeneracy rebase —
+    through a synthetic chunk function with the real summary layout.
+    """
+
+    def _engine(self, keys=(0x90150,), d=4, a=0x90000, span=1 << 12):
+        import jax
+
+        from keyhuntm1cpu_tpu.engine.brute import BruteParams
+        from keyhuntm1cpu_tpu.parallel.brute_mesh import ShardedBruteEngine
+        from keyhuntm1cpu_tpu.ref import ecref, hashref
+        from keyhuntm1cpu_tpu.utils.targets import TargetSet
+
+        raw = [hashref.pubkey_to_hash160(ecref.scalar_mult(k), True)
+               for k in keys]
+        ts = TargetSet(kind="hash160", raw=raw,
+                       labels=[str(k) for k in keys])
+        params = BruteParams(block_u=256, steps_per_chunk=4, pallas_sb=4,
+                             chunk_cand=64, pipeline_depth=2)
+        return ShardedBruteEngine(ts, a, a + span, mode="rmd160",
+                                  params=params,
+                                  devices=jax.devices()[:d])
+
+    def _summary(self, eng, hits=(), k_eff=None, ncand=0):
+        import numpy as np
+
+        p = eng.p
+        C, K, U = p.chunk_cand, p.steps_per_chunk, p.block_u
+        arr = np.zeros(2 * C + 3 * K + 1, dtype=np.int32)
+        arr[:C] = K * U
+        for i, (pos, bits) in enumerate(hits):
+            arr[i] = pos
+            arr[C + i] = bits
+        if k_eff is not None and k_eff < K:
+            arr[2 * C + 2 * K + (k_eff - 1)] = 1  # adv degeneracy marker
+        arr[2 * C + 3 * K] = ncand if ncand else len(hits)
+        return arr
+
+    def test_slices_cover_range_disjointly(self):
+        eng = self._engine()
+        assert eng.n_shards == 4
+        for a, b in zip(eng.slices, eng.slices[1:]):
+            assert a.end == b.start
+        assert eng.slices[0].start == 0x90000
+        assert eng.slices[-1].end == 0x90000 + (1 << 12)
+
+    def test_decode_fanout_finds_key_in_nonfirst_shard(self):
+        import numpy as np
+
+        eng = self._engine(keys=(0x90150 + 1024,))  # inside shard 1
+        key = 0x90150 + 1024
+        c1 = eng.children[1]
+        j = (key - c1._fast_a)  # stride 1
+        calls = []
+
+        import jax.numpy as jnp
+
+        def fake_chunk(px, py):
+            calls.append(1)
+            outs = jnp.stack([
+                jnp.asarray(self._summary(eng)),
+                jnp.asarray(self._summary(eng, hits=[(j, 0b01)])),
+                jnp.asarray(self._summary(eng)),
+                jnp.asarray(self._summary(eng)),
+            ])
+            return px, py, outs, jnp.int32(1)
+
+        eng._sharded_chunk = fake_chunk
+        found = eng.search_sharded(max_steps=4, stop_on_first=True)
+        assert [f.private_key for f in found] == [key]
+
+    def test_zero_interest_skips_decode(self, monkeypatch):
+        import numpy as np
+
+        eng = self._engine()
+        decoded = []
+        for c in eng.children:
+            monkeypatch.setattr(
+                c, "_decode_fast",
+                lambda s, a, _c=c: decoded.append(1) or (eng.p.steps_per_chunk, []),
+            )
+
+        import jax.numpy as jnp
+
+        def fake_chunk(px, py):
+            outs = jnp.stack([jnp.asarray(self._summary(eng))] * 4)
+            return px, py, outs, jnp.int32(0)
+
+        eng._sharded_chunk = fake_chunk
+        found = eng.search_sharded(max_steps=8)
+        assert found == [] and decoded == []
+        # coverage stats still advance for skipped-quiet chunks
+        assert eng.stats.keys_covered > 0
+
+    def test_degenerate_shard_rescans_and_rebases(self):
+        import numpy as np
+
+        eng = self._engine(keys=(0x90000 + 2048 + 600,))  # shard 2
+        key = 0x90000 + 2048 + 600
+        c2 = eng.children[2]
+        rescans = []
+        orig = c2._host_rescan_fast
+
+        def spy(s0, kk):
+            rescans.append((s0, kk))
+            return orig(s0, kk)
+
+        c2._host_rescan_fast = spy
+        first = [True]
+
+        import jax.numpy as jnp
+
+        def fake_chunk(px, py):
+            # first chunk: shard 2 degenerates after 2 of 4 steps; the
+            # planted key sits in step 2 (garbage on device) and must be
+            # recovered by the exact host rescan
+            if first[0]:
+                first[0] = False
+                outs = jnp.stack([
+                    jnp.asarray(self._summary(eng)),
+                    jnp.asarray(self._summary(eng)),
+                    jnp.asarray(self._summary(eng, k_eff=2)),
+                    jnp.asarray(self._summary(eng)),
+                ])
+                return px, py, outs, jnp.int32(1)
+            outs = jnp.stack([jnp.asarray(self._summary(eng))] * 4)
+            return px, py, outs, jnp.int32(0)
+
+        eng._sharded_chunk = fake_chunk
+        found = eng.search_sharded(max_steps=4)
+        assert rescans == [(2, 2)]
+        assert [f.private_key for f in found] == [key]
