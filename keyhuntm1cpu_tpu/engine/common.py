@@ -46,15 +46,34 @@ class Deadline:
     dispatch so the loop stops at the next chunk boundary past the
     deadline while in-flight pipelined work drains (stats stay exact).
     ``max_seconds=0`` expires immediately — nothing dispatches.
+
+    Also honors the process-wide ``request_stop()`` flag (set by the
+    CLI's SIGTERM/SIGINT handler): a preempted run stops at its next
+    chunk boundary and force-saves its checkpoint — in-process graceful
+    shutdown where the reference relied on an ops script scraping logs
+    for the last position (vastai_deploy.sh:88-106).
     """
 
     __slots__ = ("_t",)
+    _stop = False  # process-wide, set by request_stop()
 
     def __init__(self, max_seconds: Optional[float]):
         self._t = None if max_seconds is None else time.time() + max_seconds
 
     def expired(self) -> bool:
+        if Deadline._stop:
+            return True
         return self._t is not None and time.time() >= self._t
+
+
+def request_stop() -> None:
+    """Ask every running search loop to stop at its next chunk boundary
+    (checkpoints force-save exactly as on a deadline cut)."""
+    Deadline._stop = True
+
+
+def clear_stop() -> None:
+    Deadline._stop = False
 
 
 def verify_candidate_scalar(k: int, target_pubkey: Tuple[int, int]) -> Optional[int]:

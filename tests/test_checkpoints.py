@@ -111,3 +111,44 @@ def test_minikeys_checkpoint_resume(tmp_path):
     )
     assert eng2.prefix == prefix  # adopted from the checkpoint
     assert [f.private_key for f in f2] == [k]
+
+
+def test_sigterm_graceful_stop_saves_checkpoint(tmp_path):
+    """SIGTERM mid-run: the process stops at a chunk boundary, saves the
+    position checkpoint, and exits cleanly (in-process replacement for
+    the reference's ops-script trap, vastai_deploy.sh:88-106)."""
+    import json
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    from keyhuntm1cpu_tpu.ref import ecref, hashref
+
+    h = hashref.pubkey_to_hash160(ecref.scalar_mult(0x7FFFFF0), True)
+    rmd = tmp_path / "t.rmd"
+    rmd.write_text(h.hex() + "\n")
+    ck = tmp_path / "ck.json"
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH="/root/repo")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "keyhuntm1cpu_tpu.cli", "-m", "rmd160",
+         "-f", str(rmd), "-r", "100000:8000000", "-w", "2", "-u", "32",
+         "--chunk-steps", "2", "--checkpoint", str(ck),
+         "--checkpoint-every", "0"],
+        cwd=tmp_path, env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    # wait until at least one chunk committed (checkpoint file exists)
+    deadline = time.time() + 240
+    while time.time() < deadline and not ck.exists():
+        time.sleep(0.5)
+        assert proc.poll() is None, proc.communicate()[0][-2000:]
+    assert ck.exists(), "no checkpoint before signal"
+    proc.send_signal(signal.SIGTERM)
+    out, _ = proc.communicate(timeout=120)
+    assert proc.returncode in (0, 1), out[-2000:]
+    assert "stop requested" in out
+    saved = json.loads(ck.read_text())["payload"]
+    assert saved["keys_covered"] > 0
