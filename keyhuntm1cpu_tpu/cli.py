@@ -176,43 +176,15 @@ def main(argv=None) -> int:
         return 2
 
 
-def _install_stop_handlers(log) -> None:
-    """Graceful preemption: the first SIGTERM/SIGINT asks every search
-    loop to stop at its next chunk boundary (checkpoints force-save,
-    coverage stays exact — resume continues from there); a second signal
-    falls through to the default handler (immediate exit). In-process
-    replacement for the reference's ops-script trap + log scraping
-    (vastai_deploy.sh:88-106). Main-thread only (signal module rule);
-    server/test embeddings that call _run from other threads skip it."""
-    import signal
-    import threading
-
-    if threading.current_thread() is not threading.main_thread():
-        return
-    from .engine.common import clear_stop, request_stop
-
-    clear_stop()  # a prior stopped run in this process must not leak
-
-    def handler(signum, frame):
-        request_stop()
-        log.warn(
-            "stop requested (signal %d): finishing current chunk, "
-            "saving checkpoint; signal again to force quit" % signum
-        )
-        signal.signal(signum, prev[signum])
-
-    prev = {}
-    for s in (signal.SIGTERM, signal.SIGINT):
-        prev[s] = signal.signal(s, handler)
-
-
 def _run(args, log) -> int:
     if args.quiet:
         log.set_level("warn")
     elif args.debug:
         log.set_level("debug")
     log.matrix = args.matrix
-    _install_stop_handlers(log)
+    from .engine.common import install_stop_handlers
+
+    install_stop_handlers(log)
     # reference -s 0 omits the stats output entirely (menu())
     progress = (
         0 if (args.quiet or args.stats_every == 0)
@@ -293,6 +265,12 @@ def _run(args, log) -> int:
         if args.sharded:
             from .parallel import ShardedBSGSEngine, ShardedTableBSGSEngine
 
+            if ckmgr is not None:
+                log.warn(
+                    "--checkpoint is not yet supported on the sharded "
+                    "BSGS mesh engines: this run will not persist its "
+                    "position (brute --sharded and unsharded runs do)"
+                )
             cls = (ShardedTableBSGSEngine if args.sharded == "table"
                    else ShardedBSGSEngine)
             eng = cls(targets.pubkeys, a, b, params, table=table)
@@ -365,6 +343,7 @@ def _run(args, log) -> int:
                 progress_every=progress,
                 max_steps=max_steps,
                 max_seconds=args.max_seconds,
+                checkpoint=ckmgr,
             )
         else:
             eng = BruteEngine(targets, a, b, mode=mode, params=params,

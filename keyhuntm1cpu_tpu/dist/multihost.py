@@ -173,6 +173,9 @@ def main(argv=None) -> int:
         args.m_babies = resolve_m(args.m_babies, args.n_value, args.k_factor)
     except ValueError as e:
         p.error(str(e))
+    from ..engine.common import install_stop_handlers
+
+    install_stop_handlers()  # SIGTERM: finish chunk, report, exit clean
     initialize(args.coordinator, args.num_processes, args.process_id)
     a, b = (int(x, 16) for x in args.range.split(":", 1))
     targets = parse_target_file(args.file, "pubkey")

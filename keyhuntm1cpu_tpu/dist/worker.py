@@ -79,6 +79,17 @@ class DistributedWorker:
                 raise
             finally:
                 stop.set()
+            from ..engine.common import Deadline
+
+            if Deadline._stop and status != "found":
+                # graceful preemption mid-unit: the engine stopped at a
+                # chunk boundary, so this unit is only PARTIALLY covered
+                # — report failed so the coordinator requeues it for
+                # another worker (any keys found so far still propagate)
+                self._rpc({"op": "report", "unit_id": unit.unit_id,
+                           "status": "failed", "found": keys})
+                self.found.extend(keys)
+                break
             self.found.extend(keys)
             self.units_done += 1
             resp = self._rpc({"op": "report", "unit_id": unit.unit_id,
@@ -148,6 +159,9 @@ def main(argv=None):
     p.add_argument("-u", "--block-u", type=int, default=4096)
     p.add_argument("--chunk-steps", type=int, default=8)
     args = p.parse_args(argv)
+    from ..engine.common import install_stop_handlers
+
+    install_stop_handlers()  # SIGTERM: finish chunk, requeue unit, exit
     host, port = args.coordinator.rsplit(":", 1)
     if args.mode == "bsgs":
         targets = parse_target_file(args.file, "pubkey")

@@ -76,6 +76,41 @@ def clear_stop() -> None:
     Deadline._stop = False
 
 
+def install_stop_handlers(log=None) -> None:
+    """Graceful preemption for any entry point: the first SIGTERM/SIGINT
+    asks every search loop to stop at its next chunk boundary
+    (checkpoints force-save, coverage stays exact); a second signal of
+    EITHER type falls through to the previous handler (immediate exit).
+    In-process replacement for the reference's ops-script trap + log
+    scraping (vastai_deploy.sh:88-106). Main-thread only (signal module
+    rule); embeddings calling from other threads are skipped."""
+    import signal
+    import threading
+
+    if threading.current_thread() is not threading.main_thread():
+        return
+    if log is None:
+        from ..core.log import get_logger
+
+        log = get_logger()
+    clear_stop()  # a prior stopped run in this process must not leak
+
+    def handler(signum, frame):
+        request_stop()
+        log.warn(
+            "stop requested (signal %d): finishing current chunk, "
+            "saving checkpoint; signal again to force quit" % signum
+        )
+        # restore BOTH signals: "signal again" must force-quit even if
+        # the second signal is the other type (SIGTERM then Ctrl-C)
+        for s, h in prev.items():
+            signal.signal(s, h)
+
+    prev = {}
+    for s in (signal.SIGTERM, signal.SIGINT):
+        prev[s] = signal.signal(s, handler)
+
+
 def verify_candidate_scalar(k: int, target_pubkey: Tuple[int, int]) -> Optional[int]:
     """Exact check: does k*G == target (or -k, matching X-only symmetry)?
 

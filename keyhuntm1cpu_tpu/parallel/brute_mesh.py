@@ -61,7 +61,13 @@ class ShardedBruteEngine:
         devs = devices if devices is not None else jax.devices()
         self.mesh = Mesh(np.array(devs), ("shard",))
         self.n_shards = d = len(devs)
-        params = replace(params, pallas="on", random_mode=False)
+        if params.random_mode:
+            raise ValueError(
+                "random mode (-R) is not available on the sharded brute "
+                "mesh: shards scan their slices sequentially (use "
+                "unsharded -R, or dist/ workers for randomized fleets)"
+            )
+        params = replace(params, pallas="on")
         self.p = params
         window = params.block_u * params.stride
         self.slices = RangePartitioner.split_equal(
@@ -119,13 +125,15 @@ class ShardedBruteEngine:
         mode, ne = c0.mode, c0._n_endo_fast
         hr, nbr = p.hash_rows, c0._n_bucket_rows
 
+        interpret = c0._interpret  # CPU backend interprets (slow but real)
+
         def local_chunk(px, py, tabx, taby, ax, ay, tgt, btab):
             """px/py: (1, 8) local shard base; the rest replicated args
             (P() specs) so the serialized HLO stays small."""
             nx, ny, out = pbrute.pallas_brute_chunk(
                 px.reshape(8), py.reshape(8), tabx, taby, ax, ay, tgt,
                 btab, K=K, U=U, SB=SB, C=C, mode=mode, n_endo=ne,
-                hash_rows=hr, n_bucket_rows=nbr,
+                hash_rows=hr, n_bucket_rows=nbr, interpret=interpret,
             )
             npos = (out[:C] < K * U).sum()
             ndeg = out[2 * C : 2 * C + K].sum()
@@ -153,12 +161,45 @@ class ShardedBruteEngine:
 
     # ------------------------------------------------------------------
 
+    def _ckpt_load(self, checkpoint):
+        """Load/create a position checkpoint -> (ck, resumed local steps).
+        Units are local device steps decoded in dispatch order (the
+        pipeline decodes in order, so coverage up to `chunks_done` is
+        exact across every shard)."""
+        from ..core.checkpoint import Checkpoint, fingerprint
+
+        p = self.p
+        c0 = self.children[0]
+        params_fp = fingerprint(
+            c0.mode, p.block_u, p.steps_per_chunk, p.stride, p.endo,
+            self.n_shards,
+        )
+        targets_fp = fingerprint(
+            sorted(c0.targets.raw), sorted(c0.intervals), sorted(c0.prefixes),
+        )
+        a, b = self.slices[0].start, self.slices[-1].end
+        ck = checkpoint.load()
+        if ck is not None:
+            checkpoint.matches(
+                ck, mode=f"brute-sharded:{c0.mode}", range_start=a,
+                range_end=b, policy="sequential", seed=p.seed,
+                params_fp=params_fp, targets_fp=targets_fp,
+            )
+            self.stats.add(ck.keys_covered)
+            return ck, ck.chunks_done
+        return Checkpoint(
+            mode=f"brute-sharded:{c0.mode}", range_start=a, range_end=b,
+            policy="sequential", seed=p.seed, params_fp=params_fp,
+            targets_fp=targets_fp,
+        ), 0
+
     def search_sharded(
         self,
         max_steps: Optional[int] = None,
         stop_on_first: bool = False,
         progress_every: int = 0,
         max_seconds: Optional[float] = None,
+        checkpoint=None,
     ) -> List[FoundKey]:
         """Pipelined mesh search (same discipline as the BSGS mesh
         engines): dispatch pipeline_depth chunks ahead with async host
@@ -172,6 +213,10 @@ class ShardedBruteEngine:
         )
         found: List[FoundKey] = []
         seen = set()
+        ck = None
+        resumed = 0
+        if checkpoint is not None:
+            ck, resumed = self._ckpt_load(checkpoint)
 
         def take(fks) -> bool:
             new = False
@@ -182,15 +227,16 @@ class ShardedBruteEngine:
                     new = True
             return new
 
-        for c in self.children:
-            for k0 in c._fast_prefix:
-                take([c._verify(k0, 0)])
-        if found and stop_on_first:
-            return found
+        if resumed == 0:  # prefix keys are covered before local step 0
+            for c in self.children:
+                for k0 in c._fast_prefix:
+                    take([c._verify(k0, 0)])
+            if found and stop_on_first:
+                return found
 
-        px, py = self._bases_at(0)
+        disp = min(resumed, total)
+        px, py = self._bases_at(disp)
         pending: deque = deque()
-        disp = 0
         n_done = 0
         while pending or disp < total:
             while (
@@ -208,24 +254,36 @@ class ShardedBruteEngine:
             step, outs, interest = pending.popleft()
             k = min(K, total - step)
             rebase = False
+            new_any = False
             if int(np.asarray(interest)) > 0:
                 arr = np.asarray(outs)  # (D, summary)
                 for d, c in enumerate(self.children):
                     k_eff, new_found = c._decode_fast(step, arr[d])
-                    take(new_found)
+                    new_any |= take(new_found)
                     if k_eff < k:
                         # this shard's advance chain degenerated: the
                         # remaining steps of ITS chunk walked garbage —
                         # cover them exactly on the host, then rebase
                         # every shard at the next chunk boundary
-                        take(c._host_rescan_fast(step + k_eff, k - k_eff))
+                        new_any |= take(
+                            c._host_rescan_fast(step + k_eff, k - k_eff)
+                        )
                         rebase = True
-            for c in self.children:
-                live = max(0, min(k, c._fast_total_steps - step))
-                self.stats.add(live * p.block_u)
+            self.stats.add(
+                sum(
+                    max(0, min(k, c._fast_total_steps - step))
+                    for c in self.children
+                ) * p.block_u
+            )
             n_done += 1
+            done_all = not pending and disp >= total
+            BruteEngine._ckpt_save(
+                checkpoint, ck, step + k, self.stats, found, new_any,
+                force=done_all or bool(found and stop_on_first),
+            )
             if found and stop_on_first:
                 return found
+            last_units = step + k
             if rebase and step + K < total:
                 pending.clear()
                 disp = step + K
@@ -235,4 +293,10 @@ class ShardedBruteEngine:
                     f"[brute-sharded] local step {step + K}/{total} "
                     f"{self.stats.human()}"
                 )
+        if ck is not None and n_done:
+            # deadline / stop-flag cut: persist exactly-covered progress
+            BruteEngine._ckpt_save(
+                checkpoint, ck, last_units, self.stats, found, False,
+                force=True,
+            )
         return found

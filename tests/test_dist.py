@@ -250,3 +250,36 @@ def test_worker_real_brute_engine_finds_all_hits():
         assert got == sorted(keys)
     finally:
         srv.shutdown()
+
+
+def test_worker_graceful_stop_requeues_partial_unit():
+    """When the process-wide stop flag is set mid-unit (SIGTERM), the
+    worker reports the unit FAILED (partial coverage must requeue), not
+    done, and exits its loop."""
+    import threading
+
+    from keyhuntm1cpu_tpu.dist.worker import DistributedWorker
+    from keyhuntm1cpu_tpu.engine import common
+
+    coord = WorkCoordinator(0, 4096, n_units=4, align=1, lease_s=60.0)
+    srv = CoordinatorServer(("127.0.0.1", 0), coord)
+    port = srv.server_address[1]
+    srv.start_background()
+    try:
+        def search_fn(a, b):
+            common.request_stop()  # preemption arrives mid-search
+            return []
+
+        w = DistributedWorker("127.0.0.1", port, search_fn,
+                              worker_id="gs0", poll_s=0.1)
+        t = threading.Thread(target=w.run)
+        t.start()
+        t.join(timeout=60)
+        assert not t.is_alive()
+        st = coord.status()
+        assert w.units_done == 0  # partial unit not counted as done
+        assert st["completed"] == 0  # requeued, not completed
+        assert st["pending"] == 4  # all units still to do
+    finally:
+        common.clear_stop()
+        srv.shutdown()

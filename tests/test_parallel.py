@@ -258,3 +258,48 @@ class TestShardedBrute:
         found = eng.search_sharded(max_steps=4)
         assert rescans == [(2, 2)]
         assert [f.private_key for f in found] == [key]
+
+
+def test_sharded_brute_checkpoint_resume(tmp_path):
+    """search_sharded persists local-step progress and resumes past it
+    (synthetic chunk; the decode order is the dispatch order, so
+    chunks_done is an exact coverage watermark)."""
+    import jax.numpy as jnp
+
+    from keyhuntm1cpu_tpu.core.checkpoint import CheckpointManager
+
+    t = TestShardedBrute()
+    eng = t._engine(span=1 << 14)  # 16 local steps per shard
+    K = eng.p.steps_per_chunk
+    dispatched = []
+
+    def fake_chunk(px, py):
+        dispatched.append(1)
+        outs = jnp.stack([jnp.asarray(t._summary(eng))] * 4)
+        return px, py, outs, jnp.int32(0)
+
+    eng._sharded_chunk = fake_chunk
+    mgr = CheckpointManager(str(tmp_path / "ck.json"), every_s=0)
+    eng.search_sharded(max_steps=2 * K, checkpoint=mgr)
+    ck = mgr.load()
+    assert ck.chunks_done == 2 * K
+    assert ck.mode == "brute-sharded:rmd160"
+
+    # fresh engine resumes past the saved steps: only the remaining
+    # chunks dispatch
+    eng2 = t._engine(span=1 << 14)
+    eng2._sharded_chunk = fake_chunk
+    n0 = len(dispatched)
+    eng2.search_sharded(max_steps=4 * K, checkpoint=mgr)
+    assert len(dispatched) - n0 == 2  # 4K total - 2K resumed = 2 chunks
+    assert mgr.load().chunks_done == 4 * K
+
+    # mismatched run is rejected
+    import pytest as _pytest
+
+    from keyhuntm1cpu_tpu.core.checkpoint import CheckpointError
+
+    eng3 = t._engine(a=0x91000, span=1 << 14)
+    eng3._sharded_chunk = fake_chunk
+    with _pytest.raises(CheckpointError):
+        eng3.search_sharded(max_steps=4 * K, checkpoint=mgr)
