@@ -138,6 +138,27 @@ def brute_search_fn(targets, mode: str = "rmd160", params=None,
     return search
 
 
+def minikeys_search_fn(targets, prefix: str, params=None,
+                       alphabet=None) -> SearchFn:
+    """Minikeys over the fleet: coordinator units are COUNTER ranges
+    (the suffix counter space [0, 58^10)), not key ranges — every worker
+    must be launched with the same --minikey-prefix so the units mean
+    the same scan space. Beyond the reference (its minikeys mode was
+    single-process only, keyhunt.cpp:5619-5696)."""
+    from ..engine.minikeys import MinikeyEngine, MinikeyParams
+
+    params = params or MinikeyParams()
+
+    def search(a: int, b: int) -> List[str]:
+        eng = MinikeyEngine(targets, prefix=prefix, params=params,
+                            alphabet=alphabet)
+        eng.counter = a
+        found = eng.search(counter_end=b, stop_on_first=False)
+        return [f"{f.private_key:x}" for f in found]
+
+    return search
+
+
 def main(argv=None):
     import argparse
 
@@ -148,10 +169,17 @@ def main(argv=None):
     p.add_argument("-c", "--coordinator", required=True, help="host:port")
     p.add_argument("-f", "--file", required=True,
                    help="target file (pubkeys for bsgs; addresses/"
-                        "hash160s/xpoints/eth for brute modes)")
+                        "hash160s/xpoints/eth for brute modes; addresses "
+                        "for minikeys)")
     p.add_argument("-m", "--mode", default="bsgs",
-                   choices=["bsgs", "address", "rmd160", "xpoint", "eth"],
+                   choices=["bsgs", "address", "rmd160", "xpoint", "eth",
+                            "minikeys"],
                    help="search mode this worker runs (default bsgs)")
+    p.add_argument("-C", "--minikey-prefix", default=None,
+                   help="minikeys: REQUIRED fixed 'S'+11-char prefix so "
+                        "all workers share one counter space")
+    p.add_argument("-8", "--alphabet", default=None,
+                   help="minikeys: custom 58-char base58 alphabet")
     p.add_argument("--m-babies", type=int, default=None)
     p.add_argument("-k", "--k-factor", type=int, default=1,
                    help="m = sqrt(N) * k (reference -k)")
@@ -174,6 +202,13 @@ def main(argv=None):
         params = BSGSParams(m=m, block_u=args.block_u,
                             steps_per_chunk=args.chunk_steps)
         fn = bsgs_search_fn(targets.pubkeys, params)
+    elif args.mode == "minikeys":
+        if not args.minikey_prefix:
+            p.error("-m minikeys needs --minikey-prefix (all workers "
+                    "must share one counter space)")
+        targets = parse_target_file(args.file, "address")
+        fn = minikeys_search_fn(targets, args.minikey_prefix,
+                                alphabet=args.alphabet)
     else:
         from ..engine.brute import BruteParams
 

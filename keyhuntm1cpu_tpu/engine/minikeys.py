@@ -135,7 +135,13 @@ class MinikeyEngine:
         progress_every: int = 0,
         checkpoint=None,
         max_seconds: Optional[float] = None,
+        counter_end: Optional[int] = None,
     ) -> List[FoundKey]:
+        """Scan from self.counter; counter_end bounds the scan to the
+        counter range [self.counter, counter_end) — the unit shape the
+        distributed fleet leases (dist/worker.py -m minikeys). Block
+        clamping can overlap a few counters past the bound but never
+        skips one."""
         p = self.p
         dl = Deadline(max_seconds)
         B, V, HM = p.batch, p.valid_max, p.hit_max
@@ -179,6 +185,7 @@ class MinikeyEngine:
                 dispatched < max_chunks
                 and len(pending) < p.pipeline_depth
                 and not dl.expired()
+                and (counter_end is None or self.counter < counter_end)
             ):
                 high, low = divmod(self.counter, LOW_SPAN)
                 if low + B > LOW_SPAN:
@@ -198,8 +205,8 @@ class MinikeyEngine:
                 pending.append((prefix17, low, self.counter, out))
                 dispatched += 1
             if not pending:
-                # deadline hit with nothing in flight: persist the exact
-                # scan position before returning (resume re-enters here)
+                # deadline or counter_end hit with nothing in flight:
+                # persist the exact scan position (resume re-enters here)
                 if ck is not None:
                     checkpoint.save(ck, force=True)
                 break

@@ -129,3 +129,67 @@ def test_minikey_alphabet_validation():
         MinikeyEngine(ts, alphabet="abc")  # wrong length
     with _pytest.raises(ValueError):
         MinikeyEngine(ts, alphabet="a" * 58)  # duplicates
+
+
+def test_minikey_counter_end_bounds_scan():
+    """counter_end bounds the scan (fleet unit shape): a key past the
+    bound is not scanned; the same range including it recovers it."""
+    prefix = "SkeyhuntTPUx"[: 22 - SUFFIX_LEN]
+    mk, counter = _find_valid_minikey(prefix)
+    k = int.from_bytes(hashref.sha256(mk.encode()), "big")
+    pt = ecref.scalar_mult(k)
+    ts = targets_from_ints(
+        "hash160", [hashref.pubkey_to_hash160(pt, compressed=False)]
+    )
+    params = MinikeyParams(batch=256, chain_len=8)
+    # bound BEFORE the planted counter: nothing found
+    eng = MinikeyEngine(ts, prefix=prefix, params=params)
+    eng.counter = 0
+    found = eng.search(counter_end=max(1, (counter // 256) * 256),
+                       stop_on_first=False)
+    assert found == []
+    # bound AFTER it: recovered
+    eng2 = MinikeyEngine(ts, prefix=prefix, params=params)
+    eng2.counter = 0
+    found = eng2.search(counter_end=counter + 1)
+    assert [f.private_key for f in found] == [k]
+
+
+def test_minikeys_dist_worker_over_counter_units():
+    """Fleet minikeys: coordinator units are counter ranges; a worker
+    with a fixed prefix recovers the planted minikey in its unit."""
+    import threading
+
+    from keyhuntm1cpu_tpu.dist.coordinator import (
+        CoordinatorServer, WorkCoordinator,
+    )
+    from keyhuntm1cpu_tpu.dist.worker import (
+        DistributedWorker, minikeys_search_fn,
+    )
+
+    prefix = "SkeyhuntTPUx"[: 22 - SUFFIX_LEN]
+    mk, counter = _find_valid_minikey(prefix)
+    k = int.from_bytes(hashref.sha256(mk.encode()), "big")
+    pt = ecref.scalar_mult(k)
+    ts = targets_from_ints(
+        "hash160", [hashref.pubkey_to_hash160(pt, compressed=False)]
+    )
+    end = ((counter // 256) + 2) * 256
+    coord = WorkCoordinator(0, 2 * end, n_units=2, align=256,
+                            lease_s=60.0, stop_on_first=False)
+    srv = CoordinatorServer(("127.0.0.1", 0), coord)
+    srv.start_background()
+    try:
+        fn = minikeys_search_fn(
+            ts, prefix, params=MinikeyParams(batch=256, chain_len=8)
+        )
+        w = DistributedWorker("127.0.0.1", srv.server_address[1], fn,
+                              worker_id="mkw", poll_s=0.1)
+        t = threading.Thread(target=w.run)
+        t.start()
+        t.join(timeout=300)
+        assert not t.is_alive()
+        keys = [f["private_key"] for f in coord.found_keys()]
+        assert keys == [f"{k:x}"]
+    finally:
+        srv.shutdown()
