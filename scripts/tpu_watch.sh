@@ -43,4 +43,5 @@ run validate_pwalk      python scripts/validate_pwalk.py
 run check_sbrute        python scripts/check_sbrute.py
 CHECK_HASH_ROWS=8 run check_pbrute_hr8 python scripts/check_pbrute.py
 run exp_hash_rows       python scripts/exp_hash_rows.py eth rmd160
+run exp_buckets         python scripts/exp_buckets.py
 echo "$(date -Is) queue complete" >>"$LOG/status"
