@@ -10,6 +10,7 @@ methods are all bodiless except the HTML template
   found keys).
 - `MetricsServer`: stdlib http.server exposing
     GET /metrics.json  — full snapshot
+    GET /metrics       — Prometheus text exposition (scrape target)
     GET /healthz       — liveness
     GET /              — minimal auto-refreshing HTML view
   Runs on a daemon thread; zero third-party deps.
@@ -72,6 +73,33 @@ _HTML = """<!doctype html><meta charset=utf-8>
 """
 
 
+def _prom_name(name: str) -> str:
+    out = "".join(c if c.isalnum() or c == "_" else "_" for c in name)
+    return "keyhunt_" + (out if not out[:1].isdigit() else "_" + out)
+
+
+def prometheus_text(snap: dict) -> str:
+    """Prometheus text exposition format of a Metrics snapshot: counters
+    as counters, gauges + derived rates as gauges, info as a labeled
+    keyhunt_info 1-gauge (the standard *_info convention)."""
+    lines = []
+    for k, v in sorted(snap["counters"].items()):
+        n = _prom_name(k)
+        lines += [f"# TYPE {n} counter", f"{n} {v!r}"]
+    derived = {"uptime_seconds": snap["uptime_s"],
+               "keys_per_sec": snap["keys_per_sec"]}
+    for k, v in sorted({**snap["gauges"], **derived}.items()):
+        n = _prom_name(k)
+        lines += [f"# TYPE {n} gauge", f"{n} {v!r}"]
+    if snap["info"]:
+        labels = ",".join(
+            f'{_prom_name(k)[8:]}="{str(v)[:120]}"'
+            for k, v in sorted(snap["info"].items())
+        )
+        lines += ["# TYPE keyhunt_info gauge", "keyhunt_info{%s} 1" % labels]
+    return "\n".join(lines) + "\n"
+
+
 class _Handler(BaseHTTPRequestHandler):
     def _send(self, code: int, body: bytes, ctype: str) -> None:
         self.send_response(code)
@@ -84,6 +112,9 @@ class _Handler(BaseHTTPRequestHandler):
         snap = self.server.metrics.snapshot()  # type: ignore[attr-defined]
         if self.path == "/metrics.json":
             self._send(200, json.dumps(snap, indent=1).encode(), "application/json")
+        elif self.path == "/metrics":
+            self._send(200, prometheus_text(snap).encode(),
+                       "text/plain; version=0.0.4")
         elif self.path == "/healthz":
             self._send(200, b"ok", "text/plain")
         elif self.path == "/":

@@ -143,8 +143,30 @@ class TestMetrics:
                 assert r.read() == b"ok"
             with urllib.request.urlopen(f"{base}/") as r:
                 assert b"keyhunt-tpu" in r.read()
+            with urllib.request.urlopen(f"{base}/metrics") as r:
+                assert r.headers["Content-Type"].startswith("text/plain")
+                text = r.read().decode()
+            assert "# TYPE keyhunt_keys_covered counter" in text
+            assert "keyhunt_keys_covered 42" in text
         finally:
             srv.stop()
+
+    def test_prometheus_text_format(self):
+        from keyhuntm1cpu_tpu.core.metrics import prometheus_text
+
+        m = Metrics()
+        m.inc("keys_covered", 7)
+        m.set_gauge("chunk-ms", 2.5)  # non-alnum chars sanitize to _
+        m.set_info("mode", "bsgs")
+        text = prometheus_text(m.snapshot())
+        assert "keyhunt_keys_covered 7" in text
+        assert "# TYPE keyhunt_chunk_ms gauge" in text
+        assert "keyhunt_chunk_ms 2.5" in text
+        assert "# TYPE keyhunt_uptime_seconds gauge" in text
+        assert 'keyhunt_info{mode="bsgs"} 1' in text
+        # every line is a comment or `name value`
+        for ln in text.strip().splitlines():
+            assert ln.startswith("# ") or len(ln.split(" ")) == 2, ln
 
 
 class TestLogger:
