@@ -148,4 +148,27 @@ if ONLY == "buckets" or (ONLY == "all" and HR is None):
         print(f"bucketed {mode}: T={len(ts.raw)} rows={eng._n_bucket_rows} "
               f"found {len(got)}/{len(keys)} missing={missing}")
         assert not missing, (mode, missing)
+
+    # composition: bucketed exact set + vanity interval in ONE scan
+    # (intervals stay in SMEM while exact targets ride the buckets)
+    from keyhuntm1cpu_tpu.engine.vanity import vanity_intervals
+
+    addr = hashref.pubkey_to_address(ecref.scalar_mult(777), compressed=True)
+    ivs = vanity_intervals(addr[:5])
+    raw = [hashref.pubkey_to_hash160(ecref.scalar_mult(k), True)
+           for k in (31, 999)]
+    decoys = [hashlib.sha256(f"cmp{i}".encode()).digest()[:20]
+              for i in range(1200)]
+    ts = TargetSet(kind="hash160", raw=raw + decoys,
+                   labels=["k31", "k999"]
+                   + [f"d{i}" for i in range(len(decoys))])
+    eng = BruteEngine(ts, 1, 4097, mode="rmd160",
+                      params=BruteParams(block_u=1024, steps_per_chunk=4,
+                                         pallas_sb=4, pallas="on",
+                                         chunk_cand=64, hash_rows=HR),
+                      intervals=ivs, prefixes=[addr[:5]])
+    assert eng._bucketed and len(eng.intervals) == len(ivs)
+    got = sorted(f.private_key for f in eng.search(stop_on_first=False))
+    assert 31 in got and 999 in got and 777 in got, got
+    print("bucketed + interval composition: OK (31, 999, 777 in one scan)")
     print("BUCKETED OK")
