@@ -44,4 +44,7 @@ run check_sbrute        python scripts/check_sbrute.py
 CHECK_HASH_ROWS=8 run check_pbrute_hr8 python scripts/check_pbrute.py
 run exp_hash_rows       python scripts/exp_hash_rows.py eth rmd160
 run exp_buckets         python scripts/exp_buckets.py
+# warm the compile caches + sanity the headline so the driver's
+# round-end bench run starts hot (first compiles are ~minutes each)
+BENCH_DEADLINE=5400 run bench_warm python bench.py
 echo "$(date -Is) queue complete" >>"$LOG/status"
