@@ -15,6 +15,7 @@ import time
 import uuid
 from typing import Callable, List, Optional
 
+from ..engine.common import stop_requested
 from .coordinator import WorkUnit, rpc
 
 SearchFn = Callable[[int, int], List[str]]
@@ -79,9 +80,7 @@ class DistributedWorker:
                 raise
             finally:
                 stop.set()
-            from ..engine.common import Deadline
-
-            if Deadline._stop and status != "found":
+            if stop_requested() and status != "found":
                 # graceful preemption mid-unit: the engine stopped at a
                 # chunk boundary, so this unit is only PARTIALLY covered
                 # — report failed so the coordinator requeues it for

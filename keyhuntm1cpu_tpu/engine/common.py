@@ -76,6 +76,12 @@ def clear_stop() -> None:
     Deadline._stop = False
 
 
+def stop_requested() -> bool:
+    """True once request_stop() fired (a search that returned early did
+    so with PARTIAL coverage — callers owning work units must requeue)."""
+    return Deadline._stop
+
+
 def install_stop_handlers(log=None) -> None:
     """Graceful preemption for any entry point: the first SIGTERM/SIGINT
     asks every search loop to stop at its next chunk boundary

@@ -18,7 +18,6 @@ collective chunk and the pipeline.
 
 from __future__ import annotations
 
-import math
 from collections import deque
 from dataclasses import replace
 from typing import List, Optional, Sequence, Tuple
@@ -93,6 +92,7 @@ class ShardedBruteEngine:
         self.stats = SearchStats()
         self.stats.multiplier = self.children[0].stats.multiplier
         self.local_steps = max(c._fast_total_steps for c in self.children)
+        self._base_sharding = jax.sharding.NamedSharding(self.mesh, P("shard"))
         self._sharded_chunk = self._make_sharded_chunk()
 
     # ------------------------------------------------------------------
@@ -110,10 +110,9 @@ class ShardedBruteEngine:
                 raise ValueError("chunk base at infinity (range touches n)")
             xs.append(px)
             ys.append(py)
-        sharding = jax.sharding.NamedSharding(self.mesh, P("shard"))
         return (
-            jax.device_put(jnp.stack(xs), sharding),
-            jax.device_put(jnp.stack(ys), sharding),
+            jax.device_put(jnp.stack(xs), self._base_sharding),
+            jax.device_put(jnp.stack(ys), self._base_sharding),
         )
 
     def _make_sharded_chunk(self):
