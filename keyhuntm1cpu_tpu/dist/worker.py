@@ -114,7 +114,8 @@ def bsgs_search_fn(pubkeys, params=None, table=None) -> SearchFn:
 
 
 def brute_search_fn(targets, mode: str = "rmd160", params=None,
-                    stop_on_first: bool = False) -> SearchFn:
+                    stop_on_first: bool = False, intervals=None,
+                    prefixes=None) -> SearchFn:
     """Brute-mode search function (rmd160/address/xpoint/eth/address_u):
     lets the distributed tier fleet-scan an address/xpoint list over
     leased sub-ranges — beyond the reference, whose only distribution
@@ -130,7 +131,8 @@ def brute_search_fn(targets, mode: str = "rmd160", params=None,
     params = params or BruteParams()
 
     def search(a: int, b: int) -> List[str]:
-        eng = BruteEngine(targets, a, b, mode=mode, params=params)
+        eng = BruteEngine(targets, a, b, mode=mode, params=params,
+                          intervals=intervals, prefixes=prefixes)
         found = eng.search(stop_on_first=stop_on_first)
         return [f"{f.private_key:x}" for f in found]
 
@@ -166,10 +168,11 @@ def main(argv=None):
 
     p = argparse.ArgumentParser(prog="keyhunt-tpu-worker")
     p.add_argument("-c", "--coordinator", required=True, help="host:port")
-    p.add_argument("-f", "--file", required=True,
+    p.add_argument("-f", "--file", default=None,
                    help="target file (pubkeys for bsgs; addresses/"
                         "hash160s/xpoints/eth for brute modes; addresses "
-                        "for minikeys)")
+                        "for minikeys; optional when -v prefixes are "
+                        "given with a brute mode)")
     p.add_argument("-m", "--mode", default="bsgs",
                    choices=["bsgs", "address", "rmd160", "xpoint", "eth",
                             "minikeys"],
@@ -179,6 +182,11 @@ def main(argv=None):
                         "all workers share one counter space")
     p.add_argument("-8", "--alphabet", default=None,
                    help="minikeys: custom 58-char base58 alphabet")
+    p.add_argument("-v", "--vanity", action="append", default=[],
+                   help="vanity address prefix (repeatable) — composes "
+                        "with rmd160/address targets in the same scan; "
+                        "with no -f targets, scans prefixes alone "
+                        "(fused-kernel path: TPU workers)")
     p.add_argument("--m-babies", type=int, default=None)
     p.add_argument("-k", "--k-factor", type=int, default=1,
                    help="m = sqrt(N) * k (reference -k)")
@@ -190,6 +198,8 @@ def main(argv=None):
 
     install_stop_handlers()  # SIGTERM: finish chunk, requeue unit, exit
     host, port = args.coordinator.rsplit(":", 1)
+    if args.mode in ("bsgs", "minikeys") and not args.file:
+        p.error(f"-m {args.mode} needs -f")
     if args.mode == "bsgs":
         targets = parse_target_file(args.file, "pubkey")
         from ..engine.bsgs import resolve_m
@@ -210,11 +220,28 @@ def main(argv=None):
                                 alphabet=args.alphabet)
     else:
         from ..engine.brute import BruteParams
+        from ..utils.targets import TargetSet
 
-        targets = parse_target_file(args.file, args.mode)
+        if not args.file and not args.vanity:
+            p.error(f"-m {args.mode} needs -f targets and/or -v prefixes")
+        targets = (
+            parse_target_file(args.file, args.mode)
+            if args.file
+            else TargetSet(kind="hash160", raw=[], labels=[])
+        )
+        intervals, prefixes = [], []
+        if args.vanity:
+            if args.mode not in ("address", "rmd160"):
+                p.error("-v composes with -m address/rmd160 only")
+            from ..engine.vanity import vanity_intervals
+
+            for pref in args.vanity:
+                intervals += vanity_intervals(pref)
+            prefixes = list(args.vanity)
         params = BruteParams(block_u=args.block_u,
                              steps_per_chunk=args.chunk_steps)
-        fn = brute_search_fn(targets, mode=args.mode, params=params)
+        fn = brute_search_fn(targets, mode=args.mode, params=params,
+                             intervals=intervals, prefixes=prefixes)
     w = DistributedWorker(host, int(port), fn)
     found = w.run()
     print(f"[+] worker {w.worker_id}: {w.units_done} units, found {found}")

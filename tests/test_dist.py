@@ -283,3 +283,44 @@ def test_worker_graceful_stop_requeues_partial_unit():
     finally:
         common.clear_stop()
         srv.shutdown()
+
+
+def test_worker_vanity_composition_args():
+    """Worker -v wiring: intervals/prefixes reach the search fn; vanity-
+    only (no -f) builds an empty target set; bad combos error."""
+    import pytest
+
+    from keyhuntm1cpu_tpu.dist import worker as wk
+
+    captured = {}
+
+    def fake_brute_search_fn(targets, mode, params, intervals=None,
+                             prefixes=None):
+        captured.update(targets=targets, mode=mode,
+                        intervals=intervals, prefixes=prefixes)
+        return lambda a, b: []
+
+    class FakeWorker:
+        def __init__(self, *a, **kw):
+            self.worker_id = "t"
+            self.units_done = 0
+
+        def run(self):
+            return []
+
+    orig_fn, orig_w = wk.brute_search_fn, wk.DistributedWorker
+    wk.brute_search_fn, wk.DistributedWorker = fake_brute_search_fn, FakeWorker
+    try:
+        wk.main(["-c", "h:1", "-m", "rmd160", "-v", "1Love"])
+        assert captured["mode"] == "rmd160"
+        assert len(captured["targets"].raw) == 0
+        assert captured["prefixes"] == ["1Love"]
+        assert len(captured["intervals"]) >= 1
+        with pytest.raises(SystemExit):
+            wk.main(["-c", "h:1", "-m", "xpoint", "-v", "1Love"])
+        with pytest.raises(SystemExit):
+            wk.main(["-c", "h:1", "-m", "rmd160"])  # no -f, no -v
+        with pytest.raises(SystemExit):
+            wk.main(["-c", "h:1", "-m", "bsgs"])  # bsgs needs -f
+    finally:
+        wk.brute_search_fn, wk.DistributedWorker = orig_fn, orig_w
