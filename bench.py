@@ -178,10 +178,16 @@ def attempt_ladder(m: int, deadline: int):
     ladder is just the single requested attempt."""
     attempts = [(m, deadline, True)]
     fb1, fb2 = min(1 << 26, m >> 2), min(1 << 24, m >> 4)
+    fb3 = min(1 << 20, m >> 8)
     if fb1 >= 1 << 16:
         attempts.append((fb1, min(1200, deadline), True))
     if fb2 >= 1 << 14:
         attempts.append((fb2, min(900, deadline), False))
+    # last-ditch attempt: tiny table, no mode benches — even a badly
+    # degraded link should manage m=2^20, so the round still records a
+    # parsed JSON line instead of rc=1
+    if fb3 >= 1 << 14 and fb3 != fb2:
+        attempts.append((fb3, min(600, deadline), False))
     return attempts
 
 
@@ -199,7 +205,11 @@ def supervise() -> int:
     # burn its whole deadline discovering that. Probe cheaply first and
     # keep re-probing for up to BENCH_PROBE_BUDGET seconds so a tunnel
     # that recovers mid-wait still gets its bench.
-    probe_budget = float(os.environ.get("BENCH_PROBE_BUDGET", 1200))
+    # Round 2 ended bench-less because the tunnel stayed down past the
+    # old 1200 s budget (multi-hour outage, .tpu_queue/status). The
+    # driver's bench run is the round's one non-negotiable artifact, so
+    # wait up to 3 h by default before conceding.
+    probe_budget = float(os.environ.get("BENCH_PROBE_BUDGET", 10800))
     t0 = time.time()
     while True:
         try:
