@@ -93,7 +93,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-e", "--endo", action="store_true",
                    help="endomorphism lanes for rmd160/xpoint (reference -e)")
     p.add_argument("-S", "--save-table", action="store_true",
-                   help="cache the BSGS baby table to disk (reference -S)")
+                   help="cache precompute to disk: BSGS baby table, and in "
+                        "address/rmd160 modes the reference-format "
+                        "data_<8-hex>.dat target cache (reference -S)")
     p.add_argument("--table-file", default=None, help="baby table cache path")
     p.add_argument("-6", "--skip-checksum", action="store_true", dest="skip_checksum",
                    help="skip table checksum verification (reference -6)")
@@ -298,6 +300,16 @@ def _run(args, log) -> int:
         kind = {"address": "address", "rmd160": "rmd160",
                 "xpoint": "xpoint", "eth": "eth"}[args.mode]
         targets = parse_target_file_cached(args.file, kind)
+        if args.save_table and targets.kind == "hash160":
+            # reference -S also covers the address-mode binary cache
+            # (data_<8-hex>.dat, keyhunt.cpp:6578-6678); write one a
+            # reference build can load, unless one already exists
+            from .utils.targets import write_reference_dat
+            from .utils.legacy import dat_cache_path
+            import os as _os
+
+            if not _os.path.exists(dat_cache_path(args.file)):
+                log.plus(f"wrote {write_reference_dat(args.file, targets)}")
         mode = args.mode
         look = args.look or ("uncompress" if args.uncompressed else "compress")
         if mode in ("address", "rmd160"):

@@ -40,6 +40,13 @@ from ..filter.bloom import _P1, _P2, _P3, _P4, _P5, _rotl64 as _rotl
 from ..ref import ecref
 
 BLOOM_STRUCT = 80
+# pre-2021 `struct oldbloom` (oldbloom/oldbloom.h:26-52): same leading
+# fields as `struct bloom` (entries@0 bits@8 bytes@16 hashes@24 error@32
+# ready/major/minor@48 bpe@56) then checksum@64 checksum_backup@96
+# bf-pointer@128 pthread_mutex_t@136 -> sizeof = 176 on x86-64. The
+# checksums are EMBEDDED in the struct (v4 moved them after the bit
+# array), and there is no trailing checksum block.
+OLDBLOOM_STRUCT = 176
 CHECKSUM = 64  # {data[32], backup[32]}
 XVALUE_SIZE = 16  # 6-byte value + 2 pad + 8-byte index
 BLOOM_SEED = 0x59F2815B16F81798
@@ -77,6 +84,31 @@ def xxh64_32bytes(msgs: np.ndarray, seed) -> np.ndarray:
         np.seterr(**old)
 
 
+def xxh64_20bytes(msgs: np.ndarray, seed) -> np.ndarray:
+    """Vectorized XXH64 of (B, 20)-byte messages (no stripe: 2 u64
+    chunks + 1 u32 chunk + avalanche). The reference's address-mode
+    bloom keys are raw 20-byte hash160 values (keyhunt.cpp:6351-6360)."""
+    old = np.seterr(over="ignore")
+    try:
+        msgs = np.ascontiguousarray(msgs.astype(np.uint8))
+        q = msgs[:, :16].copy().view("<u8").reshape(-1, 2).astype(np.uint64)
+        d = msgs[:, 16:20].copy().view("<u4").reshape(-1).astype(np.uint64)
+        seed = np.asarray(seed, dtype=np.uint64)
+        h = seed + _P5 + np.uint64(20)
+        for i in range(2):
+            k = _rotl(q[:, i] * _P2, 31) * _P1
+            h = _rotl(h ^ k, 27) * _P1 + _P4
+        h = _rotl(h ^ (d * _P1), 23) * _P2 + _P3
+        h ^= h >> np.uint64(33)
+        h *= _P2
+        h ^= h >> np.uint64(29)
+        h *= _P3
+        h ^= h >> np.uint64(32)
+        return h
+    finally:
+        np.seterr(**old)
+
+
 @dataclass
 class LegacyBloom:
     entries: int
@@ -95,8 +127,9 @@ class LegacyBloom:
                    np.zeros(nbytes, dtype=np.uint8))
 
     def _positions(self, x32: np.ndarray) -> np.ndarray:
-        a = xxh64_32bytes(x32, BLOOM_SEED)
-        b = xxh64_32bytes(x32, a)
+        hash_fn = xxh64_20bytes if x32.shape[1] == 20 else xxh64_32bytes
+        a = hash_fn(x32, BLOOM_SEED)
+        b = hash_fn(x32, a)
         i = np.arange(self.hashes, dtype=np.uint64)[None, :]
         old = np.seterr(over="ignore")
         try:
@@ -172,6 +205,147 @@ def write_blm(path: str, blooms: List[LegacyBloom]) -> None:
             f.write(b.bf.tobytes())
             digest = hashlib.sha256(b.bf.tobytes()).digest()
             f.write(digest + digest)
+
+
+def _old_header_bytes(b: LegacyBloom) -> bytes:
+    """176-byte `struct oldbloom` image for one shard (checksums
+    embedded at 64/96; bf pointer + mutex zeroed as fread garbage)."""
+    hdr = bytearray(OLDBLOOM_STRUCT)
+    hdr[:BLOOM_STRUCT] = b.header_bytes()
+    digest = hashlib.sha256(b.bf.tobytes()).digest()
+    hdr[64:96] = digest
+    hdr[96:128] = digest
+    return bytes(hdr)
+
+
+def read_old_blm(path: str, skip_checksum: bool = False) -> List[LegacyBloom]:
+    """Parse a pre-2021 `keyhunt_bsgs_3_<m>.blm` (256 x {oldbloom
+    struct, bit array}; keyhunt.cpp:1422-1476 is the reference's
+    migration read of exactly this layout)."""
+    out = []
+    with open(path, "rb") as f:
+        for _ in range(256):
+            hdr = f.read(OLDBLOOM_STRUCT)
+            if len(hdr) != OLDBLOOM_STRUCT:
+                raise ValueError(f"{path}: truncated oldbloom header")
+            entries, bits, nbytes = struct.unpack_from("<QQQ", hdr, 0)
+            hashes = hdr[24]
+            if not (0 < bits <= nbytes * 8 and hashes):
+                raise ValueError(f"{path}: implausible oldbloom header")
+            bf = np.frombuffer(f.read(nbytes), dtype=np.uint8)
+            if len(bf) != nbytes:
+                raise ValueError(f"{path}: truncated bit array")
+            if not skip_checksum:
+                digest = hashlib.sha256(bf.tobytes()).digest()
+                if hdr[64:96] != digest or hdr[96:128] != digest:
+                    raise ValueError(f"{path}: oldbloom checksum mismatch")
+            out.append(LegacyBloom(entries, bits, nbytes, hashes, bf.copy()))
+    return out
+
+
+def write_old_blm(path: str, blooms: List[LegacyBloom]) -> None:
+    """Write the pre-2021 `_3_` layout (for tests and for feeding a
+    deployment that still runs a pre-v4 reference build)."""
+    assert len(blooms) == 256
+    with open(path, "wb") as f:
+        for b in blooms:
+            f.write(_old_header_bytes(b))
+            f.write(b.bf.tobytes())
+
+
+def migrate_oldbloom_file(old_path: str, new_path: str,
+                          skip_checksum: bool = False) -> List[LegacyBloom]:
+    """`keyhunt_bsgs_3_<m>.blm` -> `keyhunt_bsgs_4_<m>.blm` upgrade
+    (reference: read old struct, keep bit arrays + checksums, rewrite in
+    the v4 layout — keyhunt.cpp:1422-1476 + FLAGUPDATEFILE1 save)."""
+    blooms = read_old_blm(old_path, skip_checksum=skip_checksum)
+    write_blm(new_path, blooms)
+    return blooms
+
+
+def load_level1_blooms(dirpath: str, m: int, skip_checksum: bool = False,
+                       migrate: bool = True) -> Tuple[List[LegacyBloom], bool]:
+    """Load the level-1 bloom set for baby size m, preferring v4 and
+    falling back to a `_3_` file (migrating it to `_4_` like the
+    reference does on load). Returns (blooms, migrated)."""
+    p4 = os.path.join(dirpath, f"keyhunt_bsgs_4_{m}.blm")
+    p3 = os.path.join(dirpath, f"keyhunt_bsgs_3_{m}.blm")
+    if os.path.exists(p4):
+        return read_blm(p4, skip_checksum=skip_checksum), False
+    if os.path.exists(p3):
+        if migrate:
+            return migrate_oldbloom_file(p3, p4, skip_checksum), True
+        return read_old_blm(p3, skip_checksum=skip_checksum), False
+    raise FileNotFoundError(p4)
+
+
+def dat_cache_path(target_file: str, dirpath: str = ".") -> str:
+    """`data_<8-hex>.dat` companion path for a target file: the prefix
+    is the hex of the FIRST four bytes of sha256(file) — the reference
+    comment says "last" but tohex_dst(checksum, 4) hexes the first four
+    (keyhunt.cpp:6146-6148)."""
+    h = hashlib.sha256()
+    with open(target_file, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return os.path.join(dirpath, f"data_{h.digest()[:4].hex()}.dat")
+
+
+def read_dat(path: str, skip_checksum: bool = False
+             ) -> Tuple[LegacyBloom, np.ndarray]:
+    """Parse the reference's address-mode binary cache
+    (keyhunt.cpp:6131-6279 read, 6578-6678 write):
+    {sha256(bf), struct bloom, bf, sha256(table), u64 size, table} with
+    table = N x 20-byte sorted hash160/xpoint-prefix values and bloom
+    keys = those same 20 raw bytes. Returns (bloom, (N, 20) values)."""
+    with open(path, "rb") as f:
+        bloom_ck = f.read(32)
+        hdr = f.read(BLOOM_STRUCT)
+        if len(bloom_ck) != 32 or len(hdr) != BLOOM_STRUCT:
+            raise ValueError(f"{path}: truncated header")
+        entries, bits, nbytes = struct.unpack_from("<QQQ", hdr, 0)
+        hashes = hdr[24]
+        if not (0 < bits <= nbytes * 8 and hashes):
+            raise ValueError(f"{path}: implausible bloom header")
+        bf = np.frombuffer(f.read(nbytes), dtype=np.uint8)
+        if len(bf) != nbytes:
+            raise ValueError(f"{path}: truncated bit array")
+        data_ck = f.read(32)
+        (dsize,) = struct.unpack("<Q", f.read(8))
+        if dsize % 20:
+            raise ValueError(f"{path}: table size not a multiple of 20")
+        raw = f.read(dsize)
+        if len(raw) != dsize:
+            raise ValueError(f"{path}: truncated address table")
+    if not skip_checksum:
+        if hashlib.sha256(bf.tobytes()).digest() != bloom_ck:
+            raise ValueError(f"{path}: bloom checksum mismatch")
+        if hashlib.sha256(raw).digest() != data_ck:
+            raise ValueError(f"{path}: table checksum mismatch")
+    values = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 20).copy()
+    return LegacyBloom(entries, bits, nbytes, hashes, bf.copy()), values
+
+
+def write_dat(path: str, values: np.ndarray, multiplier: int = 1) -> None:
+    """Write a reference-loadable `data_<8-hex>.dat` from (N, 20)
+    values. Sizing mirrors initBloomFilter (keyhunt.cpp:6558-6576):
+    entries = max(10000, multiplier*N); table stored sorted (the
+    reference binary-searches it)."""
+    values = np.asarray(values, dtype=np.uint8).reshape(-1, 20)
+    order = np.lexsort(tuple(values[:, i] for i in range(19, -1, -1)))
+    values = values[order]
+    n = len(values)
+    bloom = LegacyBloom.create(max(10000, multiplier * n))
+    if n:
+        bloom.add(values)
+    raw = values.tobytes()
+    with open(path, "wb") as f:
+        f.write(hashlib.sha256(bloom.bf.tobytes()).digest())
+        f.write(bloom.header_bytes())
+        f.write(bloom.bf.tobytes())
+        f.write(hashlib.sha256(raw).digest())
+        f.write(struct.pack("<Q", len(raw)))
+        f.write(raw)
 
 
 def read_tbl(path: str, skip_checksum: bool = False) -> Tuple[np.ndarray, np.ndarray]:

@@ -184,12 +184,59 @@ def cache_path_for(path: str, kind: str) -> str:
     )
 
 
-def parse_target_file_cached(path: str, kind: str) -> TargetSet:
-    """parse_target_file with a content-addressed on-disk cache."""
+def _reference_dat_targets(path: str, kind: str) -> Optional[TargetSet]:
+    """Load targets from a reference-written `data_<8-hex>.dat` binary
+    cache if one sits next to the target file or in the cwd
+    (keyhunt.cpp:6131-6279; the reference writes it to the cwd). Only
+    20-byte-value kinds (address/rmd160 hash160s) map onto the
+    reference's `struct address_value` table."""
+    import os
+
+    if kind not in ("address", "rmd160"):
+        return None
+    from . import legacy
+
+    dirs = [os.path.dirname(os.path.abspath(path)) or ".", "."]
+    for d in dict.fromkeys(os.path.abspath(x) for x in dirs):
+        dat = legacy.dat_cache_path(path, d)
+        if not os.path.exists(dat):
+            continue
+        try:
+            _, values = legacy.read_dat(dat)
+        except (OSError, ValueError):
+            continue  # corrupt/foreign file: fall back to text parse
+        raw = [v.tobytes() for v in values]
+        return TargetSet("hash160", raw, [b.hex() for b in raw])
+    return None
+
+
+def write_reference_dat(path: str, ts: TargetSet, dirpath: str = ".") -> str:
+    """Write the reference-loadable `data_<8-hex>.dat` companion for a
+    target file (the reference's -S address-mode cache,
+    keyhunt.cpp:6578-6678) so a reference deployment can reuse this
+    framework's parse — and vice versa."""
+    from . import legacy
+
+    assert ts.kind == "hash160" and all(len(b) == 20 for b in ts.raw)
+    dat = legacy.dat_cache_path(path, dirpath)
+    values = np.frombuffer(b"".join(ts.raw), dtype=np.uint8).reshape(-1, 20)
+    legacy.write_dat(dat, values)
+    return dat
+
+
+def parse_target_file_cached(path: str, kind: str,
+                             reference_dat: bool = True) -> TargetSet:
+    """parse_target_file with a content-addressed on-disk cache (and a
+    read-through of the reference's binary `data_<8-hex>.dat` when one
+    is present — interop with reference -S deployments)."""
     import hashlib
 
     import numpy as np
 
+    if reference_dat:
+        ts = _reference_dat_targets(path, kind)
+        if ts is not None:
+            return ts
     cpath = cache_path_for(path, kind)
     try:
         with np.load(cpath, allow_pickle=False) as z:

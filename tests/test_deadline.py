@@ -210,13 +210,13 @@ def test_bench_attempt_ladder():
 
     big = bench.attempt_ladder(1 << 28, 2400)
     assert big == [(1 << 28, 2400, True), (1 << 26, 1200, True),
-                   (1 << 24, 900, False)]
+                   (1 << 24, 900, False), (1 << 20, 600, False)]
     small = bench.attempt_ladder(1 << 22, 1500)
     assert small[0] == (1 << 22, 1500, True)
-    assert len(small) == 3 and all(m <= 1 << 22 for m, _, _ in small)
+    assert len(small) == 4 and all(m <= 1 << 22 for m, _, _ in small)
     # BENCH_DEADLINE bounds EVERY attempt, not just the first
     fast = bench.attempt_ladder(1 << 28, 300)
-    assert [d for _, d, _ in fast] == [300, 300, 300]
+    assert [d for _, d, _ in fast] == [300, 300, 300, 300]
     # at tiny m there is nothing meaningful to shrink to
     tiny = bench.attempt_ladder(1 << 12, 600)
     assert tiny == [(1 << 12, 600, True)]

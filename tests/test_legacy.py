@@ -101,3 +101,133 @@ def test_general_xxh64_canonical_vectors():
     )
     x32 = np.frombuffer(msg[:32], dtype=np.uint8)[None, :]
     assert xxh64(msg[:32], 9) == int(legacy.xxh64_32bytes(x32, 9)[0])
+
+
+def test_oldbloom_roundtrip_and_migration(tmp_path):
+    """A pre-2021 `_3_` file (176-byte oldbloom structs, embedded
+    checksums) loads, migrates to v4 on disk like the reference does
+    (keyhunt.cpp:1422-1476), and the migrated set still EC-verifies."""
+    m = 1024
+    # build a real level-1 bloom set, then rewrite it in the OLD layout
+    legacy.export_reference_files(str(tmp_path), m)
+    p4 = tmp_path / f"keyhunt_bsgs_4_{m}.blm"
+    blooms = legacy.read_blm(str(p4))
+    p3 = tmp_path / f"keyhunt_bsgs_3_{m}.blm"
+    legacy.write_old_blm(str(p3), blooms)
+    p4.unlink()
+
+    # old-layout read is bit-identical
+    old = legacy.read_old_blm(str(p3))
+    assert all(
+        (a.entries, a.bits, a.nbytes, a.hashes) ==
+        (b.entries, b.bits, b.nbytes, b.hashes)
+        and np.array_equal(a.bf, b.bf)
+        for a, b in zip(old, blooms)
+    )
+
+    # level-1 loader falls back to _3_ and writes the v4 upgrade
+    got, migrated = legacy.load_level1_blooms(str(tmp_path), m)
+    assert migrated and p4.exists()
+    again = legacy.read_blm(str(p4))  # checksum-verified v4 re-read
+    assert all(np.array_equal(a.bf, b.bf) for a, b in zip(again, blooms))
+    # second load now hits the v4 file directly
+    _, migrated2 = legacy.load_level1_blooms(str(tmp_path), m)
+    assert not migrated2
+    # the migrated set answers membership like the original
+    assert legacy.verify_against_ecref(str(tmp_path), m)
+
+
+def test_oldbloom_detects_corruption(tmp_path):
+    m = 1024
+    legacy.export_reference_files(str(tmp_path), m)
+    blooms = legacy.read_blm(str(tmp_path / f"keyhunt_bsgs_4_{m}.blm"))
+    p3 = tmp_path / f"keyhunt_bsgs_3_{m}.blm"
+    legacy.write_old_blm(str(p3), blooms)
+    data = bytearray(p3.read_bytes())
+    data[legacy.OLDBLOOM_STRUCT + 5] ^= 0xFF
+    p3.write_bytes(bytes(data))
+    with pytest.raises(ValueError, match="checksum"):
+        legacy.read_old_blm(str(p3))
+    legacy.read_old_blm(str(p3), skip_checksum=True)
+
+
+def test_dat_cache_roundtrip(tmp_path):
+    """`data_<8-hex>.dat` write/read roundtrip: sorted 20-byte table,
+    bloom answers membership on the raw hash160 bytes, checksums catch
+    corruption (keyhunt.cpp:6131-6279 / 6578-6678 layout)."""
+    rng = np.random.default_rng(7)
+    values = rng.integers(0, 256, (300, 20), dtype=np.uint8)
+    p = tmp_path / "data_cafebabe.dat"
+    legacy.write_dat(str(p), values)
+    bloom, table = legacy.read_dat(str(p))
+    assert table.shape == (300, 20)
+    # sorted ascending as raw bytes (the reference binary-searches it)
+    as_tuples = [tuple(r) for r in table]
+    assert as_tuples == sorted(as_tuples)
+    assert set(as_tuples) == {tuple(r) for r in values}
+    assert bloom.entries == 10000  # small-N floor
+    assert bloom.check(values).all()
+    absent = rng.integers(0, 256, (64, 20), dtype=np.uint8)
+    mask = ~np.array([tuple(r) in set(as_tuples) for r in absent])
+    assert not bloom.check(absent)[mask].any()
+
+    data = bytearray(p.read_bytes())
+    data[-3] ^= 0xFF  # corrupt the address table tail
+    p.write_bytes(bytes(data))
+    with pytest.raises(ValueError, match="checksum"):
+        legacy.read_dat(str(p))
+    legacy.read_dat(str(p), skip_checksum=True)
+
+
+def test_dat_cache_path_prefix(tmp_path):
+    """Filename prefix = hex of the FIRST 4 sha256 bytes of the target
+    file (keyhunt.cpp:6146-6148 tohex_dst(checksum, 4))."""
+    import hashlib
+
+    f = tmp_path / "targets.txt"
+    f.write_bytes(b"1LVqbj6eDeBBiG8CbwadNgeZoCDKs29eT7\n")
+    want = hashlib.sha256(f.read_bytes()).digest()[:4].hex()
+    p = legacy.dat_cache_path(str(f), str(tmp_path))
+    assert p == str(tmp_path / f"data_{want}.dat")
+
+
+def test_xxh64_20bytes_matches_scalar():
+    from keyhuntm1cpu_tpu.utils.xxhash import xxh64
+
+    rng = np.random.default_rng(3)
+    msgs = rng.integers(0, 256, (32, 20), dtype=np.uint8)
+    for seed in (0, legacy.BLOOM_SEED, 0xDEADBEEF):
+        got = legacy.xxh64_20bytes(msgs, seed)
+        for i in range(len(msgs)):
+            assert int(got[i]) == xxh64(msgs[i].tobytes(), seed)
+    # per-lane seeds (double hashing's second call)
+    a = legacy.xxh64_20bytes(msgs, legacy.BLOOM_SEED)
+    b = legacy.xxh64_20bytes(msgs, a)
+    for i in range(len(msgs)):
+        assert int(b[i]) == xxh64(msgs[i].tobytes(), int(a[i]))
+
+
+def test_reference_dat_readthrough(tmp_path):
+    """parse_target_file_cached prefers a reference-written data_*.dat
+    sitting next to the target file; corrupt ones fall back to text."""
+    from keyhuntm1cpu_tpu.utils import targets as tg
+
+    f = tmp_path / "addrs.txt"
+    h1 = bytes(range(20))
+    h2 = bytes(range(100, 120))
+    f.write_text(f"{h1.hex()}\n{h2.hex()}\n")
+    ts = tg.parse_target_file(str(f), "rmd160")
+    dat = tg.write_reference_dat(str(f), ts, str(tmp_path))
+    assert dat == legacy.dat_cache_path(str(f), str(tmp_path))
+
+    got = tg.parse_target_file_cached(str(f), "rmd160")
+    assert got.kind == "hash160"
+    assert set(got.raw) == {h1, h2}
+    assert got.labels == [b.hex() for b in got.raw]
+
+    # corrupting the .dat falls back to the text parse, not an error
+    data = bytearray((tmp_path / dat.split("/")[-1]).read_bytes())
+    data[-1] ^= 0xFF
+    (tmp_path / dat.split("/")[-1]).write_bytes(bytes(data))
+    got2 = tg.parse_target_file_cached(str(f), "rmd160")
+    assert set(got2.raw) == {h1, h2}
