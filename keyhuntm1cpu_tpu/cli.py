@@ -60,8 +60,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "more HBM (reference -k)")
     p.add_argument("-n", "--n-value", type=lambda s: int(s, 0), default=None,
                    help="BSGS N per scheduling cycle (hex with 0x or "
-                        "decimal); must have an exact integer square root "
-                        "(reference -n); default 0x100000000000")
+                        "decimal); must have an exact integer square root; "
+                        "default 0x100000000000. In brute modes with -R: "
+                        "sequential keys scanned per random base "
+                        "(reference -n, N_SEQUENTIAL_MAX)")
     p.add_argument("-c", "--crypto", default="btc", choices=["btc", "eth"],
                    help="coin to search; eth only valid with -m address "
                         "(reference -c)")
@@ -225,9 +227,22 @@ def _run(args, log) -> int:
         log.warn("-8 alphabet only applies to -m minikeys")
     if args.m_babies is not None and args.n_value is not None:
         log.warn("--m-babies overrides -n/-k sizing")
-    from .engine.bsgs import resolve_m
+    seq_per_base = None
+    if args.mode in BRUTE_MODES:
+        # reference -n outside bsgs: with -R, scan N sequential keys
+        # from each random base before re-choosing (N_SEQUENTIAL_MAX,
+        # keyhunt.cpp:271,866-880: values < 1024 revert to the 2^32
+        # default); it does not size anything in brute modes
+        if args.n_value is not None:
+            seq_per_base = (
+                args.n_value if args.n_value >= 1024 else 0x100000000
+            )
+            if not args.random_mode:
+                log.warn("-n only affects brute modes with -R (random)")
+    else:
+        from .engine.bsgs import resolve_m
 
-    args.m_babies = resolve_m(args.m_babies, args.n_value, args.k_factor)
+        args.m_babies = resolve_m(args.m_babies, args.n_value, args.k_factor)
 
     if args.bits is not None:
         if args.range is not None:
@@ -323,6 +338,7 @@ def _run(args, log) -> int:
             stride=args.stride,
             random_mode=args.random_mode,
             seed=args.seed,
+            seq_per_base=seq_per_base if args.random_mode else None,
         )
         intervals, prefixes = [], []
         if args.vanity and args.mode in ("address", "rmd160"):

@@ -74,6 +74,12 @@ class BruteParams:
     # window-aligned positions every chunk instead of scanning sequentially
     # (keyhunt.cpp:2547-2568 random base claims)
     seed: int = 0
+    seq_per_base: Optional[int] = None  # reference -n with -R
+    # (N_SEQUENTIAL_MAX, keyhunt.cpp:271,2552-2568): scan this many
+    # sequential keys from each random base before re-basing. None =
+    # one chunk per base; values are rounded UP to whole chunks
+    # (chunk = steps_per_chunk * block_u * stride keys). The reference
+    # floors user values at 1024 and defaults to 2^32.
     # fused Pallas pipeline (curve/pbrute.py): walk + hash + membership in
     # one kernel, zero HBM gathers. Applies when the target set fits the
     # in-kernel compare budget (<= compare_max entries) and shapes tile.
@@ -465,6 +471,14 @@ class BruteEngine:
                 return found
 
         rng = np.random.default_rng(p.seed) if p.random_mode else None
+        # chunks per random base: reference -n/N_SEQUENTIAL_MAX scans that
+        # many sequential keys from each random base before re-choosing
+        # (keyhunt.cpp:2552-2568); a chunk covers K*U stride-spaced keys
+        cpb = 1
+        if rng is not None and p.seq_per_base:
+            cpb = max(1, math.ceil(p.seq_per_base / (K * U)))
+        group_left = 0  # chunks remaining on the current random base
+        s_next = 0  # chained continuation step for the current base
         n_chunks = math.ceil(total / K) if total else 0
         chunks_done = 0
         depth = p.pipeline_depth
@@ -481,7 +495,9 @@ class BruteEngine:
         disp_step = 0  # next step to dispatch (sequential mode)
         disp_chunks = 0  # chunks dispatched (random mode)
         if rng is not None:
-            for _ in range(resumed):  # replay consumed draws
+            # replay consumed draws (one per base group; resume starts a
+            # fresh group rather than reconstructing mid-group state)
+            for _ in range(math.ceil(resumed / cpb)):
                 rng.integers(0, max(1, self._fast_total_steps - K + 1))
             chunks_done = disp_chunks = min(resumed, n_chunks)
         else:
@@ -501,10 +517,20 @@ class BruteEngine:
         while pending or can_dispatch():
             while can_dispatch() and len(pending) < depth:
                 if rng is not None:
-                    s0 = int(
-                        rng.integers(0, max(1, self._fast_total_steps - K + 1))
-                    )
-                    px, py = self._fast_base(s0)
+                    if (group_left <= 0 or px is None
+                            or s_next + K > self._fast_total_steps):
+                        s0 = int(rng.integers(
+                            0, max(1, self._fast_total_steps - K + 1)
+                        ))
+                        px, py = self._fast_base(s0)
+                        group_left = cpb
+                    else:
+                        # -n continuation: the chained device walk state
+                        # (px, py) already sits K steps past the previous
+                        # chunk — keep scanning sequentially from it
+                        s0 = s_next
+                    group_left -= 1
+                    s_next = s0 + K
                 else:
                     s0 = disp_step
                 if px is None:
@@ -744,11 +770,21 @@ class BruteEngine:
         seen = set()
         step = 0
         rng = np.random.default_rng(p.seed) if p.random_mode else None
+        # chunks per random base (reference -n/N_SEQUENTIAL_MAX): each
+        # walker scans that many sequential keys from its random base
+        # before re-choosing; a chunk covers K windows per walker
+        cpb = 1
+        if rng is not None and p.seq_per_base:
+            cpb = max(1, math.ceil(
+                p.seq_per_base / (p.steps_per_chunk * self.window)
+            ))
+        chunks_since_base = 0
         ck = None
         if checkpoint is not None:
             ck, resumed = self._ckpt_load(checkpoint)
             if rng is not None:
-                for _ in range(resumed // p.steps_per_chunk):
+                draws = math.ceil((resumed // p.steps_per_chunk) / cpb)
+                for _ in range(draws):
                     rng.integers(
                         0, max(1, self.total_steps - p.steps_per_chunk),
                         size=p.walkers,
@@ -771,15 +807,25 @@ class BruteEngine:
                 break
             k = min(p.steps_per_chunk, total - step)
             if rng is not None:
-                # random mode: every chunk, each walker re-bases to a
-                # uniform window-aligned position anywhere in the range
-                # (reference -R random base claims, keyhunt.cpp:2547-2568);
-                # the chunk then scans K consecutive windows from there.
+                # random mode: each walker re-bases to a uniform
+                # window-aligned position anywhere in the range
+                # (reference -R random base claims, keyhunt.cpp:2547-2568)
+                # and scans K consecutive windows per chunk; with -n
+                # (seq_per_base) it keeps the chained walk for cpb chunks
+                # before re-choosing, like the reference's sequential-N
+                # scan from each random base.
                 max_start = max(1, self.total_steps - p.steps_per_chunk)
-                starts = rng.integers(0, max_start, size=p.walkers)
-                bases = [int(s0) * self.window for s0 in starts]
-                base_pts = self._centers_for_bases(bases)
-                cx, cy = base_pts.x, base_pts.y
+                overrun = any(
+                    b // self.window + p.steps_per_chunk > self.total_steps
+                    for b in bases
+                )
+                if chunks_since_base % cpb == 0 or overrun:
+                    starts = rng.integers(0, max_start, size=p.walkers)
+                    bases = [int(s0) * self.window for s0 in starts]
+                    base_pts = self._centers_for_bases(bases)
+                    cx, cy = base_pts.x, base_pts.y
+                    chunks_since_base = 0
+                chunks_since_base += 1
             cx, cy, outs = self._chunk_fn(cx, cy)
             arr = np.asarray(outs)  # (K, 2C + 3W + 1) — one transfer
             cand_pos = arr[:, :C]
@@ -831,7 +877,9 @@ class BruteEngine:
                 len(found) > n_found_saved, force=step >= total,
             )
             n_found_saved = len(found)
-            if rng is None:
+            if rng is None or chunks_since_base % cpb != 0:
+                # advance bases for the next chunk (sequential scan, or a
+                # -n group continuation on the same random base)
                 bases = [b + p.steps_per_chunk * self.window for b in bases]
                 if rebase and step < total:
                     base_pts = self._centers_for_bases(bases)

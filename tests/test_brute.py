@@ -151,3 +151,59 @@ def test_target_cache_roundtrip(tmp_path, monkeypatch):
     p1 = parse_target_file_cached(str(pf), "pubkey")
     p2 = parse_target_file_cached(str(pf), "pubkey")
     assert p1.pubkeys == p2.pubkeys == [pt]
+
+
+def test_random_mode_seq_per_base_finds_key():
+    """-R with -n (seq_per_base): each random base scans N sequential
+    keys via chained chunks before re-basing (reference N_SEQUENTIAL_MAX,
+    keyhunt.cpp:2552-2568) and still recovers a planted key."""
+    key = 0x42D11
+    pt = ecref.scalar_mult(key)
+    ts = targets_from_ints("hash160", [hashref.pubkey_to_hash160(pt)])
+    window = 2 * 64 + 1
+    # 4 chunks per base: N = 4 chunks * (K=2 steps * window keys)
+    n = 4 * 2 * window
+    params = BruteParams(walkers=4, block_u=64, steps_per_chunk=2,
+                         chain_len=8, random_mode=True, seed=3,
+                         seq_per_base=n)
+    eng = BruteEngine(ts, 0x40000, 0x48000, mode="rmd160", params=params)
+    found = eng.search(max_steps=512, stop_on_first=True)
+    assert [f.private_key for f in found] == [key]
+
+
+def test_seq_per_base_groups_draws():
+    """With seq_per_base = G chunks' worth of keys, the engine draws a
+    fresh random base only every G chunks (observable through the rng
+    stream: fewer draws than chunks)."""
+    import numpy as np
+
+    key = 0x42424
+    pt = ecref.scalar_mult(key)
+    ts = targets_from_ints("hash160", [hashref.pubkey_to_hash160(pt)])
+    window = 2 * 32 + 1
+    n = 3 * 2 * window  # 3 chunks per base
+    params = BruteParams(walkers=2, block_u=32, steps_per_chunk=2,
+                         chain_len=8, random_mode=True, seed=11,
+                         seq_per_base=n)
+    eng = BruteEngine(ts, 0x40000, 0x44000, mode="rmd160", params=params)
+
+    draws = []
+    real = np.random.default_rng
+
+    class SpyRng:
+        def __init__(self, seed):
+            self._r = real(seed)
+
+        def integers(self, *a, **kw):
+            out = self._r.integers(*a, **kw)
+            draws.append(np.shape(out))
+            return out
+
+    orig = np.random.default_rng
+    np.random.default_rng = SpyRng
+    try:
+        eng.search(max_steps=12 * 2)  # 12 chunks
+    finally:
+        np.random.default_rng = orig
+    # 12 chunks at 3 chunks/base -> 4 base draws (each size=walkers)
+    assert len(draws) == 4
