@@ -595,7 +595,8 @@ class BSGSEngine:
 
         found: List[FoundKey] = []
         px, py = base.x, base.y
-        total = self.n_steps if max_steps is None else min(self.n_steps, max_steps)
+        remaining = self.n_steps - start_step
+        total = remaining if max_steps is None else min(remaining, max_steps)
         end_step = start_step + total
         K = p.steps_per_chunk
 

@@ -11,10 +11,14 @@ Text line protocol over TCP, wire-compatible with the reference
 
 The baby table is built once at startup and stays resident in device HBM
 (reference keeps blooms+bPtable resident in RAM, BSGSD.md:98-102).
-Requests are served one at a time, matching the reference's
-single-client-serial accept loop (bsgsd.cpp:1354-1378) — but connections
-are accepted concurrently (threading server + a device lock) so clients
-never race for the listen socket.
+Unlike the reference's single-client-serial accept loop
+(bsgsd.cpp:1354-1378), concurrent requests INTERLEAVE: each request's
+search runs as bounded device slices (--slice-chunks chunks per turn)
+under a FIFO ticket lock, so a small request completes in a few turns
+instead of waiting out a huge one. The resident table/bitmap are
+read-only and shared by every in-flight request's engine; each engine
+chains its own walk state, so slices from different requests are
+independent device programs over the same table.
 
 Run: python -m keyhuntm1cpu_tpu.server -p 8080 --m-babies 4194304
 """
@@ -32,16 +36,45 @@ from .filter import sorted_table as st
 from .ref import ecref
 
 
+class _TicketLock:
+    """FIFO mutex: slices are granted in request order, so interleaving
+    is fair by construction (threading.Lock leaves wakeup order to the
+    OS, which can starve a waiter behind a tight reacquire loop)."""
+
+    def __init__(self):
+        self._next = 0
+        self._serving = 0
+        self._cv = threading.Condition()
+
+    def __enter__(self):
+        with self._cv:
+            me = self._next
+            self._next += 1
+            while self._serving != me:
+                self._cv.wait()
+        return self
+
+    def __exit__(self, *exc):
+        with self._cv:
+            self._serving += 1
+            self._cv.notify_all()
+
+
 class BSGSService:
-    """Resident baby table + serialized request execution."""
+    """Resident baby table + sliced, interleaved request execution."""
 
     def __init__(self, params: BSGSParams, table: Optional[st.SortedXTable] = None,
-                 warm: bool = True, max_seconds: Optional[float] = None):
+                 warm: bool = True, max_seconds: Optional[float] = None,
+                 slice_chunks: int = 8):
         self.params = params
         # per-request wall-clock cap: a huge-range request cannot hold
-        # the serial search lock forever (reference bsgsd has no bound —
-        # one slow client starves the accept loop, bsgsd.cpp:1354-1378)
+        # the device forever (reference bsgsd has no bound — one slow
+        # client starves the accept loop, bsgsd.cpp:1354-1378)
         self.max_seconds = max_seconds
+        # chunks per device turn: the fairness granularity. Small enough
+        # that a queued request waits one slice, large enough that the
+        # dispatch pipeline stays full within a slice.
+        self.slice_chunks = max(1, slice_chunks)
         boot = BSGSEngine([ecref.G], 1, 2, params, table=table)
         self.table = boot.table
         self.bitmap = boot.bitmap  # resident in HBM alongside the table
@@ -57,19 +90,41 @@ class BSGSService:
             )
             eng.search(max_steps=1)
 
-    _lock = threading.Lock()
+    _lock = _TicketLock()
 
     def solve(self, pubkey_hex: str, a: int, b: int):
         """Returns (key_or_None, complete). complete=False means the
         per-request deadline cut the search before the range was covered
-        — the caller must NOT treat it as an exhaustive miss."""
+        — the caller must NOT treat it as an exhaustive miss.
+
+        The search runs as slice_chunks-sized device turns under the
+        FIFO lock: concurrent requests interleave at slice granularity
+        rather than queueing whole-request-serially like the reference
+        (bsgsd.cpp:1354-1378)."""
+        import time as _time
+
         pt = ecref.parse_pubkey(pubkey_hex)
-        with self._lock:  # one search at a time (device is serial anyway)
-            eng = BSGSEngine(
-                [pt], a, b, self.params, table=self.table, bitmap=self.bitmap
-            )
-            found = eng.search(stop_on_first=True,
-                               max_seconds=self.max_seconds)
+        eng = BSGSEngine(
+            [pt], a, b, self.params, table=self.table, bitmap=self.bitmap
+        )
+        deadline = (
+            None if self.max_seconds is None
+            else _time.monotonic() + self.max_seconds
+        )
+        slice_steps = self.slice_chunks * self.params.steps_per_chunk
+        found = []
+        cur = 0
+        while cur < eng.n_steps:
+            if deadline is not None and _time.monotonic() >= deadline:
+                break  # 408 path: range NOT fully covered
+            budget = min(slice_steps, eng.n_steps - cur)
+            with self._lock:  # one device turn; next waiter goes next
+                found = eng.search(
+                    max_steps=budget, start_step=cur, stop_on_first=True
+                )
+            cur += budget
+            if found:
+                break
         # coverage accounting is exact (stats.add per decoded chunk), so
         # "searched the whole range" is a data check, not a timing guess
         complete = bool(found) or eng.stats.keys_covered >= (b - a)
@@ -152,6 +207,10 @@ def main(argv=None):
                    help="per-request wall-clock cap (a too-large range "
                         "replies 408 at the deadline instead of holding "
                         "the search lock indefinitely)")
+    p.add_argument("--slice-chunks", type=int, default=8,
+                   help="device chunks per scheduling turn: concurrent "
+                        "requests interleave at this granularity "
+                        "(reference bsgsd serves whole requests serially)")
     args = p.parse_args(argv)
     from .engine.bsgs import resolve_m
 
@@ -170,7 +229,8 @@ def main(argv=None):
         else None
     )
     print(f"[+] building/loading baby table m={args.m_babies} ...")
-    service = BSGSService(params, table, max_seconds=args.max_seconds)
+    service = BSGSService(params, table, max_seconds=args.max_seconds,
+                          slice_chunks=args.slice_chunks)
     print(f"[+] serving on {args.ip}:{args.port}")
     with BSGSDServer((args.ip, args.port), service) as srv:
         srv.serve_forever()

@@ -266,3 +266,33 @@ def test_multi_target_chunk_memory_autoshrink():
     # single target at the same shapes stays untouched
     eng1 = BSGSEngine([pub], 1 << 30, 1 << 40, params, table=table)
     assert eng1.p.steps_per_chunk == 256
+
+
+def test_search_stats_exact_under_forced_rebase(shared_engine_table):
+    """A mid-scan rebase (advance-lane degeneracy) drops in-flight chunks
+    and re-dispatches them; stats must still count every step exactly
+    once, and keys in chunks after the rebase point must still be found
+    (VERDICT r2 weak-8: stats are the product in a search tool)."""
+    a, b = 0xA00000, 0xA80000  # 2^19 keys = 32 steps = 8 chunks
+    key = 0xA61000  # sits in a chunk after the forced-rebase chunk
+    pub = ecref.scalar_mult(key)
+    eng = BSGSEngine([pub], a, b, PARAMS, table=shared_engine_table)
+    K = PARAMS.steps_per_chunk
+
+    orig = eng._consume_summary
+    forced = []
+
+    def fake(step, k, arr):
+        found, rebase, interesting = orig(step, k, arr)
+        if step == K and not forced:  # force one rebase at chunk 1
+            forced.append(step)
+            rebase = True
+        return found, rebase, interesting
+
+    eng._consume_summary = fake
+    found = eng.search(stop_on_first=False)
+    assert forced, "the forced-rebase chunk never decoded"
+    assert [f.private_key for f in found] == [key]
+    # exact coverage accounting: every step counted exactly once despite
+    # the pipeline flush + re-dispatch
+    assert eng.stats.keys_covered == eng.n_steps * PARAMS.block_u * eng.stride

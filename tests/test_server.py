@@ -72,3 +72,50 @@ def test_request_deadline_returns_408():
         assert resp == "408 Request Timeout"
     finally:
         srv.shutdown()
+
+
+def test_concurrent_requests_interleave():
+    """Two concurrent clients: a small request queued behind a huge one
+    completes in a few device turns instead of waiting out the whole
+    huge range (the reference serves whole requests serially,
+    bsgsd.cpp:1354-1378). The small request's latency must come in well
+    under the big request's, and both answers must be correct."""
+    import time
+
+    service = BSGSService(PARAMS, table=host_baby_table(PARAMS.m),
+                          warm=False, slice_chunks=1)
+    srv = BSGSDServer(("127.0.0.1", 0), service)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        big_key = 0xBFD000  # near the end of a wide range
+        small_key = 0xA00200  # near the start of a narrow range
+        big_pub = ecref.serialize_pubkey(ecref.scalar_mult(big_key)).hex()
+        small_pub = ecref.serialize_pubkey(ecref.scalar_mult(small_key)).hex()
+
+        results = {}
+
+        def ask(name, line):
+            t0 = time.monotonic()
+            results[name] = (_request(srv.server_address, line),
+                             time.monotonic() - t0)
+
+        t_big = threading.Thread(
+            target=ask, args=("big", f"{big_pub} a00000:c00000"))
+        t_big.start()
+        time.sleep(0.3)  # let the big request take the device first
+        t_small = threading.Thread(
+            target=ask, args=("small", f"{small_pub} a00000:a08000"))
+        t_small.start()
+        t_small.join()
+        small_resp, small_dt = results["small"]
+        t_big.join()
+        big_resp, big_dt = results["big"]
+
+        assert int(small_resp, 16) == small_key
+        assert int(big_resp, 16) == big_key
+        # interleaving: the small request finished well before the big
+        # one's total latency (serial execution would put it after)
+        assert small_dt < 0.75 * big_dt, (small_dt, big_dt)
+    finally:
+        srv.shutdown()
