@@ -82,6 +82,8 @@ class BSGSParams:
     pallas: str = "auto"  # "auto" | "on" | "off": fused Pallas walk
     # kernels (curve/pwalk.py); auto = TPU backend, single target
     pallas_sb: int = 4  # walk-kernel steps per grid block
+    probe_mode: str = "elem"  # bitmap-gather strategy (filter/bitmap.py
+    # probe: elem | sorted | row128) — A/B'd by scripts/exp_probe_sol.py
     pipeline_depth: int = 8  # chunks dispatched ahead of decode: hides the
     # ~28 ms per-call host round trip (the round-1 wall: chunk dispatch +
     # summary pull were serialized, leaving the device idle most of the
@@ -423,6 +425,7 @@ class BSGSEngine:
                 px, py, self.tab_x, self.tab_y, self.adv_x, self.adv_y,
                 self.bitmap.words, self.table.hi, self.table.lo, self.table.idx,
                 T=T, U=U, K=K, C=C, chain=chain, bits_log2=bits_log2,
+                probe_mode=self.p.probe_mode,
             )
 
         return chunk
@@ -475,6 +478,7 @@ class BSGSEngine:
                 self.adv_x, self.adv_y,
                 self.bitmap.words, self.table.hi, self.table.lo, self.table.idx,
                 U=U, K=K, T=T, C2=C2, SB=SB, bits_log2=bits_log2,
+                probe_mode=self.p.probe_mode,
             )
 
         return chunk
@@ -967,9 +971,10 @@ def host_baby_table(m: int) -> st.SortedXTable:
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("T", "U", "K", "C", "chain", "bits_log2"))
+@partial(jax.jit, static_argnames=("T", "U", "K", "C", "chain", "bits_log2",
+                                   "probe_mode"))
 def _xla_chunk_impl(px, py, tab_x, tab_y, adv_x, adv_y, words, thi, tlo, tidx,
-                    *, T, U, K, C, chain, bits_log2):
+                    *, T, U, K, C, chain, bits_log2, probe_mode="elem"):
     bitmap = bmp.DeviceBitmap(words, bits_log2)
     table = st.SortedXTable(thi, tlo, tidx)
 
@@ -981,7 +986,8 @@ def _xla_chunk_impl(px, py, tab_x, tab_y, adv_x, adv_y, words, thi, tlo, tidx,
         # bitmap cascade: 1 gather/query, exact search only on the
         # compacted survivors (C-wide instead of T*U-wide)
         fl = bmp.filtered_lookup(
-            bitmap, table, qhi.reshape(-1), qlo.reshape(-1), C
+            bitmap, table, qhi.reshape(-1), qlo.reshape(-1), C,
+            mode=probe_mode,
         )
         deg_flat = res.degenerate.reshape(-1)
         pos_safe = jnp.minimum(fl.pos, T * U - 1)
@@ -1062,9 +1068,11 @@ def _build_scan_impl(px, py, tx, ty, ax, ay, *, n_iter, K, U, SB):
     return _BuildScanResult(nx, ny, qhi, qlo, deg, dcount, adv.any())
 
 
-@partial(jax.jit, static_argnames=("U", "K", "T", "C2", "SB", "bits_log2"))
+@partial(jax.jit, static_argnames=("U", "K", "T", "C2", "SB", "bits_log2",
+                                   "probe_mode"))
 def _pallas_chunk_impl(px_bm, py_bm, tab_x_lm, tab_y_lm, ax, ay,
-                       words, thi, tlo, tidx, *, U, K, T, C2, SB, bits_log2):
+                       words, thi, tlo, tidx, *, U, K, T, C2, SB, bits_log2,
+                       probe_mode="elem"):
     from ..curve import pwalk
 
     bitmap = bmp.DeviceBitmap(words, bits_log2)
@@ -1081,7 +1089,7 @@ def _pallas_chunk_impl(px_bm, py_bm, tab_x_lm, tab_y_lm, ax, ay,
     # measured ~10 ms vs ~3 ms per 64x8192 chunk on v5e)
     qh = res.qhi.reshape(-1)
     ql = res.qlo.reshape(-1)
-    fl = bmp.filtered_lookup(bitmap, table, qh, ql, C2)
+    fl = bmp.filtered_lookup(bitmap, table, qh, ql, C2, mode=probe_mode)
     deg_flat = deg.reshape(-1)
     pos_safe = jnp.minimum(fl.pos, T * K * U - 1)
     live = ~deg_flat[pos_safe]

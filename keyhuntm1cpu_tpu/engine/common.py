@@ -35,8 +35,23 @@ class FoundKey:
 
 
 def write_found_key(found: FoundKey, path: str = "KEYFOUNDKEYFOUND.txt") -> None:
-    with open(path, "a") as f:
-        f.write(found.to_lines())
+    """Append a found key, staging the serialized secret through a
+    page-locked SecureBuffer (core/security.py) so the formatted key
+    lines never sit in swappable/dumpable pages between formatting and
+    the write. The destination file is plaintext by design — reference
+    parity (keyhunt.cpp writekey appends to KEYFOUNDKEYFOUND.txt)."""
+    import os
+
+    from ..core.security import SecureBuffer
+
+    data = found.to_lines().encode()
+    with SecureBuffer(len(data)) as sb:
+        sb.write(data)
+        fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_APPEND, 0o600)
+        try:
+            os.write(fd, sb.view())
+        finally:
+            os.close(fd)
 
 
 class Deadline:

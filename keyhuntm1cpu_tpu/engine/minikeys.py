@@ -39,6 +39,7 @@ import numpy as np
 
 from ..curve import points, tables
 from ..filter import sorted_table as st
+from ..hash import pminikey
 from ..hash.hash160 import hash160_from_x_parity, hash160_from_xy
 from ..hash.sha256 import sha256_block_words
 from ..ref import ecref, hashref
@@ -66,6 +67,10 @@ class MinikeyParams:
     valid_max: int = 2048  # compacted valid-lane budget (expected B/256)
     hit_max: int = 64  # flagged-lane budget per chunk
     pipeline_depth: int = 8
+    # validity-filter backend: 'auto' uses the Pallas kernel on real
+    # devices (hash/pminikey.py; CPU interprets when forced 'on'),
+    # 'off' keeps the XLA lax.scan sha256 path
+    pallas: str = "auto"
 
 
 class MinikeyEngine:
@@ -104,6 +109,20 @@ class MinikeyEngine:
         self._gx = jnp.asarray(gx)
         self._gy = jnp.asarray(gy)
         self._base_cache = {}
+        if params.pallas not in ("auto", "on", "off"):
+            raise ValueError(f"pallas must be auto/on/off, not {params.pallas!r}")
+        if params.pallas == "on" and params.batch % 1024:
+            raise ValueError("pallas='on' needs batch % 1024 == 0")
+        # the validity kernel runs on real devices only: its Mosaic-
+        # simulator compile takes >50 min on a small CPU host, so CPU
+        # runs (tests) always take the XLA path; the tile function is
+        # XLA-tested (tests/test_pminikey.py) and the full kernel is
+        # device-gated (scripts/check_pminikey.py)
+        self._use_pallas = (
+            params.pallas in ("auto", "on")
+            and jax.default_backend() != "cpu"
+            and params.batch % 1024 == 0
+        )
 
     # ------------------------------------------------------------------
 
@@ -195,11 +214,21 @@ class MinikeyEngine:
                     self.counter += B
                 prefix17 = self.prefix + _b58_digits(high, 5, self.alphabet)
                 w22b, w23b = self._base_words(prefix17)
-                out = _minikey_chunk_impl(
-                    jnp.uint32(low), w22b, w23b, self._gx, self._gy,
+                if self._use_pallas:
+                    valid = pminikey.minikey_valid(
+                        jnp.uint32(low), w23b, B=B,
+                        alphabet=self.alphabet,
+                    )
+                else:
+                    valid = _xla_valid_impl(
+                        jnp.uint32(low), w23b, B=B, alphabet=self.alphabet
+                    )
+                out = _minikey_finish_impl(
+                    jnp.uint32(low), valid, w22b, self._gx, self._gy,
                     self.table.hi, self.table.lo, self.table.idx,
                     B=B, V=V, HM=HM, chain=p.chain_len,
                     alphabet=self.alphabet,
+                    tile_hash=self._use_pallas,
                 )
                 out.copy_to_host_async()
                 pending.append((prefix17, low, self.counter, out))
@@ -321,14 +350,8 @@ def _b58_char(d: jnp.ndarray, alphabet: str = _B58) -> jnp.ndarray:
     return c.astype(jnp.uint32)
 
 
-@partial(jax.jit, static_argnames=("B", "V", "HM", "chain", "alphabet"))
-def _minikey_chunk_impl(base_lo, w22_base, w23_base, gtx, gty,
-                       thi, tlo, tidx, *, B, V, HM, chain,
-                       alphabet: str = _B58):
-    """Returns packed int32 summary [n_valid, n_check, lanes(HM)] where
-    lanes are batch indices needing exact host verification (table hits
-    or scalar-ladder edge cases); fill value B."""
-    v = base_lo + jnp.arange(B, dtype=jnp.uint32)
+def _suffix_or_words(v: jnp.ndarray, alphabet: str):
+    """OR-masks for message words 4/5 (suffix bytes 17..21) of lanes v."""
     digits = []
     x = v
     for _ in range(DEVICE_DIGITS):
@@ -337,27 +360,64 @@ def _minikey_chunk_impl(base_lo, w22_base, w23_base, gtx, gty,
         x = q
     digits.reverse()  # most-significant first
     ch = [_b58_char(d, alphabet) for d in digits]
-    w4or = (ch[0] << 16) | (ch[1] << 8) | ch[2]
-    w5or = (ch[3] << 24) | (ch[4] << 16)
+    return (ch[0] << 16) | (ch[1] << 8) | ch[2], (ch[3] << 24) | (ch[4] << 16)
 
-    def mk_words(base):
-        ws = [jnp.broadcast_to(base[i], (B,)) for i in range(16)]
-        ws[4] = ws[4] | w4or
-        ws[5] = ws[5] | w5or
-        return ws
 
-    valid = (sha256_block_words(mk_words(w23_base))[0] >> jnp.uint32(24)) == 0
-    kw = sha256_block_words(mk_words(w22_base))
-    k_limbs = jnp.stack([kw[7 - i] for i in range(8)], axis=-1)  # (B, 8)
+def _mk_words(base, w4or, w5or, n: int):
+    ws = [jnp.broadcast_to(base[i], (n,)) for i in range(16)]
+    ws[4] = ws[4] | w4or
+    ws[5] = ws[5] | w5or
+    return ws
+
+
+@partial(jax.jit, static_argnames=("B", "alphabet"))
+def _xla_valid_impl(base_lo, w23_base, *, B, alphabet: str = _B58):
+    """(B,) bool validity mask via the XLA lax.scan sha256 pipeline."""
+    v = base_lo + jnp.arange(B, dtype=jnp.uint32)
+    w4or, w5or = _suffix_or_words(v, alphabet)
+    return (
+        sha256_block_words(_mk_words(w23_base, w4or, w5or, B))[0]
+        >> jnp.uint32(24)
+    ) == 0
+
+
+@partial(jax.jit, static_argnames=("B", "V", "HM", "chain", "alphabet",
+                                   "tile_hash"))
+def _minikey_finish_impl(base_lo, valid, w22_base, gtx, gty,
+                        thi, tlo, tidx, *, B, V, HM, chain,
+                        alphabet: str = _B58, tile_hash: bool = False):
+    """Returns packed int32 summary [n_valid, n_check, lanes(HM)] where
+    lanes are batch indices needing exact host verification (table hits
+    or scalar-ladder edge cases); fill value B.
+
+    `valid` is the validity mask — computed by the Pallas kernel
+    (hash/pminikey.py, a separate async dispatch) or _xla_valid_impl.
+    Only the V compacted valid lanes (~B/256 — the reference oversamples
+    identically, keyhunt.cpp:5698-5739) pay the key-derivation sha256,
+    the scalar ladder, and both hash160 forms. tile_hash routes the
+    hash160s through the Pallas tile kernels (hash/phash.py; device
+    only — the ~150-serial-step XLA scan hashes dominate the V-lane
+    cost otherwise)."""
+    valid = valid.astype(bool)
     n_valid = valid.sum().astype(jnp.int32)
     (vidx,) = jnp.nonzero(valid, size=V, fill_value=B)
     vidx = vidx.astype(jnp.int32)
     live = vidx < B
-    kv = k_limbs[jnp.minimum(vidx, B - 1)]
+    vv = base_lo + jnp.minimum(vidx, B - 1).astype(jnp.uint32)
+    w4or, w5or = _suffix_or_words(vv, alphabet)
+    kw = sha256_block_words(_mk_words(w22_base, w4or, w5or, V))
+    kv = jnp.stack([kw[7 - i] for i in range(8)], axis=-1)  # (V, 8)
     pub, irr = points.scalar_mult_batch_jac(kv, gtx, gty, chain_len=chain)
     odd = (pub.y[..., 0] & jnp.uint32(1)) == 1
-    wc = hash160_from_x_parity(pub.x, odd)
-    wu = hash160_from_xy(pub.x, pub.y)
+    if tile_hash:
+        from ..hash import phash
+
+        (cle, che), (clo, cho) = phash.hash160_x2_from_batch(pub.x)
+        wc = (jnp.where(odd, clo, cle), jnp.where(odd, cho, che))
+        wu = phash.hash160_u_from_batch(pub.x, pub.y)
+    else:
+        wc = hash160_from_x_parity(pub.x, odd)
+        wu = hash160_from_xy(pub.x, pub.y)
     table = st.SortedXTable(thi, tlo, tidx)
     lc = st.lookup(table, wc[1], wc[0])
     lu = st.lookup(table, wu[1], wu[0])

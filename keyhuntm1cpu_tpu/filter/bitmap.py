@@ -174,8 +174,23 @@ def build_bitmap_device(
     return DeviceBitmap(_build_words_device(hi, lo, bits_log2, n_words), bits_log2)
 
 
-def probe(bm: DeviceBitmap, qhi: jnp.ndarray, qlo: jnp.ndarray) -> jnp.ndarray:
-    """(B,) bool possibly-present mask — exactly one gather round."""
+PROBE_MODES = ("elem", "sorted", "row128")
+
+
+def probe(bm: DeviceBitmap, qhi: jnp.ndarray, qlo: jnp.ndarray,
+          mode: str = "elem") -> jnp.ndarray:
+    """(B,) bool possibly-present mask — exactly one gather round.
+
+    mode picks the gather strategy (bit-identical results; measured by
+    scripts/exp_probe_sol.py, exposed as BSGSParams.probe_mode):
+      elem    words[idx] — one 4 B random gather per query
+      sorted  argsort + gather + unsort: address-bucketed probes hit HBM
+              with page/row locality; wins iff the sort is cheaper than
+              the locality gain
+      row128  gather 128-word rows + lane select: one 512 B transaction
+              per query — wins if XLA's row gather is bandwidth-efficient
+              where its element gather is issue-rate-bound
+    """
     if bm.bits_log2 > 32:
         extra = bm.bits_log2 - 32  # word count < 2^30: int32 indices are safe
         word_idx = (
@@ -188,7 +203,22 @@ def probe(bm: DeviceBitmap, qhi: jnp.ndarray, qlo: jnp.ndarray) -> jnp.ndarray:
         idx = qlo & mask
         word_idx = (idx >> jnp.uint32(5)).astype(jnp.int32)
         bit = idx & jnp.uint32(31)
-    words = bm.words[word_idx]
+    if mode == "sorted":
+        order = jnp.argsort(word_idx)
+        got = bm.words[word_idx[order]]
+        words = jnp.zeros_like(got).at[order].set(got)
+    elif mode == "row128":
+        # bits_log2 >= 12 always holds at engine sizes, so the word
+        # count is a multiple of 128 and the reshape is exact
+        rows = bm.words.reshape(-1, 128)
+        got = rows[word_idx >> 7]
+        words = jnp.take_along_axis(
+            got, (word_idx & 127)[:, None], axis=1
+        )[:, 0]
+    elif mode == "elem":
+        words = bm.words[word_idx]
+    else:
+        raise ValueError(f"probe mode must be one of {PROBE_MODES}")
     return ((words >> bit) & jnp.uint32(1)) == 1
 
 
@@ -204,6 +234,7 @@ def filtered_lookup(
     qhi: jnp.ndarray,
     qlo: jnp.ndarray,
     cand_max: int,
+    mode: str = "elem",
 ) -> FilteredLookup:
     """Bitmap probe -> compact survivors -> exact binary search (C-wide).
 
@@ -213,7 +244,7 @@ def filtered_lookup(
     ~P(Binom(B, 2^-12) > cand_max) event).
     """
     b = qhi.shape[0]
-    mask = probe(bm, qhi, qlo)
+    mask = probe(bm, qhi, qlo, mode=mode)
     n = mask.sum().astype(jnp.int32)
     (pos,) = jnp.nonzero(mask, size=cand_max, fill_value=b)
     pos = pos.astype(jnp.int32)

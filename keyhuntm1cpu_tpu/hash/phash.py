@@ -163,7 +163,7 @@ def hash160_x2_tiles(x_lm: jnp.ndarray, interpret: bool = False):
     )(x_lm)
 
 
-def hash160_x2_from_batch(x_bm: jnp.ndarray):
+def hash160_x2_from_batch(x_bm: jnp.ndarray, interpret: bool = False):
     """(B, 8) batch-major X -> ((lo_e, hi_e), (lo_o, hi_o)) flat (B,) words.
 
     Pads B to a whole (8, 128) tile; drop-in for the trunc64 part of
@@ -178,7 +178,7 @@ def hash160_x2_from_batch(x_bm: jnp.ndarray):
         )
     rows = x_bm.shape[0] // LANES
     lm = jnp.transpose(x_bm, (1, 0)).reshape(8, rows, LANES)
-    le, he, lo, ho = hash160_x2_tiles(lm)
+    le, he, lo, ho = hash160_x2_tiles(lm, interpret=interpret)
     flat = lambda a: a.reshape(-1)[:b]
     return (flat(le), flat(he)), (flat(lo), flat(ho))
 
@@ -378,7 +378,7 @@ def hash160_u_tiles(x_lm, y_lm, interpret: bool = False):
     )(x_lm, y_lm)
 
 
-def hash160_u_from_batch(x_bm, y_bm):
+def hash160_u_from_batch(x_bm, y_bm, interpret: bool = False):
     """(B, 8) x2 -> (lo, hi) flat (B,) uncompressed-hash160 target keys."""
     b = x_bm.shape[0]
     tile = SUBLANES * LANES
@@ -390,5 +390,5 @@ def hash160_u_from_batch(x_bm, y_bm):
     rows = x_bm.shape[0] // LANES
     xl = jnp.transpose(x_bm, (1, 0)).reshape(8, rows, LANES)
     yl = jnp.transpose(y_bm, (1, 0)).reshape(8, rows, LANES)
-    lo, hi = hash160_u_tiles(xl, yl)
+    lo, hi = hash160_u_tiles(xl, yl, interpret=interpret)
     return lo.reshape(-1)[:b], hi.reshape(-1)[:b]

@@ -1,15 +1,15 @@
 #!/bin/bash
-# Poll for the axon TPU tunnel; when it comes back, run the queued
-# round-2 TPU experiments (correctness gates first, then the hash_rows
-# A/B).  Logs land in /root/repo/.tpu_queue/.  The script exits when the
-# queue is done, so a background launcher gets a completion event.
+# Poll for the axon TPU tunnel; when it is up, drain the dynamic queue
+# .tpu_queue/queue.d/*.sh in lexical order (each entry is a small shell
+# script run with bash).  An entry runs ONCE: after an attempt its name
+# is recorded in .tpu_queue/done/ with the rc.  New entries can be added
+# at any time — the watcher keeps polling forever, so gates written
+# mid-round run as soon as (a) they exist and (b) the tunnel is up.
 #
-# Queue (from the round-2 finale): the fused-brute emit sub-blocking
-# (BruteParams.hash_rows) landed trace-checked but UNMEASURED because the
-# tunnel went down; gate it bit-exact, then A/B eth + rmd160.
+# Logs land in .tpu_queue/<name>.log; status lines in .tpu_queue/status.
 set -u
-LOG=/root/repo/.tpu_queue
-mkdir -p "$LOG"
+Q=/root/repo/.tpu_queue
+mkdir -p "$Q/queue.d" "$Q/done"
 cd /root/repo
 export PYTHONPATH=/root/repo:${PYTHONPATH:-}
 
@@ -21,30 +21,30 @@ assert ds and ds[0].platform not in ("cpu",), ds
 EOF
 }
 
-while ! probe; do
-  echo "$(date -Is) tunnel down" >>"$LOG/status"
-  sleep 300
+up=0
+while true; do
+  if ! probe; then
+    up=0
+    echo "$(date -Is) tunnel down" >>"$Q/status"
+    sleep 300
+    continue
+  fi
+  if [ "$up" = 0 ]; then
+    echo "$(date -Is) tunnel UP" >>"$Q/status"
+    up=1
+  fi
+  ran=0
+  for f in "$Q"/queue.d/*.sh; do
+    [ -e "$f" ] || continue
+    name=$(basename "$f" .sh)
+    [ -e "$Q/done/$name" ] && continue
+    echo "$(date -Is) start $name" >>"$Q/status"
+    timeout 5400 bash "$f" >"$Q/$name.log" 2>&1
+    rc=$?
+    echo "rc=$rc $(date -Is)" >"$Q/done/$name"
+    echo "$(date -Is) done $name rc=$rc" >>"$Q/status"
+    ran=1
+    break  # re-probe between entries (tunnel may drop mid-queue)
+  done
+  [ "$ran" = 0 ] && sleep 60
 done
-echo "$(date -Is) tunnel UP - running queue" >>"$LOG/status"
-
-run() {
-  name=$1; shift
-  echo "$(date -Is) start $name" >>"$LOG/status"
-  timeout 5400 "$@" >"$LOG/$name.log" 2>&1
-  rc=$?  # capture BEFORE the next command substitution resets $?
-  echo "$(date -Is) done $name rc=$rc" >>"$LOG/status"
-}
-
-# (the default check_pbrute run already includes the bucketed gate —
-# ONLY='all'; no separate buckets entry, the tunnel window is precious)
-run check_pbrute        python scripts/check_pbrute.py
-run check_pbrute_extras python scripts/check_pbrute.py extras
-run validate_pwalk      python scripts/validate_pwalk.py
-run check_sbrute        python scripts/check_sbrute.py
-CHECK_HASH_ROWS=8 run check_pbrute_hr8 python scripts/check_pbrute.py
-run exp_hash_rows       python scripts/exp_hash_rows.py eth rmd160
-run exp_buckets         python scripts/exp_buckets.py
-# warm the compile caches + sanity the headline so the driver's
-# round-end bench run starts hot (first compiles are ~minutes each)
-BENCH_DEADLINE=5400 run bench_warm python bench.py
-echo "$(date -Is) queue complete" >>"$LOG/status"

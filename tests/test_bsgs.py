@@ -296,3 +296,17 @@ def test_search_stats_exact_under_forced_rebase(shared_engine_table):
     # exact coverage accounting: every step counted exactly once despite
     # the pipeline flush + re-dispatch
     assert eng.stats.keys_covered == eng.n_steps * PARAMS.block_u * eng.stride
+
+
+def test_recover_key_with_probe_sorted(shared_engine_table):
+    """probe_sort buckets the bitmap gather by address; recovery must be
+    identical to the natural-order probe (filter/bitmap.py probe)."""
+    import dataclasses
+
+    key = 0xA1B2C3
+    a, b = 0xA00000, 0xB00000
+    pub = ecref.scalar_mult(key)
+    params = dataclasses.replace(PARAMS, probe_mode="sorted")
+    eng = BSGSEngine([pub], a, b, params, table=shared_engine_table)
+    found = eng.search()
+    assert sorted(f.private_key for f in found) == [key]

@@ -203,3 +203,37 @@ def test_secure_compare_and_wipe():
     buf = bytearray(b"secret")
     secure_wipe(buf)
     assert buf == bytearray(6)
+
+
+def test_secure_buffer_lifecycle(tmp_path):
+    from keyhuntm1cpu_tpu.core.security import SecureBuffer
+
+    with SecureBuffer(4096) as sb:
+        assert len(sb) == 4096
+        sb.write(b"keymaterial", offset=8)
+        assert bytes(sb.view()[8:19]) == b"keymaterial"
+        with pytest.raises(ValueError):
+            sb.write(b"x" * 5000)
+        sb.wipe()
+        assert bytes(sb.view()[:32]) == bytes(32)
+    sb.close()  # idempotent after context exit
+
+    with pytest.raises(ValueError):
+        SecureBuffer(0)
+
+
+def test_write_found_key_stages_through_secure_buffer(tmp_path):
+    import os
+
+    from keyhuntm1cpu_tpu.engine.common import FoundKey, write_found_key
+    from keyhuntm1cpu_tpu.ref import ecref
+
+    pt = ecref.scalar_mult(7)
+    fk = FoundKey(private_key=7, pubkey=pt, compressed=True, target="unit")
+    p = tmp_path / "found.txt"
+    write_found_key(fk, str(p))
+    write_found_key(fk, str(p))  # append mode
+    body = p.read_text()
+    assert body.count("Private key:") == 2
+    assert f"{7:064x}" in body
+    assert (os.stat(p).st_mode & 0o777) == 0o600

@@ -223,3 +223,25 @@ class TestDevicePrimitives:
         assert np.array_equal(np.asarray(a.hi), np.asarray(b.hi))
         assert np.array_equal(np.asarray(a.lo), np.asarray(b.lo))
         assert np.array_equal(np.asarray(a.idx), np.asarray(b.idx))
+
+
+def test_probe_sorted_matches_natural():
+    """probe(sort=True) must be bit-identical to the natural-order probe."""
+    import numpy as np
+    import jax.numpy as jnp
+    from keyhuntm1cpu_tpu.filter import bitmap as bmp
+
+    rng = np.random.default_rng(42)
+    hi = rng.integers(0, 2**32, size=512, dtype=np.uint32)
+    lo = rng.integers(0, 2**32, size=512, dtype=np.uint32)
+    bm = bmp.build_bitmap(hi, lo, bits_log2=20, on_device=False)
+    # queries: half planted members, half random
+    qhi = np.concatenate([hi[:256], rng.integers(0, 2**32, 256, np.uint32)])
+    qlo = np.concatenate([lo[:256], rng.integers(0, 2**32, 256, np.uint32)])
+    nat = np.asarray(bmp.probe(bm, jnp.asarray(qhi), jnp.asarray(qlo)))
+    for mode in ("sorted", "row128"):
+        got = np.asarray(
+            bmp.probe(bm, jnp.asarray(qhi), jnp.asarray(qlo), mode=mode)
+        )
+        np.testing.assert_array_equal(nat, got, err_msg=mode)
+    assert nat[:256].all()  # planted members survive
