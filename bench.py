@@ -59,7 +59,7 @@ def main():
         m=M, block_u=BLOCK_U, steps_per_chunk=CHUNK_K, build_block=4096,
         cand_max=CAND_MAX, bits_log2=int(BITS_LOG2) if BITS_LOG2 else None,
         pallas_sb=SB,
-        probe_mode=os.environ.get("BENCH_PROBE_MODE", "elem"),
+        probe_mode=os.environ.get("BENCH_PROBE_MODE") or None,
     )
 
     # --- table (device-built; npz cache only when BENCH_TABLE_CACHE set)

@@ -82,8 +82,9 @@ class BSGSParams:
     pallas: str = "auto"  # "auto" | "on" | "off": fused Pallas walk
     # kernels (curve/pwalk.py); auto = TPU backend, single target
     pallas_sb: int = 4  # walk-kernel steps per grid block
-    probe_mode: str = "elem"  # bitmap-gather strategy (filter/bitmap.py
-    # probe: elem | sorted | row128) — A/B'd by scripts/exp_probe_sol.py
+    probe_mode: "str | None" = None  # bitmap-gather strategy (filter/
+    # bitmap.py probe: elem | sorted | row128; None = the module default
+    # DEFAULT_PROBE_MODE) — A/B'd by scripts/exp_probe_sol.py
     pipeline_depth: int = 8  # chunks dispatched ahead of decode: hides the
     # ~28 ms per-call host round trip (the round-1 wall: chunk dispatch +
     # summary pull were serialized, leaving the device idle most of the
@@ -974,7 +975,7 @@ def host_baby_table(m: int) -> st.SortedXTable:
 @partial(jax.jit, static_argnames=("T", "U", "K", "C", "chain", "bits_log2",
                                    "probe_mode"))
 def _xla_chunk_impl(px, py, tab_x, tab_y, adv_x, adv_y, words, thi, tlo, tidx,
-                    *, T, U, K, C, chain, bits_log2, probe_mode="elem"):
+                    *, T, U, K, C, chain, bits_log2, probe_mode=None):
     bitmap = bmp.DeviceBitmap(words, bits_log2)
     table = st.SortedXTable(thi, tlo, tidx)
 
@@ -1072,7 +1073,7 @@ def _build_scan_impl(px, py, tx, ty, ax, ay, *, n_iter, K, U, SB):
                                    "probe_mode"))
 def _pallas_chunk_impl(px_bm, py_bm, tab_x_lm, tab_y_lm, ax, ay,
                        words, thi, tlo, tidx, *, U, K, T, C2, SB, bits_log2,
-                       probe_mode="elem"):
+                       probe_mode=None):
     from ..curve import pwalk
 
     bitmap = bmp.DeviceBitmap(words, bits_log2)

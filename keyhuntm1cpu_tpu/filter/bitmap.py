@@ -176,9 +176,15 @@ def build_bitmap_device(
 
 PROBE_MODES = ("elem", "sorted", "row128")
 
+# Module default, used by every engine that does not plumb an explicit
+# probe_mode (XLA brute fallback, sharded mesh engines). Flip this to
+# the winner of .tpu_queue/21_probe_mode_ab.sh / exp_probe_sol.py so
+# all call sites benefit at once.
+DEFAULT_PROBE_MODE = "elem"
+
 
 def probe(bm: DeviceBitmap, qhi: jnp.ndarray, qlo: jnp.ndarray,
-          mode: str = "elem") -> jnp.ndarray:
+          mode: "str | None" = None) -> jnp.ndarray:
     """(B,) bool possibly-present mask — exactly one gather round.
 
     mode picks the gather strategy (bit-identical results; measured by
@@ -203,6 +209,8 @@ def probe(bm: DeviceBitmap, qhi: jnp.ndarray, qlo: jnp.ndarray,
         idx = qlo & mask
         word_idx = (idx >> jnp.uint32(5)).astype(jnp.int32)
         bit = idx & jnp.uint32(31)
+    if mode is None:
+        mode = DEFAULT_PROBE_MODE
     if mode == "sorted":
         order = jnp.argsort(word_idx)
         got = bm.words[word_idx[order]]
@@ -234,7 +242,7 @@ def filtered_lookup(
     qhi: jnp.ndarray,
     qlo: jnp.ndarray,
     cand_max: int,
-    mode: str = "elem",
+    mode: "str | None" = None,
 ) -> FilteredLookup:
     """Bitmap probe -> compact survivors -> exact binary search (C-wide).
 
