@@ -99,6 +99,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "address/rmd160 modes the reference-format "
                         "data_<8-hex>.dat target cache (reference -S)")
     p.add_argument("--table-file", default=None, help="baby table cache path")
+    p.add_argument("--probe-mode", default=None,
+                   choices=["elem", "sorted", "row128"],
+                   help="bitmap-gather strategy (filter/bitmap.py probe; "
+                        "default: module DEFAULT_PROBE_MODE)")
     p.add_argument("-6", "--skip-checksum", action="store_true", dest="skip_checksum",
                    help="skip table checksum verification (reference -6)")
     p.add_argument("--checkpoint", default=None,
@@ -169,6 +173,7 @@ def main(argv=None) -> int:
                 ("k_factor", "k_factor"), ("n_value", "n_value"),
                 ("filter_mult", "filter_mult"), ("crypto", "crypto"),
                 ("alphabet", "minikey_alphabet"),
+                ("probe_mode", "probe_mode"),
             ):
                 if getattr(args, attr) == getattr(defaults, attr):
                     v = getattr(cfg, key)
@@ -268,6 +273,7 @@ def _run(args, log) -> int:
         params = BSGSParams(
             m=args.m_babies, block_u=args.block_u,
             steps_per_chunk=args.chunk_steps, bits_log2=bits,
+            probe_mode=args.probe_mode,
         )
         table = None
         cache = args.table_file or f"keyhunt_tpu_baby_{args.m_babies}.npz"
