@@ -67,9 +67,10 @@ class MinikeyParams:
     valid_max: int = 2048  # compacted valid-lane budget (expected B/256)
     hit_max: int = 64  # flagged-lane budget per chunk
     pipeline_depth: int = 8
-    # validity-filter backend: 'auto' uses the Pallas kernel on real
-    # devices (hash/pminikey.py; CPU interprets when forced 'on'),
-    # 'off' keeps the XLA lax.scan sha256 path
+    # validity-filter backend: 'auto'/'on' use the Pallas kernel on
+    # real devices (hash/pminikey.py; CPU always takes the XLA path —
+    # the Mosaic-simulator compile is >50 min on a small host),
+    # 'off' forces the XLA lax.scan sha256 path everywhere
     pallas: str = "auto"
 
 
