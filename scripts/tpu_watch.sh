@@ -33,6 +33,14 @@ while true; do
     echo "$(date -Is) tunnel UP" >>"$Q/status"
     up=1
   fi
+  # Never contend with a driver-launched bench for the single chip:
+  # concurrent TPU runs poison both runs' timing (and can wedge the
+  # tunnel).  pgrep is detection only — nothing is killed.
+  if pgrep -f "python.*bench\.py" >/dev/null 2>&1; then
+    echo "$(date -Is) external bench.py running; deferring queue" >>"$Q/status"
+    sleep 120
+    continue
+  fi
   ran=0
   for f in "$Q"/queue.d/*.sh; do
     [ -e "$f" ] || continue
