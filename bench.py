@@ -211,6 +211,28 @@ def supervise() -> int:
     # driver's bench run is the round's one non-negotiable artifact, so
     # wait up to 3 h by default before conceding.
     probe_budget = float(os.environ.get("BENCH_PROBE_BUDGET", 10800))
+
+    # Chip mutual exclusion with the gate queue: tpu_watch.sh writes
+    # `.tpu_queue/RUNNING` ("<name> <watcher-pid>") around each gate it
+    # runs. Two processes sharing the single tunneled chip starve each
+    # other, so wait for a mid-flight gate to finish before benching —
+    # unless the bench IS the queue entry (TPU_QUEUE_ENTRY=1), in which
+    # case the file describes us. A gate is capped at 5400 s by the
+    # watcher's timeout; a RUNNING file whose watcher pid is dead is
+    # stale and ignored.
+    running = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           ".tpu_queue", "RUNNING")
+    if not os.environ.get("TPU_QUEUE_ENTRY"):
+        t_lock = time.time()
+        while os.path.exists(running) and time.time() - t_lock < 5700:
+            try:
+                pid = int(open(running).read().split()[-1])
+                os.kill(pid, 0)
+            except (OSError, ValueError, IndexError):
+                break  # stale (watcher gone) or unreadable — proceed
+            log("[bench] gate queue holds the chip; waiting 30s")
+            time.sleep(30)
+
     t0 = time.time()
     while True:
         try:

@@ -47,8 +47,13 @@ while true; do
     name=$(basename "$f" .sh)
     [ -e "$Q/done/$name" ] && continue
     echo "$(date -Is) start $name" >>"$Q/status"
-    timeout 5400 bash "$f" >"$Q/$name.log" 2>&1
+    # Advertise the running entry: bench.py's supervisor waits for this
+    # file to clear (unless the bench IS the entry, flagged via env) so
+    # the driver's round-end bench never contends with a mid-flight gate.
+    echo "$name $$" >"$Q/RUNNING"
+    TPU_QUEUE_ENTRY=1 timeout 5400 bash "$f" >"$Q/$name.log" 2>&1
     rc=$?
+    rm -f "$Q/RUNNING"
     echo "rc=$rc $(date -Is)" >"$Q/done/$name"
     echo "$(date -Is) done $name rc=$rc" >>"$Q/status"
     ran=1
