@@ -181,7 +181,9 @@ def _brute_kernel(bx_ref, by_ref, tabx_ref, taby_ref, tgt_ref, btab_ref,
                     m = m | (ge & le)
                 if TB:
                     # bucketed exact targets: per-point dynamic lane
-                    # shuffle of the bucket rows, high-word compare only
+                    # shuffle of the bucket rows, high-word compare only.
+                    # The loop carry must be u32, not bool — Mosaic cannot
+                    # legalize scf.for with a vector<i1> carried value.
                     idx = (b & np.uint32(127)).astype(jnp.int32)
 
                     def bcmp(l8, mm):
@@ -189,10 +191,12 @@ def _brute_kernel(bx_ref, by_ref, tabx_ref, taby_ref, tgt_ref, btab_ref,
                         for r in range(8):
                             row = jnp.broadcast_to(blk[r][None, :], a.shape)
                             hv = jnp.take_along_axis(row, idx, axis=-1)
-                            mm = mm | (a == hv)
+                            mm = mm | (a == hv).astype(jnp.uint32)
                         return mm
 
-                    m = jax.lax.fori_loop(0, TB // 8, bcmp, m)
+                    mb = jax.lax.fori_loop(
+                        0, TB // 8, bcmp, jnp.zeros_like(a))
+                    m = m | (mb != 0)
                 hit = hit | (m.astype(jnp.uint32) << q)
                 q += 1
         # degenerate lanes produced garbage x3: suppress their hash hits,
