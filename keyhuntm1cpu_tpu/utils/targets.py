@@ -151,8 +151,15 @@ def parse_target_file(path: str, kind: str) -> TargetSet:
     )
 
 
-def targets_from_ints(kind: str, values: Sequence[bytes], labels=None) -> TargetSet:
-    return TargetSet(kind=kind, raw=list(values), labels=labels or [v.hex() for v in values])
+def targets_from_ints(kind: str, values: "Sequence[bytes | int]",
+                      labels=None) -> TargetSet:
+    """TargetSet from raw digests. Ints are converted big-endian at the
+    kind's digest width (hash160/eth: 20 bytes, xpoint: 32)."""
+    width = 32 if kind == "xpoint" else 20
+    raw = [v if isinstance(v, bytes) else int(v).to_bytes(width, "big")
+           for v in values]
+    return TargetSet(kind=kind, raw=raw,
+                     labels=labels or [v.hex() for v in raw])
 
 
 # ---------------------------------------------------------------------------
