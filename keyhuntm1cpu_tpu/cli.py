@@ -31,7 +31,13 @@ def parse_range(s: str):
     if ":" not in s:
         raise argparse.ArgumentTypeError("range must be start:end (hex)")
     a, b = s.split(":", 1)
-    return int(a, 16), int(b, 16)
+    if not a:
+        raise argparse.ArgumentTypeError("range start is required")
+    # reference parity: the end may be omitted — "search from start range
+    # to N-1" (keyhunt menu(), keyhunt.cpp:5759)
+    from .ref import ecref
+
+    return int(a, 16), (int(b, 16) if b else ecref.N - 1)
 
 
 def build_parser() -> argparse.ArgumentParser:

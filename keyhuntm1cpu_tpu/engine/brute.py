@@ -55,6 +55,26 @@ from .common import Deadline, FoundKey, SearchStats
 _LAM_POW = (1, ecref.LAMBDA, ecref.LAMBDA * ecref.LAMBDA % ecref.N)
 
 
+def resolve_hash_rows(mode: str, block_u: int,
+                      hash_rows: Optional[int]) -> Optional[int]:
+    """Per-mode emit sub-blocking default for the fused kernel.
+
+    Device A/B (docs/gates/05_hash_rows_ab.log, v5e): full-tile emit is
+    vreg-spill-bound for the hash pipelines — eth hr=8 is +27% (179.0M
+    vs 140.8M pts/s) and rmd160 hr=16 is +14% (385.6M vs 337.1M).
+    xpoint has no hash phase, so it keeps the single-pass emit. An
+    explicit hash_rows always wins; defaults that don't tile block_u
+    fall back to full-tile (e.g. the block_u=256 gate shapes).
+    """
+    if hash_rows is not None:
+        return hash_rows
+    hr = {"eth": 8, "rmd160": 16, "rmd160_both": 16, "address_u": 16}.get(mode)
+    rows = block_u // 128
+    if hr is None or rows % hr != 0 or hr >= rows:
+        return None
+    return hr
+
+
 @dataclass(frozen=True)
 class BruteParams:
     walkers: int = 4  # W independent walkers
@@ -99,8 +119,9 @@ class BruteParams:
     # the ~28 ms host round trip behind device compute; bounded to avoid
     # unbounded async dispatch through the device tunnel)
     hash_rows: Optional[int] = None  # emit-phase sub-block rows in the
-    # fused kernel (None = full tile): smaller values bound the hash
-    # pipelines' live register set (see pbrute._brute_kernel)
+    # fused kernel (None = per-mode tuned default, see resolve_hash_rows):
+    # smaller values bound the hash pipelines' live register set
+    # (see pbrute._brute_kernel)
 
 
 class BruteEngine:
@@ -369,7 +390,8 @@ class BruteEngine:
                 self._adv_x_f, self._adv_y_f, self._tgt_words, self._btab,
                 K=p.steps_per_chunk, U=p.block_u, SB=p.pallas_sb,
                 C=p.chunk_cand, mode=self.mode, n_endo=self._n_endo_fast,
-                interpret=self._interpret, hash_rows=p.hash_rows,
+                interpret=self._interpret,
+                hash_rows=resolve_hash_rows(self.mode, p.block_u, p.hash_rows),
                 n_bucket_rows=self._n_bucket_rows,
             )
 

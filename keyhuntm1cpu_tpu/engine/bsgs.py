@@ -933,6 +933,12 @@ class BSGSEngine:
         out = []
         for cand in cands:
             k = verify_candidate_scalar(cand, self.targets[t])
+            # The final block's giant-step centers tile past range_end, so a
+            # verified key can land outside [a, b]; the reference only ever
+            # reports keys inside the claimed range (keyhunt.cpp:3824-3841
+            # claims exact 2N windows), so filter to the requested range.
+            if k is not None and not (self.a <= k <= self.b):
+                k = None
             if k is not None:
                 out.append(
                     FoundKey(

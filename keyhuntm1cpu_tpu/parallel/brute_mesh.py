@@ -122,7 +122,10 @@ class ShardedBruteEngine:
         c0 = self.children[0]
         K, U, SB, C = p.steps_per_chunk, p.block_u, p.pallas_sb, p.chunk_cand
         mode, ne = c0.mode, c0._n_endo_fast
-        hr, nbr = p.hash_rows, c0._n_bucket_rows
+        from ..engine.brute import resolve_hash_rows
+
+        hr = resolve_hash_rows(c0.mode, p.block_u, p.hash_rows)
+        nbr = c0._n_bucket_rows
 
         interpret = c0._interpret  # CPU backend interprets (slow but real)
 

@@ -154,8 +154,12 @@ def parse_target_file(path: str, kind: str) -> TargetSet:
 def targets_from_ints(kind: str, values: "Sequence[bytes | int]",
                       labels=None) -> TargetSet:
     """TargetSet from raw digests. Ints are converted big-endian at the
-    kind's digest width (hash160/eth: 20 bytes, xpoint: 32)."""
-    width = 32 if kind == "xpoint" else 20
+    kind's digest width (hash160/eth: 20 bytes, xpoint/pubkey: 32)."""
+    widths = {"hash160": 20, "address": 20, "rmd160": 20, "eth": 20,
+              "xpoint": 32, "pubkey": 32}
+    if kind not in widths:
+        raise ValueError(f"unknown target kind {kind!r}")
+    width = widths[kind]
     raw = [v if isinstance(v, bytes) else int(v).to_bytes(width, "big")
            for v in values]
     return TargetSet(kind=kind, raw=raw,

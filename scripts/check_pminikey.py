@@ -98,7 +98,11 @@ def gate_throughput(seconds=10.0):
     from keyhuntm1cpu_tpu.engine.minikeys import MinikeyEngine, MinikeyParams
     from keyhuntm1cpu_tpu.utils.targets import targets_from_ints
 
-    ts = targets_from_ints("hash160", [123456789, 987654321])
+    # Decoys must have entropy in the LEADING 8 bytes: the device filter
+    # keys on digest[:8], and small ints would collapse both targets to
+    # the degenerate all-zero key64 (advisor r3 finding).
+    rng = np.random.default_rng(0xC0FFEE)
+    ts = targets_from_ints("hash160", [rng.bytes(20), rng.bytes(20)])
     for label, pallas in (("pallas", "auto"), ("xla", "off")):
         eng = MinikeyEngine(
             ts, params=MinikeyParams(pallas=pallas)

@@ -72,6 +72,19 @@ def test_no_hit_when_key_outside_range(shared_engine_table):
     assert eng.search() == []
 
 
+def test_no_hit_just_past_range_end(shared_engine_table):
+    # The final block's giant-step centers tile past range_end; keys
+    # planted there must still be filtered out (advisor r3 / gate 06):
+    # only keys in the claimed [a, b] may be reported.
+    a, b = 0x300000, 0x340000
+    in_range = a + 0x1234
+    decoys = [b + 3 + 7 * i for i in range(5)]
+    targets = [ecref.scalar_mult(k) for k in [in_range] + decoys]
+    eng = BSGSEngine(targets, a, b, PARAMS, table=shared_engine_table)
+    found = sorted(f.private_key for f in eng.search(stop_on_first=False))
+    assert found == [in_range]
+
+
 def test_multi_target(shared_engine_table):
     k1, k2 = 0xA11111, 0xA22222
     a, b = 0xA00000, 0xB00000

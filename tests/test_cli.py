@@ -105,6 +105,51 @@ def test_bits_shorthand_maps_to_range():
     assert a == 0x800000 and b == 0x1000000
 
 
+def test_open_ended_range():
+    """-r start: (end omitted) searches to N-1 — reference menu()
+    semantics (keyhunt.cpp:5759)."""
+    import pytest
+
+    from keyhuntm1cpu_tpu.cli import parse_range
+    from keyhuntm1cpu_tpu.ref import ecref
+
+    assert parse_range("800000:") == (0x800000, ecref.N - 1)
+    assert parse_range("1:f") == (1, 15)
+    with pytest.raises(Exception):
+        parse_range(":f")
+    with pytest.raises(Exception):
+        parse_range("800000")
+
+
+def test_resolve_hash_rows_defaults():
+    """Per-mode emit sub-blocking defaults from the device A/B
+    (docs/gates/05_hash_rows_ab.log)."""
+    from keyhuntm1cpu_tpu.engine.brute import resolve_hash_rows
+
+    assert resolve_hash_rows("eth", 16384, None) == 8
+    assert resolve_hash_rows("rmd160", 16384, None) == 16
+    assert resolve_hash_rows("address_u", 16384, None) == 16
+    assert resolve_hash_rows("xpoint", 16384, None) is None
+    # explicit wins; untileable shapes fall back to full tile
+    assert resolve_hash_rows("eth", 16384, 32) == 32
+    assert resolve_hash_rows("eth", 256, None) is None
+    assert resolve_hash_rows("rmd160", 1024, None) is None  # hr == rows
+    assert resolve_hash_rows("rmd160", 2048, None) is None  # 16 == rows
+    assert resolve_hash_rows("eth", 2048, None) == 8
+
+
+def test_targets_from_ints_widths():
+    from keyhuntm1cpu_tpu.utils.targets import targets_from_ints
+
+    assert len(targets_from_ints("pubkey", [5]).raw[0]) == 32
+    assert len(targets_from_ints("xpoint", [5]).raw[0]) == 32
+    assert len(targets_from_ints("hash160", [5]).raw[0]) == 20
+    import pytest
+
+    with pytest.raises(ValueError):
+        targets_from_ints("bogus", [5])
+
+
 def test_vanity_look_mapping(monkeypatch):
     """-m vanity maps -l to the fused-kernel mode on non-CPU backends
     (uncompress must route to address_u, not silently compressed)."""
