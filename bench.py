@@ -9,11 +9,16 @@ Protocol:
    wall time; keys/s = steps * U * stride / elapsed (the reference's
    accounting, keyhunt.cpp:2175: total = steps * N).
 
-Prints ONE JSON line:
+Prints the JSON metric line
   {"metric": "bsgs_keys_per_sec_chip", "value": ..., "unit": "keys/s",
-   "vs_baseline": value / 1.2e9}
-vs_baseline compares against the reference README's RTX-4090 claim
-(~1.2 B keys/s, README.md:181) per BASELINE.md's north star.
+   "vs_baseline": value / 1.2e9, "modes": {...}}
+INCREMENTALLY: the line is (re-)printed as soon as the headline exists
+and again after every completed mode section, each time with everything
+measured so far — the LAST JSON line on stdout is the most complete.
+A deadline kill mid-mode-suite therefore loses the tail, not the round
+(round 3 recorded rc=124/parsed:null because the single final print
+never ran). vs_baseline compares against the reference README's
+RTX-4090 claim (~1.2 B keys/s, README.md:181) per BASELINE.md.
 """
 
 import json
@@ -143,31 +148,42 @@ def main():
         f"{pts_per_sec:,.0f} giant-steps/s, {keys_per_sec:.3e} keys/s "
         f"(m={M}, U={BLOCK_U}, build {build_s:.1f}s, total {time.time()-t_start:.1f}s)")
 
-    # --- per-mode gated benches (VERDICT #6): every mode behind its own
-    # bit-exact recovery gate so round-over-round regressions are visible
-    modes = {}
-    if os.environ.get("BENCH_MODES", "1") not in ("0", "off"):
-        import bench_modes
-
-        try:
-            modes = bench_modes.run_all(
-                seconds=float(os.environ.get("BENCH_MODE_SECONDS", 5.0))
-            )
-            modes["bsgs_t16"] = bench_modes.bench_bsgs_multitarget(
-                eng.table, eng.bitmap, params,
-                seconds=float(os.environ.get("BENCH_MODE_SECONDS", 5.0)),
-            )
-        except Exception as e:  # mode bench failure must not hide the
-            log(f"[W] mode benches failed: {e}")  # headline result
-            modes = {"error": str(e)}
-
-    print(json.dumps({
+    # --- incremental metric line: print now (headline secured), then
+    # after every mode section, so a kill loses only the tail
+    result = {
         "metric": "bsgs_keys_per_sec_chip",
         "value": keys_per_sec,
         "unit": "keys/s",
         "vs_baseline": keys_per_sec / 1.2e9,
-        "modes": modes,
-    }))
+        "modes": {},
+    }
+
+    def emit():
+        print(json.dumps(result), flush=True)
+
+    emit()
+
+    # --- per-mode gated benches (VERDICT #6): every mode behind its own
+    # bit-exact recovery gate so round-over-round regressions are visible
+    if os.environ.get("BENCH_MODES", "1") not in ("0", "off"):
+        import bench_modes
+
+        mode_seconds = float(os.environ.get("BENCH_MODE_SECONDS", 5.0))
+        try:
+            # T=16 BSGS first: it reuses the already-resident table and
+            # compiled kernels (cheapest section; the round-3 kill order
+            # lost it by running it last)
+            result["modes"]["bsgs_t16"] = bench_modes.bench_bsgs_multitarget(
+                eng.table, eng.bitmap, params, seconds=mode_seconds,
+            )
+            emit()
+            for name, res in bench_modes.iter_all(seconds=mode_seconds):
+                result["modes"][name] = res
+                emit()
+        except Exception as e:  # mode bench failure must not hide the
+            log(f"[W] mode benches failed: {e}")  # headline result
+            result["modes"]["error"] = str(e)
+            emit()
 
 
 def attempt_ladder(m: int, deadline: int):
@@ -222,7 +238,8 @@ def supervise() -> int:
     # stale and ignored.
     running = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            ".tpu_queue", "RUNNING")
-    if not os.environ.get("TPU_QUEUE_ENTRY"):
+    on_cpu = "cpu" in os.environ.get("JAX_PLATFORMS", "").lower()
+    if not os.environ.get("TPU_QUEUE_ENTRY") and not on_cpu:
         t_lock = time.time()
         while os.path.exists(running) and time.time() - t_lock < 5700:
             try:
@@ -254,6 +271,8 @@ def supervise() -> int:
         log("[bench] device probe hung/failed; retrying in 60s")
         time.sleep(60)
 
+    import threading
+
     for m, deadline, with_modes in attempt_ladder(
         M, int(os.environ.get("BENCH_DEADLINE", 2400))
     ):
@@ -268,24 +287,38 @@ def supervise() -> int:
             # GBs through the very link whose sickness caused the fallback)
             env.pop("BENCH_TABLE_CACHE", None)
         log(f"[bench] attempt m=2^{m.bit_length()-1} deadline={deadline}s")
-        try:
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env, stdout=subprocess.PIPE, timeout=deadline,
-            )
-        except subprocess.TimeoutExpired as e:
-            log(f"[bench] attempt m=2^{m.bit_length()-1} timed out; "
-                f"falling back")
-            continue
-        out = (r.stdout or b"").decode()
-        line = next(
-            (ln for ln in out.splitlines() if ln.startswith("{")), None
+        # Stream the child's stdout and RE-PRINT every JSON line the
+        # moment it appears: even if this supervisor is itself killed by
+        # an outer timeout (the round-3 failure: driver rc=124), the
+        # freshest metric line is already on OUR stdout, in the driver's
+        # recorded tail.
+        p = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, stdout=subprocess.PIPE, text=True,
         )
-        if r.returncode == 0 and line:
-            print(line)
+        timer = threading.Timer(deadline, p.kill)
+        timer.start()
+        emitted = False
+        try:
+            for ln in p.stdout:
+                ln = ln.strip()
+                if ln.startswith("{"):
+                    print(ln, flush=True)
+                    emitted = True
+            rc = p.wait()
+        finally:
+            timer.cancel()
+        if rc == 0 and emitted:
+            return 0
+        if emitted:
+            # killed or crashed mid-suite, but the headline (and possibly
+            # some modes) already went out — a partial line beats a
+            # fallback re-run that rebuilds the table from scratch
+            log(f"[bench] attempt m=2^{m.bit_length()-1} ended rc={rc} "
+                f"after emitting a metric line; keeping partial result")
             return 0
         log(f"[bench] attempt m=2^{m.bit_length()-1} failed "
-            f"(rc={r.returncode}); falling back")
+            f"(rc={rc}, no metric line); falling back")
     log("[bench] all attempts failed")
     return 1
 

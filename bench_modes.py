@@ -29,13 +29,19 @@ def _mk(mode):
 
 def bench_brute_modes(seconds=5.0, gate_only=False):
     """rmd160 / xpoint / eth / address_u on the fused kernel path."""
+    return dict(iter_brute_modes(seconds=seconds, gate_only=gate_only))
+
+
+def iter_brute_modes(seconds=5.0, gate_only=False):
+    """Incremental form: yields (name, result) after EACH gated section
+    so the caller can emit partial results — a deadline kill loses the
+    tail, not every mode (round-3 bench rc=124 lost all mode rates)."""
     from keyhuntm1cpu_tpu.engine.brute import BruteEngine, BruteParams
     from keyhuntm1cpu_tpu.ref import ecref
     from keyhuntm1cpu_tpu.utils.targets import TargetSet
 
     kindmap = {"rmd160": "hash160", "xpoint": "xpoint", "eth": "eth",
                "address_u": "hash160"}
-    out = {}
     for mode in ("rmd160", "xpoint", "eth", "address_u"):
         mk = _mk(mode)
         # gate: recover keys 1..32 over a tiny range (fused kernel shapes)
@@ -51,7 +57,7 @@ def bench_brute_modes(seconds=5.0, gate_only=False):
         assert not missing, f"{mode} gate FAILED: missing {missing}"
         log(f"[gate] {mode}: keys 1..32 recovered bit-exact")
         if gate_only:
-            out[mode] = {"gate": "ok"}
+            yield mode, {"gate": "ok"}
             continue
         # rate at tuned shapes (time-bounded: a sick tunnel stops the
         # loop at the deadline instead of stalling the whole bench; the
@@ -68,9 +74,9 @@ def bench_brute_modes(seconds=5.0, gate_only=False):
                    max_seconds=3 * seconds)
         dt = time.time() - t0
         eff = (eng.stats.keys_covered - k0) * eng.stats.multiplier / dt
-        out[mode] = {"keys_per_sec": eff, "gate": "ok"}
         log(f"[bench] {mode}: {eff/1e6:.1f}M keys/s effective "
             f"(mult {eng.stats.multiplier})")
+        yield mode, {"keys_per_sec": eff, "gate": "ok"}
     # endomorphism variant (reference -e: x6 effective accounting for
     # hash modes, keyhunt.cpp:2175-2187) — the kernel hashes 3 GLV
     # variants x 2 parities per point
@@ -89,8 +95,8 @@ def bench_brute_modes(seconds=5.0, gate_only=False):
     eng.search(max_steps=n * params.steps_per_chunk, max_seconds=3 * seconds)
     dt = time.time() - t0
     eff = (eng.stats.keys_covered - k0) * eng.stats.multiplier / dt
-    out["rmd160_endo"] = {"keys_per_sec": eff, "gate": "ok (rmd160 gate)"}
     log(f"[bench] rmd160 -e: {eff/1e6:.1f}M keys/s effective (mult 6)")
+    yield "rmd160_endo", {"keys_per_sec": eff, "gate": "ok (rmd160 gate)"}
 
     # bucketed large-T variant: 4096 exact targets outgrow the SMEM
     # compare budget, so membership moves to the lane-bucketed table
@@ -126,9 +132,8 @@ def bench_brute_modes(seconds=5.0, gate_only=False):
     eng.search(max_steps=n * params.steps_per_chunk, max_seconds=3 * seconds)
     dt = time.time() - t0
     eff = (eng.stats.keys_covered - k0) * eng.stats.multiplier / dt
-    out["rmd160_T4096"] = {"keys_per_sec": eff, "gate": "ok"}
     log(f"[bench] rmd160 T=4096: {eff/1e6:.1f}M keys/s effective")
-    return out
+    yield "rmd160_T4096", {"keys_per_sec": eff, "gate": "ok"}
 
 
 def bench_minikeys(seconds=5.0, gate_only=False):
@@ -240,9 +245,14 @@ def bench_bsgs_multitarget(table, bitmap, params, seconds=5.0):
     return {"keys_per_sec": rate, "gate": "n/a (headline gate covers bsgs)"}
 
 
+def iter_all(seconds=5.0):
+    """Yield (name, result) after each completed mode section. Ordered
+    cheapest-compile-first after the brute modes so a deadline kill
+    still records the most sections."""
+    yield from iter_brute_modes(seconds)
+    yield "minikeys", bench_minikeys(seconds)
+    yield "vanity", bench_vanity(seconds)
+
+
 def run_all(seconds=5.0):
-    out = {}
-    out.update(bench_brute_modes(seconds))
-    out["minikeys"] = bench_minikeys(seconds)
-    out["vanity"] = bench_vanity(seconds)
-    return out
+    return dict(iter_all(seconds))

@@ -294,12 +294,6 @@ def _run(args, log) -> int:
         if args.sharded:
             from .parallel import ShardedBSGSEngine, ShardedTableBSGSEngine
 
-            if ckmgr is not None:
-                log.warn(
-                    "--checkpoint is not yet supported on the sharded "
-                    "BSGS mesh engines: this run will not persist its "
-                    "position (brute --sharded and unsharded runs do)"
-                )
             cls = (ShardedTableBSGSEngine if args.sharded == "table"
                    else ShardedBSGSEngine)
             eng = cls(targets.pubkeys, a, b, params, table=table)
@@ -308,6 +302,7 @@ def _run(args, log) -> int:
             found = eng.search_sharded(
                 stop_on_first=not args.all, progress_every=progress,
                 max_seconds=args.max_seconds,
+                checkpoint=ckmgr,
             )
         else:
             eng = BSGSEngine(targets.pubkeys, a, b, params, table=table)

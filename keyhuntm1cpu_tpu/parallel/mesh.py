@@ -183,22 +183,83 @@ class ShardedBSGSEngine(BSGSEngine):
         stop_on_first: bool = True,
         progress_every: int = 0,
         max_seconds: Optional[float] = None,
+        checkpoint=None,
     ) -> List[FoundKey]:
         """Pipelined mesh search: chunks dispatch pipeline_depth ahead
         with async host copies of the summaries and the psum'd interest
         flag, so neither pull serializes the loop on the ~28 ms tunnel
-        round trip; only interesting chunks are decoded."""
+        round trip; only interesting chunks are decoded.
+
+        checkpoint: optional core.CheckpointManager. The local-step
+        schedule is deterministic (all shards advance in lock step), so
+        progress is just the count of DECODED chunks; a resumed run
+        re-bases every shard at the saved local step and continues —
+        first-class position persistence for preempted pod-slice runs
+        (the reference had this only in an ops script,
+        vastai_deploy.sh:88-106; IBSGSEngine::save/load_checkpoint is
+        bodiless, include/keyhunt/core/bsgs.h:193-198)."""
         p = self.p
         dl = Deadline(max_seconds)
         K = p.steps_per_chunk
-        try:
-            px, py = self._initial_bases_sharded()
-        except _ImmediateHit as hit:
-            return self._try_candidates_all([hit.scalar])
         total = self.local_steps if max_steps is None else min(self.local_steps, max_steps)
         found: List[FoundKey] = []
+
+        resume_step = 0
+        ck = None
+        if checkpoint is not None:
+            from ..core.checkpoint import Checkpoint, fingerprint
+
+            # n_shards is part of the run identity: the step -> key-range
+            # mapping goes through the per-shard slices
+            params_fp = fingerprint(
+                p.m, p.block_u, p.steps_per_chunk, self.n_shards,
+                type(self).__name__,
+            )
+            targets_fp = fingerprint(sorted(self.targets))
+            ck = checkpoint.load()
+            if ck is not None:
+                checkpoint.matches(
+                    ck,
+                    mode="bsgs-sharded",
+                    range_start=self.a,
+                    range_end=self.b,
+                    policy="sequential",
+                    seed=0,
+                    params_fp=params_fp,
+                    targets_fp=targets_fp,
+                )
+                resume_step = ck.chunks_done * K
+                self.stats.add(ck.keys_covered)
+            else:
+                ck = Checkpoint(
+                    mode="bsgs-sharded",
+                    range_start=self.a,
+                    range_end=self.b,
+                    policy="sequential",
+                    seed=0,
+                    params_fp=params_fp,
+                    targets_fp=targets_fp,
+                    n_chunks=math.ceil(total / K),
+                )
+            if resume_step >= total:
+                return found
+
+        def _save(force: bool = False) -> None:
+            if ck is None:
+                return
+            ck.keys_covered = self.stats.keys_covered
+            if found:
+                ck.found = sorted(
+                    set(ck.found) | {f"{f.private_key:x}" for f in found}
+                )
+            checkpoint.save(ck, force=force)
+
+        try:
+            px, py = self._initial_bases_sharded(resume_step)
+        except _ImmediateHit as hit:
+            return self._try_candidates_all([hit.scalar])
         pending: deque = deque()
-        disp = 0
+        disp = resume_step
         n_done = 0
         while pending or disp < total:
             while (
@@ -212,10 +273,14 @@ class ShardedBSGSEngine(BSGSEngine):
                 pending.append((disp, outs, interest))
                 disp += K
             if not pending:
-                break  # deadline cut dispatch with nothing in flight
+                # deadline cut dispatch with nothing in flight: persist
+                # exactly-completed progress before returning
+                _save(force=True)
+                break
             step, outs, interest = pending.popleft()
             k = min(K, total - step)
             rebase = False
+            new_found: List[FoundKey] = []
             if int(np.asarray(interest)) > 0:
                 arr = np.asarray(outs)  # (D, K, summary)
                 new_found, rebase = self._decode_sharded(arr, step, k)
@@ -223,9 +288,18 @@ class ShardedBSGSEngine(BSGSEngine):
                     found = self._dedupe(found + new_found)
                     if stop_on_first:
                         self.stats.add(k * self.n_shards * p.block_u * self.stride)
+                        if ck is not None:
+                            ck.chunks_done = step // K + 1
+                            _save(force=True)
                         return found
             self.stats.add(k * self.n_shards * p.block_u * self.stride)
             n_done += 1
+            if ck is not None:
+                ck.chunks_done = step // K + 1
+                # keys found with --all force a write: a crash after this
+                # chunk must not lose them (resume skips the chunk)
+                _save(force=bool(rebase) or bool(new_found)
+                      or step + K >= total)
             if rebase and step + K < total:
                 # some shard's advance degenerated: drop everything
                 # dispatched after it and rebase all shards exactly

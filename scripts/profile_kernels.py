@@ -109,6 +109,10 @@ def bench_pwalk(U=16384, K=256):
     adv_x, adv_y = lm(128)[:, :1], lm(128)[:, :1]  # (8, 1, 128)
     px, py = lm(128)[:, :1], lm(128)[:, :1]
 
+    # step fns MUST be jitted: advance_chain/walk_blocks called eagerly
+    # dispatch op-by-op through the ~28 ms tunnel (the r3 run recorded
+    # 52 s/call for a ~20 ms kernel that way)
+    @jax.jit
     def stepA(state):
         px, py = state
         bx, by, nx, ny, adeg = pwalk.advance_chain(px, py, adv_x, adv_y, K)
@@ -121,6 +125,7 @@ def bench_pwalk(U=16384, K=256):
         lanes_per_call=K * 128,
     )
 
+    @jax.jit
     def stepB(state):
         px, py = state
         bx, by, nx, ny, adeg = pwalk.advance_chain(px, py, adv_x, adv_y, K)
@@ -147,10 +152,15 @@ def bench_probe(wlog=30, Bq=1 << 19):
     idx0 = jnp.asarray(rng.integers(0, 2**32, size=Bq, dtype=np.uint32))
     mask = jnp.uint32((1 << wlog) - 1)
 
+    # words must be a jit ARGUMENT: closing over it captures the 4 GiB
+    # array as an HLO constant, which broke the r3 remote compile
+    # ("4.29GB of captured constants" -> transport broken pipe)
     @jax.jit
-    def step(idx):
+    def _probe(idx, words):
         got = words[(idx & mask).astype(jnp.int32)]
         return idx * jnp.uint32(1664525) + got.sum(dtype=jnp.uint32)
+
+    step = lambda idx: _probe(idx, words)
 
     measure(
         f"bitmap probe 2^{wlog} words", step, idx0, n_iters=20,
@@ -172,9 +182,12 @@ def bench_sorted_lookup(m_log=24, Bq=1 << 19):
     q0 = jnp.asarray(rng.integers(0, 2**32, size=Bq, dtype=np.uint32))
 
     @jax.jit
-    def step(q):
-        res = st.lookup(tab, q, q)
+    def _lookup(q, hi, lo, idx):
+        t = st.SortedXTable(hi, lo, idx)
+        res = st.lookup(t, q, q)
         return q * jnp.uint32(1664525) + res.found.sum().astype(jnp.uint32)
+
+    step = lambda q: _lookup(q, tab.hi, tab.lo, tab.idx)
 
     measure(
         f"sorted lookup m=2^{m_log}", step, q0, n_iters=10,
@@ -191,6 +204,7 @@ def bench_pminikey(B=1 << 20):
     )
     alpha = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
 
+    @jax.jit
     def step(base):
         m = pminikey.minikey_valid(base, w23, B=B, alphabet=alpha)
         return base + m.sum(dtype=jnp.uint32) + jnp.uint32(B)
@@ -208,6 +222,7 @@ def bench_hash160x2(B=1 << 20):
     rng = np.random.default_rng(4)
     x = jnp.asarray(rng.integers(0, 2**32, size=(8, B // 128, 128), dtype=np.uint32))
 
+    @jax.jit
     def step(x):
         le, he, lo, ho = phash.hash160_x2_tiles(x)
         s = (le.sum(dtype=jnp.uint32) + ho.sum(dtype=jnp.uint32))
@@ -227,6 +242,7 @@ def bench_keccak(B=1 << 20):
     x = jnp.asarray(rng.integers(0, 2**32, size=(8, B // 128, 128), dtype=np.uint32))
     y = jnp.asarray(rng.integers(0, 2**32, size=(8, B // 128, 128), dtype=np.uint32))
 
+    @jax.jit
     def step(st):
         x, y = st
         lo, hi = phash.keccak_eth_tiles(x, y)
