@@ -28,8 +28,12 @@ def _mk(mode):
 
 
 def bench_brute_modes(seconds=5.0, gate_only=False):
-    """rmd160 / xpoint / eth / address_u on the fused kernel path."""
-    return dict(iter_brute_modes(seconds=seconds, gate_only=gate_only))
+    """rmd160 / xpoint / eth / address_u on the fused kernel path,
+    plus the endo / bucketed-T4096 variants (dict form)."""
+    out = dict(iter_brute_modes(seconds=seconds, gate_only=gate_only))
+    if not gate_only:
+        out.update(iter_brute_variants(seconds=seconds))
+    return out
 
 
 def iter_brute_modes(seconds=5.0, gate_only=False):
@@ -77,6 +81,17 @@ def iter_brute_modes(seconds=5.0, gate_only=False):
         log(f"[bench] {mode}: {eff/1e6:.1f}M keys/s effective "
             f"(mult {eng.stats.multiplier})")
         yield mode, {"keys_per_sec": eff, "gate": "ok"}
+
+
+def iter_brute_variants(seconds=5.0):
+    """endo + bucketed-T4096 sections, split out so iter_all can order
+    them LAST: each needs its own kernel compile, and the round-3/4
+    deadline kills showed the tail sections are the ones lost — the
+    cheap minikeys/vanity sections must come first."""
+    from keyhuntm1cpu_tpu.engine.brute import BruteEngine, BruteParams
+    from keyhuntm1cpu_tpu.ref import ecref
+    from keyhuntm1cpu_tpu.utils.targets import TargetSet
+
     # endomorphism variant (reference -e: x6 effective accounting for
     # hash modes, keyhunt.cpp:2175-2187) — the kernel hashes 3 GLV
     # variants x 2 parities per point
@@ -247,11 +262,14 @@ def bench_bsgs_multitarget(table, bitmap, params, seconds=5.0):
 
 def iter_all(seconds=5.0):
     """Yield (name, result) after each completed mode section. Ordered
-    cheapest-compile-first after the brute modes so a deadline kill
-    still records the most sections."""
+    cheapest-compile-first: the 4 base brute modes, then minikeys and
+    vanity (small dedicated kernels), then the endo / bucketed-T4096
+    variants whose extra kernel compiles ate the round-3/4 deadline —
+    a kill now loses only the variant tail, never a whole mode family."""
     yield from iter_brute_modes(seconds)
     yield "minikeys", bench_minikeys(seconds)
     yield "vanity", bench_vanity(seconds)
+    yield from iter_brute_variants(seconds)
 
 
 def run_all(seconds=5.0):

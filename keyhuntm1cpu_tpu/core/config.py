@@ -38,7 +38,7 @@ class Config:
     k_factor: int = 1  # reference -k: m = sqrt(N) * k
     n_value: Optional[int] = None  # reference -n (exact-square N)
     filter_mult: int = 1  # reference -z probe-filter multiplier
-    probe_mode: "str | None" = None  # bitmap-gather strategy (elem/sorted/row128)
+    probe_mode: "str | None" = None  # bitmap-gather strategy (elem/sorted/row128/dma)
     bsgs_policy: str = "sequential"
     block_u: int = 4096
     steps_per_chunk: int = 8

@@ -174,7 +174,74 @@ def build_bitmap_device(
     return DeviceBitmap(_build_words_device(hi, lo, bits_log2, n_words), bits_log2)
 
 
-PROBE_MODES = ("elem", "sorted", "row128")
+PROBE_MODES = ("elem", "sorted", "row128", "dma")
+
+
+def _dma_gather_kernel(idx_ref, words_ref, out_ref, sem, *, BQ: int):
+    """Gather words[idx] with BQ independent async copies in flight.
+
+    The XLA element gather issues serially (~94 scalar cycles/element —
+    measured ~1.0e7/s regardless of table size, docs/PERF.md "probe
+    wall"); here each query is one 4 B DMA descriptor issued from a
+    scalar loop, ALL BQ started before any is waited on, so the HBM
+    round trips overlap (memory-level parallelism instead of latency
+    chaining). idx_ref lives in SMEM (scalar DMA addressing), words in
+    ANY/HBM, and the copies land DIRECTLY in the SMEM output block."""
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def dma(i):
+        # 4 B copy straight into the SMEM output block: no VMEM landing
+        # (a (BQ, 1) VMEM scratch crashed the Mosaic backend — gate 09)
+        return pltpu.make_async_copy(
+            words_ref.at[pl.ds(idx_ref[i], 1)],
+            out_ref.at[pl.ds(i, 1)],
+            sem,
+        )
+
+    def issue(i, carry):
+        dma(i).start()
+        return carry
+
+    jax.lax.fori_loop(0, BQ, issue, 0)
+
+    def drain(i, carry):
+        dma(i).wait()
+        return carry
+
+    jax.lax.fori_loop(0, BQ, drain, 0)
+
+
+@_partial(_jax.jit, static_argnames=("BQ", "interpret"))
+def dma_gather(word_idx, words, *, BQ: int = 512, interpret: bool = False):
+    """words[word_idx] via the MLP Pallas kernel (probe_mode="dma")."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B = word_idx.shape[0]
+    pad = (-B) % BQ
+    if pad:
+        word_idx = jnp.concatenate(
+            [word_idx, jnp.zeros((pad,), word_idx.dtype)]
+        )
+    out = pl.pallas_call(
+        _partial(_dma_gather_kernel, BQ=BQ),
+        out_shape=_jax.ShapeDtypeStruct((B + pad,), jnp.uint32),
+        grid=((B + pad) // BQ,),
+        in_specs=[
+            pl.BlockSpec((BQ,), lambda g: (g,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((BQ,), lambda g: (g,),
+                               memory_space=pltpu.SMEM),
+        scratch_shapes=[
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(word_idx, words)
+    return out[:B] if pad else out
 
 # Module default, used by every engine that does not plumb an explicit
 # probe_mode (XLA brute fallback, sharded mesh engines). Flip this to
@@ -225,6 +292,10 @@ def probe(bm: DeviceBitmap, qhi: jnp.ndarray, qlo: jnp.ndarray,
         )[:, 0]
     elif mode == "elem":
         words = bm.words[word_idx]
+    elif mode == "dma":
+        # MLP Pallas gather: BQ async copies in flight per grid block
+        # (attacks the ~1e7/s XLA gather-issue wall, docs/PERF.md)
+        words = dma_gather(word_idx, bm.words)
     else:
         raise ValueError(f"probe mode must be one of {PROBE_MODES}")
     return ((words >> bit) & jnp.uint32(1)) == 1

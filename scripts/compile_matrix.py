@@ -122,7 +122,7 @@ def bsgs_matrix():
             S((m,), U32), S((m,), U32), S((m,), U32),
         )
 
-    for pm in bmp.PROBE_MODES:
+    for pm in bmp.PROBE_MODES:  # includes the round-4 "dma" MLP probe
         compile_one(
             f"bsgs pallas chunk probe={pm}",
             bs._pallas_chunk_impl, *args(1),
