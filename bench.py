@@ -65,6 +65,7 @@ def main():
         cand_max=CAND_MAX, bits_log2=int(BITS_LOG2) if BITS_LOG2 else None,
         pallas_sb=SB,
         probe_mode=os.environ.get("BENCH_PROBE_MODE") or None,
+        cascade2=os.environ.get("BENCH_CASCADE2", "auto"),
     )
 
     # --- table (device-built; npz cache only when BENCH_TABLE_CACHE set)

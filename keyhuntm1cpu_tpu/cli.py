@@ -109,6 +109,11 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["elem", "sorted", "row128", "dma"],
                    help="bitmap-gather strategy (filter/bitmap.py probe; "
                         "default: module DEFAULT_PROBE_MODE)")
+    p.add_argument("--cascade2", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="level-2 hashed bloom between the bitmap and the "
+                        "exact search (auto: only when level-1 survivors "
+                        "outgrow the search width at large m)")
     p.add_argument("-6", "--skip-checksum", action="store_true", dest="skip_checksum",
                    help="skip table checksum verification (reference -6)")
     p.add_argument("--checkpoint", default=None,
@@ -180,6 +185,7 @@ def main(argv=None) -> int:
                 ("filter_mult", "filter_mult"), ("crypto", "crypto"),
                 ("alphabet", "minikey_alphabet"),
                 ("probe_mode", "probe_mode"),
+                ("cascade2", "cascade2"),
             ):
                 if getattr(args, attr) == getattr(defaults, attr):
                     v = getattr(cfg, key)
@@ -279,7 +285,7 @@ def _run(args, log) -> int:
         params = BSGSParams(
             m=args.m_babies, block_u=args.block_u,
             steps_per_chunk=args.chunk_steps, bits_log2=bits,
-            probe_mode=args.probe_mode,
+            probe_mode=args.probe_mode, cascade2=args.cascade2,
         )
         table = None
         cache = args.table_file or f"keyhunt_tpu_baby_{args.m_babies}.npz"

@@ -39,6 +39,7 @@ class Config:
     n_value: Optional[int] = None  # reference -n (exact-square N)
     filter_mult: int = 1  # reference -z probe-filter multiplier
     probe_mode: "str | None" = None  # bitmap-gather strategy (elem/sorted/row128/dma)
+    cascade2: str = "auto"  # level-2 hashed bloom (auto/on/off)
     bsgs_policy: str = "sequential"
     block_u: int = 4096
     steps_per_chunk: int = 8

@@ -83,8 +83,13 @@ class BSGSParams:
     # kernels (curve/pwalk.py); auto = TPU backend, single target
     pallas_sb: int = 4  # walk-kernel steps per grid block
     probe_mode: "str | None" = None  # bitmap-gather strategy (filter/
-    # bitmap.py probe: elem | sorted | row128; None = the module default
-    # DEFAULT_PROBE_MODE) — A/B'd by scripts/exp_probe_sol.py
+    # bitmap.py probe: elem | sorted | row128 | dma; None = the module
+    # default DEFAULT_PROBE_MODE) — A/B'd by scripts/exp_probe_sol.py
+    cascade2: str = "auto"  # level-2 hashed bloom between the bitmap
+    # and the exact search (filter/bitmap.py DeviceBloom2). "auto" =
+    # only when expected level-1 survivors/chunk > 1024 (large m at the
+    # capped bitmap size, where the wide exact search dominated chunk
+    # time — docs/PERF.md decomposition); "on"/"off" force.
     pipeline_depth: int = 8  # chunks dispatched ahead of decode: hides the
     # ~28 ms per-call host round trip (the round-1 wall: chunk dispatch +
     # summary pull were serialized, leaving the device idle most of the
@@ -420,13 +425,30 @@ class BSGSEngine:
         C = self.p.cand_max
         chain = self.p.chain_len
         bits_log2 = self.bitmap.bits_log2
+        # level-2 cascade (same sizing rationale as the pallas path —
+        # per-STEP widths here, so the threshold is per T*U queries)
+        expected = T * U * self.p.m // (1 << bits_log2)
+        use2 = (self.p.cascade2 == "on"
+                or (self.p.cascade2 == "auto" and expected > 1024))
+        if use2:
+            self._bloom2 = bmp.build_bloom2_device(self.table.hi,
+                                                   self.table.lo)
+            C1 = max(C, ((expected + 8 * int(expected ** 0.5) + 511)
+                         // 512) * 512)
+        else:
+            self._bloom2 = None
+            C1 = None
+        b2 = self._bloom2
 
         def chunk(px, py):
             return _xla_chunk_impl(
                 px, py, self.tab_x, self.tab_y, self.adv_x, self.adv_y,
                 self.bitmap.words, self.table.hi, self.table.lo, self.table.idx,
+                b2.words if b2 is not None else None,
                 T=T, U=U, K=K, C=C, chain=chain, bits_log2=bits_log2,
                 probe_mode=self.p.probe_mode,
+                b2_bits=b2.bits_log2 if b2 is not None else 0,
+                C1=C1,
             )
 
         return chunk
@@ -462,24 +484,51 @@ class BSGSEngine:
                 self.p = dataclasses.replace(self.p, steps_per_chunk=k_new)
                 K = k_new
         bits_log2 = self.bitmap.bits_log2
-        # keep the chunk compaction budget >= 4x the expected bitmap
-        # survivors (fp = m/2^bits), else large m saturates it and every
-        # chunk falls back to the exact host rescan
+        # Chunk compaction budget vs expected bitmap survivors
+        # (fp = m/2^bits). The exact lookup runs C2 lanes of ~29
+        # dependent gather rounds regardless of the true survivor count,
+        # so C2 slack is pure wasted chunk time: at m=2^28/bits=35 the
+        # old 4x margin made the lookup ~20 ms/chunk — HALF the headline
+        # gap vs the kernel-sum time (docs/PERF.md decomposition). In the
+        # CLT regime mean + 8*sqrt(mean) + 512 has P(overflow) ~ 1e-50
+        # per chunk, and overflow itself is safe anyway (the engine falls
+        # back to an exact host rescan of the chunk).
         expected = T * K * U * self.p.m // (1 << bits_log2)
-        C2 = max(self.p.chunk_cand_max, ((4 * expected + 511) // 512) * 512)
+        need = (expected + 8 * int(expected ** 0.5) + 512
+                if expected >= 4096 else 4 * expected)
+        C1 = max(self.p.chunk_cand_max, ((need + 511) // 512) * 512)
+        # level-2 cascade: when level-1 survivors outgrow the exact
+        # search's useful width (large m at the capped bitmap), insert
+        # the hashed bloom (fp ~1.4e-2 at 2m bytes) so the 29-round
+        # search runs at ~C1/70 width instead of C1
+        use2 = (self.p.cascade2 == "on"
+                or (self.p.cascade2 == "auto" and expected > 1024))
+        if use2:
+            self._bloom2 = bmp.build_bloom2_device(self.table.hi,
+                                                   self.table.lo)
+            exp2 = max(64, expected // 32)  # fp<=1/64 + slack
+            C2 = max(self.p.chunk_cand_max,
+                     ((exp2 + 8 * int(exp2 ** 0.5) + 511) // 512) * 512)
+        else:
+            self._bloom2 = None
+            C2 = C1
         self._chunk_cand_eff = C2
         # limb-major table layout for the kernels (device-side transpose)
         self._tab_x_lm = jnp.transpose(self.tab_x, (1, 0)).reshape(8, U // 128, 128)
         self._tab_y_lm = jnp.transpose(self.tab_y, (1, 0)).reshape(8, U // 128, 128)
         self._summary_kind = "chunk"
+        b2 = self._bloom2
 
         def chunk(px, py):
             return _pallas_chunk_impl(
                 px, py, self._tab_x_lm, self._tab_y_lm,
                 self.adv_x, self.adv_y,
                 self.bitmap.words, self.table.hi, self.table.lo, self.table.idx,
+                b2.words if b2 is not None else None,
                 U=U, K=K, T=T, C2=C2, SB=SB, bits_log2=bits_log2,
                 probe_mode=self.p.probe_mode,
+                b2_bits=b2.bits_log2 if b2 is not None else 0,
+                C1=C1,
             )
 
         return chunk
@@ -593,17 +642,38 @@ class BSGSEngine:
         drained (stats stay exact)."""
         p = self.p
         dl = Deadline(max_seconds)
-        try:
-            base = self._initial_base(start_step)
-        except _ImmediateHit as hit:
-            return self._try_candidates_all([hit.scalar])
-
-        found: List[FoundKey] = []
-        px, py = base.x, base.y
         remaining = self.n_steps - start_step
         total = remaining if max_steps is None else min(remaining, max_steps)
         end_step = start_step + total
         K = p.steps_per_chunk
+
+        found: List[FoundKey] = []
+        base = None
+        while base is None:
+            try:
+                base = self._initial_base(start_step)
+            except _ImmediateHit as hit:
+                # the base center itself IS a target key: record it (the
+                # range filter may drop it — a base at a-m is outside
+                # [a, b]) and NEVER abandon the scan: the chunk anchored
+                # at this degenerate base cannot be walked on-device, so
+                # rescan its windows exactly on the host and move to the
+                # next chunk boundary
+                found += self._try_candidates_all([hit.scalar])
+                if found and stop_on_first:
+                    return self._dedupe_found(found)
+                for s_ in range(start_step, min(start_step + K, end_step)):
+                    found += self._host_rescan_step(s_)
+                self.stats.add(
+                    min(K, end_step - start_step) * p.block_u * self.stride
+                )
+                if found and stop_on_first:
+                    return self._dedupe_found(found)
+                start_step += K
+                if start_step >= end_step:
+                    return self._dedupe_found(found)
+
+        px, py = base.x, base.y
 
         # bounded pipeline: dispatch up to pipeline_depth chunks ahead so
         # the ~28 ms per-call host round trip (which serialized the round-1
@@ -647,11 +717,21 @@ class BSGSEngine:
                     px, py = base.x, base.y
                 except _ImmediateHit as hit:
                     # the rebase base itself IS a target key; record it and
-                    # keep going from the next chunk (never abandon --all)
+                    # keep going from the next chunk (never abandon --all).
+                    # The chunk anchored at a degenerate base cannot be
+                    # walked on-device: rescan its windows exactly on the
+                    # host so no key in them can be missed.
                     found += self._try_candidates_all([hit.scalar])
                     if found and stop_on_first:
                         return self._dedupe_found(found)
                     while disp < end_step:
+                        for s_ in range(disp, min(disp + K, end_step)):
+                            found += self._host_rescan_step(s_)
+                        self.stats.add(
+                            min(K, end_step - disp) * p.block_u * self.stride
+                        )
+                        if found and stop_on_first:
+                            return self._dedupe_found(found)
                         disp += K
                         try:
                             base = self._initial_base(disp)
@@ -820,12 +900,18 @@ class BSGSEngine:
             assert idx == i, (idx, i)
             k = min(p.steps_per_chunk, self.n_steps - step0)
             if isinstance(outs, int):  # _ImmediateHit scalar
-                found += self._try_candidates_all([outs])
-                if found and stop_on_first:
-                    return found
-                continue
-            arr = np.asarray(outs)
-            new_found, _, interesting = self._consume_summary(step0, k, arr)
+                # the chunk anchored at the degenerate base was never
+                # walked on-device: record the collision (the range
+                # filter may drop an out-of-range base) and rescan the
+                # chunk's windows exactly on the host, then fall through
+                # to the normal stats/checkpoint accounting
+                new_found = self._try_candidates_all([outs])
+                for s_ in range(step0, step0 + k):
+                    new_found += self._host_rescan_step(s_)
+                interesting = True
+            else:
+                arr = np.asarray(outs)
+                new_found, _, interesting = self._consume_summary(step0, k, arr)
             if new_found:
                 found = self._dedupe_found(found + new_found)
                 if found and stop_on_first:
@@ -979,11 +1065,14 @@ def host_baby_table(m: int) -> st.SortedXTable:
 
 
 @partial(jax.jit, static_argnames=("T", "U", "K", "C", "chain", "bits_log2",
-                                   "probe_mode"))
+                                   "probe_mode", "b2_bits", "C1"))
 def _xla_chunk_impl(px, py, tab_x, tab_y, adv_x, adv_y, words, thi, tlo, tidx,
-                    *, T, U, K, C, chain, bits_log2, probe_mode=None):
+                    words2=None, *, T, U, K, C, chain, bits_log2,
+                    probe_mode=None, b2_bits=0, C1=None):
     bitmap = bmp.DeviceBitmap(words, bits_log2)
     table = st.SortedXTable(thi, tlo, tidx)
+    bloom2 = (bmp.DeviceBloom2(words2, b2_bits)
+              if words2 is not None else None)
 
     def body(carry, _):
         cx, cy = carry
@@ -994,7 +1083,7 @@ def _xla_chunk_impl(px, py, tab_x, tab_y, adv_x, adv_y, words, thi, tlo, tidx,
         # compacted survivors (C-wide instead of T*U-wide)
         fl = bmp.filtered_lookup(
             bitmap, table, qhi.reshape(-1), qlo.reshape(-1), C,
-            mode=probe_mode,
+            mode=probe_mode, bm2=bloom2, stage1_max=C1,
         )
         deg_flat = res.degenerate.reshape(-1)
         pos_safe = jnp.minimum(fl.pos, T * U - 1)
@@ -1076,14 +1165,17 @@ def _build_scan_impl(px, py, tx, ty, ax, ay, *, n_iter, K, U, SB):
 
 
 @partial(jax.jit, static_argnames=("U", "K", "T", "C2", "SB", "bits_log2",
-                                   "probe_mode"))
+                                   "probe_mode", "b2_bits", "C1"))
 def _pallas_chunk_impl(px_bm, py_bm, tab_x_lm, tab_y_lm, ax, ay,
-                       words, thi, tlo, tidx, *, U, K, T, C2, SB, bits_log2,
-                       probe_mode=None):
+                       words, thi, tlo, tidx, words2=None,
+                       *, U, K, T, C2, SB, bits_log2,
+                       probe_mode=None, b2_bits=0, C1=None):
     from ..curve import pwalk
 
     bitmap = bmp.DeviceBitmap(words, bits_log2)
     table = st.SortedXTable(thi, tlo, tidx)
+    bloom2 = (bmp.DeviceBloom2(words2, b2_bits)
+              if words2 is not None else None)
     res = pwalk.pallas_chunk_multi(
         px_bm, py_bm, tab_x_lm, tab_y_lm, ax, ay, K=K, U=U, T=T, SB=SB
     )
@@ -1096,7 +1188,8 @@ def _pallas_chunk_impl(px_bm, py_bm, tab_x_lm, tab_y_lm, ax, ay,
     # measured ~10 ms vs ~3 ms per 64x8192 chunk on v5e)
     qh = res.qhi.reshape(-1)
     ql = res.qlo.reshape(-1)
-    fl = bmp.filtered_lookup(bitmap, table, qh, ql, C2, mode=probe_mode)
+    fl = bmp.filtered_lookup(bitmap, table, qh, ql, C2, mode=probe_mode,
+                             bm2=bloom2, stage1_max=C1)
     deg_flat = deg.reshape(-1)
     pos_safe = jnp.minimum(fl.pos, T * K * U - 1)
     live = ~deg_flat[pos_safe]

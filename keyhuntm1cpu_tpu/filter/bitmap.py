@@ -301,6 +301,152 @@ def probe(bm: DeviceBitmap, qhi: jnp.ndarray, qlo: jnp.ndarray,
     return ((words >> bit) & jnp.uint32(1)) == 1
 
 
+# ---------------------------------------------------------------------------
+# Level-2 hashed bloom (k=2) — probed only on level-1 survivors.
+#
+# Level 1 is direct-addressed, so its fp is pinned at m/2^bits and
+# DEGRADES with m once bits hits the memory cap (m=2^28 at bits=35 ->
+# fp=2^-7 -> ~8k survivors/chunk, and the 29-round exact search at that
+# width cost ~20 ms/chunk — half the round-3 headline gap). Level 2 is
+# a classic 2-hash bloom: at load 2m/2^bits2 = 1/8 its fp is
+# (1-e^-0.125)^2 ~ 1.4e-2 INDEPENDENT of m, for 2m bytes of HBM.
+# Probing it costs 2 gathers per SURVIVOR (not per query), so the
+# cascade is probe1 (B) -> compact -> probe2 (C2) -> compact -> exact
+# search at ~C2/70 width. Reference analog: the 3-level bloom cascade,
+# keyhunt.cpp:1215-1304 — same idea, TPU cost model.
+# ---------------------------------------------------------------------------
+
+
+class DeviceBloom2(NamedTuple):
+    words: jnp.ndarray  # (2^(bits_log2-5),) uint32
+    bits_log2: int
+
+
+def bloom2_bits_log2(m: int) -> int:
+    """Size for load 2m/2^bits = 1/8 (fp ~ 1.4e-2), capped at 2^32 bits
+    (512 MB)."""
+    return min(32, max(16, int(np.ceil(np.log2(max(m, 2)))) + 4))
+
+
+def _fmix32(h):
+    h ^= h >> jnp.uint32(16)
+    h *= jnp.uint32(0x85EBCA6B)
+    h ^= h >> jnp.uint32(13)
+    h *= jnp.uint32(0xC2B2AE35)
+    h ^= h >> jnp.uint32(16)
+    return h
+
+
+def bloom2_hashes(qhi, qlo):
+    """Two independent 32-bit mixes of the 64-bit truncated key.
+    murmur3-fmix32 over seed-distinguished combinations — NOT the
+    identity bits level 1 keys on, so the two levels' false positives
+    are independent."""
+    h1 = _fmix32(qlo ^ (qhi * jnp.uint32(0x9E3779B1)) ^ jnp.uint32(0x2545F491))
+    h2 = _fmix32(qhi ^ (qlo * jnp.uint32(0x85EBCA77)) ^ jnp.uint32(0x633D9ABD))
+    return h1, h2
+
+
+def _fmix32_np(h: np.ndarray) -> np.ndarray:
+    """numpy mirror of _fmix32 — MUST stay bit-identical (tested)."""
+    h = h.astype(np.uint32)
+    h ^= h >> np.uint32(16)
+    h = (h * np.uint32(0x85EBCA6B)).astype(np.uint32)
+    h ^= h >> np.uint32(13)
+    h = (h * np.uint32(0xC2B2AE35)).astype(np.uint32)
+    h ^= h >> np.uint32(16)
+    return h
+
+
+def bloom2_hashes_np(qhi: np.ndarray, qlo: np.ndarray):
+    qhi = qhi.astype(np.uint32)
+    qlo = qlo.astype(np.uint32)
+    h1 = _fmix32_np(
+        qlo ^ (qhi * np.uint32(0x9E3779B1)).astype(np.uint32)
+        ^ np.uint32(0x2545F491)
+    )
+    h2 = _fmix32_np(
+        qhi ^ (qlo * np.uint32(0x85EBCA77)).astype(np.uint32)
+        ^ np.uint32(0x633D9ABD)
+    )
+    return h1, h2
+
+
+def build_bloom2_host(hi: np.ndarray, lo: np.ndarray,
+                      bits_log2: "int | None" = None) -> DeviceBloom2:
+    """Host-built k=2 bloom (numpy scatter-or) — used by the sharded-
+    table engine, which builds per-shard structures host-side."""
+    if bits_log2 is None:
+        bits_log2 = bloom2_bits_log2(len(lo))
+    h1, h2 = bloom2_hashes_np(np.asarray(hi), np.asarray(lo))
+    mask = np.uint32((1 << bits_log2) - 1) if bits_log2 < 32 else np.uint32(0xFFFFFFFF)
+    idx = np.concatenate([h1 & mask, h2 & mask])
+    words = np.zeros(1 << (bits_log2 - 5), dtype=np.uint32)
+    np.bitwise_or.at(
+        words,
+        (idx >> np.uint32(5)).astype(np.int64),
+        np.uint32(1) << (idx & np.uint32(31)),
+    )
+    return DeviceBloom2(jnp.asarray(words), bits_log2)
+
+
+@_partial(_jax.jit, static_argnames=("bits2", "n_words"))
+def _build_bloom2_words(hi, lo, bits2: int, n_words: int):
+    h1, h2 = bloom2_hashes(hi, lo)
+    mask = (jnp.uint32((1 << bits2) - 1) if bits2 < 32
+            else jnp.uint32(0xFFFFFFFF))
+    idx = jnp.concatenate([h1 & mask, h2 & mask])
+    # dedup via sort-and-first so scatter-add equals scatter-or (jnp has
+    # no scatter-or; duplicate (word,bit) pairs would carry otherwise)
+    (s,) = _jax.lax.sort((idx,), num_keys=1)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), s[1:] != s[:-1]]
+    )
+    word = (s >> jnp.uint32(5)).astype(jnp.int32)
+    val = jnp.where(first, jnp.uint32(1) << (s & jnp.uint32(31)),
+                    jnp.uint32(0))
+    return jnp.zeros(n_words, jnp.uint32).at[word].add(val)
+
+
+def build_bloom2_device(hi: jnp.ndarray, lo: jnp.ndarray,
+                        bits_log2: int | None = None,
+                        slice_elems: int = 1 << 26) -> DeviceBloom2:
+    """k=2 bloom over device-resident (hi, lo) key planes (e.g. the
+    sorted table's), zero bulk host transfers.
+
+    Built in slices: the in-slice sort (dedup for scatter-or) would
+    need GBs of temp at m=2^28 next to the 4 GB bitmap + 3 GB table;
+    OR-ing per-slice bitmasks is exact (each slice scatter is a valid
+    0/1 mask and OR is idempotent across slices)."""
+    if bits_log2 is None:
+        bits_log2 = bloom2_bits_log2(lo.shape[0])
+    n_words = 1 << (bits_log2 - 5)
+    n = lo.shape[0]
+    words = None
+    for s in range(0, n, slice_elems):
+        w = _build_bloom2_words(
+            hi[s : s + slice_elems], lo[s : s + slice_elems],
+            bits_log2, n_words,
+        )
+        words = w if words is None else words | w
+    return DeviceBloom2(words, bits_log2)
+
+
+def probe_bloom2(b2: DeviceBloom2, qhi: jnp.ndarray,
+                 qlo: jnp.ndarray) -> jnp.ndarray:
+    """(B,) bool mask — 2 gathers per query; no false negatives."""
+    h1, h2 = bloom2_hashes(qhi, qlo)
+    mask = (jnp.uint32((1 << b2.bits_log2) - 1) if b2.bits_log2 < 32
+            else jnp.uint32(0xFFFFFFFF))
+    h1 &= mask
+    h2 &= mask
+    w1 = b2.words[(h1 >> jnp.uint32(5)).astype(jnp.int32)]
+    w2 = b2.words[(h2 >> jnp.uint32(5)).astype(jnp.int32)]
+    hit1 = ((w1 >> (h1 & jnp.uint32(31))) & jnp.uint32(1)) == 1
+    hit2 = ((w2 >> (h2 & jnp.uint32(31))) & jnp.uint32(1)) == 1
+    return hit1 & hit2
+
+
 class FilteredLookup(NamedTuple):
     pos: jnp.ndarray  # (C,) int32 flat query positions of survivors (B = none)
     result: LookupResult  # exact lookup over the C compacted survivors
@@ -314,6 +460,8 @@ def filtered_lookup(
     qlo: jnp.ndarray,
     cand_max: int,
     mode: "str | None" = None,
+    bm2: "DeviceBloom2 | None" = None,
+    stage1_max: "int | None" = None,
 ) -> FilteredLookup:
     """Bitmap probe -> compact survivors -> exact binary search (C-wide).
 
@@ -321,14 +469,42 @@ def filtered_lookup(
     callers must check n_candidates > cand_max and fall back to an exact
     re-scan of the step (engines do this on the host; it is a
     ~P(Binom(B, 2^-12) > cand_max) event).
+
+    With bm2 (level-2 hashed bloom), the cascade runs two stages:
+    probe1 -> compact to stage1_max -> probe2 on those survivors
+    (2 gathers each) -> compact to cand_max -> exact search. The
+    returned pos/result are cand_max-wide; n_candidates is poisoned
+    past cand_max when EITHER stage overflows, so the caller's single
+    overflow check covers both.
     """
     b = qhi.shape[0]
     mask = probe(bm, qhi, qlo, mode=mode)
     n = mask.sum().astype(jnp.int32)
-    (pos,) = jnp.nonzero(mask, size=cand_max, fill_value=b)
-    pos = pos.astype(jnp.int32)
-    safe = jnp.minimum(pos, b - 1)
-    lr = lookup(table, qhi[safe], qlo[safe])
-    valid = pos < b
+    if bm2 is None:
+        (pos,) = jnp.nonzero(mask, size=cand_max, fill_value=b)
+        pos = pos.astype(jnp.int32)
+        safe = jnp.minimum(pos, b - 1)
+        lr = lookup(table, qhi[safe], qlo[safe])
+        valid = pos < b
+        lr = LookupResult(lr.found & valid, lr.idx,
+                          lr.found2 & valid, lr.idx2)
+        return FilteredLookup(pos, lr, n)
+
+    C1 = stage1_max if stage1_max is not None else 4 * cand_max
+    (pos1,) = jnp.nonzero(mask, size=C1, fill_value=b)
+    pos1 = pos1.astype(jnp.int32)
+    safe1 = jnp.minimum(pos1, b - 1)
+    qh1, ql1 = qhi[safe1], qlo[safe1]
+    mask2 = probe_bloom2(bm2, qh1, ql1) & (pos1 < b)
+    n2 = mask2.sum().astype(jnp.int32)
+    (pos2,) = jnp.nonzero(mask2, size=cand_max, fill_value=C1)
+    pos2 = pos2.astype(jnp.int32)
+    safe2 = jnp.minimum(pos2, C1 - 1)
+    lr = lookup(table, qh1[safe2], ql1[safe2])
+    valid = pos2 < C1
     lr = LookupResult(lr.found & valid, lr.idx, lr.found2 & valid, lr.idx2)
-    return FilteredLookup(pos, lr, n)
+    # flat positions in the ORIGINAL (B,) query space, fill = b
+    pos = jnp.where(valid, pos1[safe2], b)
+    # poison: stage-1 overflow must trip the caller's n > cand_max check
+    n_out = jnp.where(n > C1, n + cand_max, n2)
+    return FilteredLookup(pos, lr, n_out)

@@ -81,13 +81,32 @@ class ShardedBSGSEngine(BSGSEngine):
         chain = self.p.chain_len
         C = self.p.cand_max
         bits_log2 = self.bitmap.bits_log2
+        # level-2 hashed bloom between the bitmap and the exact search
+        # (filter/bitmap.py DeviceBloom2) — the range-sharded engine
+        # replicates the FULL table per device, so large m degrades the
+        # capped bitmap's fp exactly like the single-device engine
+        expected = T * U * self.p.m // (1 << bits_log2)
+        use2 = (self.p.cascade2 == "on"
+                or (self.p.cascade2 == "auto" and expected > 1024))
+        if use2:
+            self._bloom2 = bmp.build_bloom2_device(self.table.hi,
+                                                   self.table.lo)
+            C1 = max(C, ((expected + 8 * int(expected ** 0.5) + 511)
+                         // 512) * 512)
+        else:
+            self._bloom2 = None
+            C1 = None
+        b2_bits = self._bloom2.bits_log2 if use2 else 0
 
-        def local_chunk(px, py, tab_x, tab_y, adv_x, adv_y, words, thi, tlo, tidx):
+        def local_chunk(px, py, tab_x, tab_y, adv_x, adv_y, words, thi, tlo,
+                        tidx, words2=None):
             """px/py: (1, T, 8) local shard state; tables/bitmap are
             replicated args (P() specs) — closures would embed them in the
             serialized HLO (remote compile rejects a 512 MB payload)."""
             bitmap = bmp.DeviceBitmap(words, bits_log2)
             table = st.SortedXTable(thi, tlo, tidx)
+            bloom2 = (bmp.DeviceBloom2(words2, b2_bits)
+                      if words2 is not None else None)
             px = px.reshape(T, 8)
             py = py.reshape(T, 8)
 
@@ -97,7 +116,8 @@ class ShardedBSGSEngine(BSGSEngine):
                 res = walk.walk_fused(pb, tab_x, tab_y, adv_x, adv_y, chain_len=chain)
                 qhi, qlo = st.trunc64_from_limbs(res.x_plus)
                 fl = bmp.filtered_lookup(
-                    bitmap, table, qhi.reshape(-1), qlo.reshape(-1), C
+                    bitmap, table, qhi.reshape(-1), qlo.reshape(-1), C,
+                    bm2=bloom2, stage1_max=C1,
                 )
                 deg_flat = res.degenerate.reshape(-1)
                 pos_safe = jnp.minimum(fl.pos, T * U - 1)
@@ -137,10 +157,11 @@ class ShardedBSGSEngine(BSGSEngine):
             total_interest = jax.lax.psum(local_interest, "shard")
             return px[None], py[None], outs[None], total_interest
 
+        extra = (self._bloom2.words,) if use2 else ()
         smapped = shard_map(
             local_chunk,
             mesh=self.mesh,
-            in_specs=(P("shard"), P("shard")) + (P(),) * 8,
+            in_specs=(P("shard"), P("shard")) + (P(),) * (8 + len(extra)),
             out_specs=(
                 P("shard"),
                 P("shard"),
@@ -155,6 +176,7 @@ class ShardedBSGSEngine(BSGSEngine):
             return jitted(
                 px, py, self.tab_x, self.tab_y, self.adv_x, self.adv_y,
                 self.bitmap.words, self.table.hi, self.table.lo, self.table.idx,
+                *extra,
             )
 
         return chunk
@@ -254,10 +276,32 @@ class ShardedBSGSEngine(BSGSEngine):
                 )
             checkpoint.save(ck, force=force)
 
-        try:
-            px, py = self._initial_bases_sharded(resume_step)
-        except _ImmediateHit as hit:
-            return self._try_candidates_all([hit.scalar])
+        px = py = None
+        while px is None:
+            try:
+                px, py = self._initial_bases_sharded(resume_step)
+            except _ImmediateHit as hit:
+                # some shard's base center IS a target key: record it
+                # (the range filter may drop it) and never abandon the
+                # scan — rescan every shard's chunk at this local step
+                # exactly on the host, then advance one chunk boundary
+                found += self._try_candidates_all([hit.scalar])
+                if found and stop_on_first:
+                    return self._dedupe(found)
+                k0 = min(K, total - resume_step)
+                for sl in self.slices:
+                    for s_ in range(resume_step, resume_step + k0):
+                        found += self._host_rescan_step(sl.step0 + s_)
+                self.stats.add(k0 * self.n_shards * p.block_u * self.stride)
+                found = self._dedupe(found)
+                if found and stop_on_first:
+                    return found
+                resume_step += K
+                if ck is not None:
+                    ck.chunks_done = resume_step // K
+                    _save(force=True)
+                if resume_step >= total:
+                    return found
         pending: deque = deque()
         disp = resume_step
         n_done = 0
@@ -312,6 +356,20 @@ class ShardedBSGSEngine(BSGSEngine):
                     if found and stop_on_first:
                         return self._dedupe(found)
                     while disp < total:
+                        # the chunk anchored at the degenerate base was
+                        # never walked: rescan it exactly on the host
+                        k0 = min(K, total - disp)
+                        for sl in self.slices:
+                            for s_ in range(disp, disp + k0):
+                                found += self._host_rescan_step(
+                                    sl.step0 + s_
+                                )
+                        self.stats.add(
+                            k0 * self.n_shards * p.block_u * self.stride
+                        )
+                        found = self._dedupe(found)
+                        if found and stop_on_first:
+                            return found
                         disp += K
                         try:
                             px, py = self._initial_bases_sharded(disp)
@@ -430,6 +488,29 @@ class ShardedTableBSGSEngine(ShardedBSGSEngine):
             for s in range(d)
         ])
         self.bmp_words = jax.device_put(words, shard)
+        # per-shard level-2 bloom: every device probes ALL devices'
+        # all-gathered queries against its local shard, so the probe
+        # width is D*T*U and large m degrades the capped shard bitmap's
+        # fp exactly like the single-device engine (same threshold)
+        expected = (d * len(self.targets) * self.p.block_u * rows
+                    // (1 << self._shard_bits))
+        self._use_bloom2 = (self.p.cascade2 == "on"
+                            or (self.p.cascade2 == "auto"
+                                and expected > 1024))
+        self._shard_expected = expected
+        if self._use_bloom2:
+            self._shard_b2_bits = bmp.bloom2_bits_log2(rows)
+            b2w = np.stack([
+                np.asarray(bmp.build_bloom2_host(
+                    hi[s * rows : (s + 1) * rows],
+                    lo[s * rows : (s + 1) * rows],
+                    self._shard_b2_bits,
+                ).words)
+                for s in range(d)
+            ])
+            self.b2_words = jax.device_put(b2w, shard)
+        else:
+            self.b2_words = None
         # keep only a HOST copy of the global table (exact-rescan dict +
         # persistence); holding the full device copy on device 0 would
         # defeat the memory scaling this engine exists for
@@ -443,14 +524,25 @@ class ShardedTableBSGSEngine(ShardedBSGSEngine):
         C = self.p.cand_max
         D = self.n_shards
         bits = self._shard_bits
+        use2 = self._use_bloom2
+        if use2:
+            exp = self._shard_expected
+            C1 = max(C, ((exp + 8 * int(exp ** 0.5) + 511) // 512) * 512)
+            b2_bits = self._shard_b2_bits
+        else:
+            C1 = None
+            b2_bits = 0
 
-        def local_chunk(px, py, tab_x, tab_y, adv_x, adv_y, words, thi, tlo, tidx):
+        def local_chunk(px, py, tab_x, tab_y, adv_x, adv_y, words, thi, tlo,
+                        tidx, words2=None):
             """px/py: (1, T, 8) local walk state; words/t*: (1, ...) local
             table/bitmap shard; tab/adv: replicated walk constants."""
             bitmap = bmp.DeviceBitmap(words.reshape(-1), bits)
             table = st.SortedXTable(
                 thi.reshape(-1), tlo.reshape(-1), tidx.reshape(-1)
             )
+            bloom2 = (bmp.DeviceBloom2(words2.reshape(-1), b2_bits)
+                      if words2 is not None else None)
             px = px.reshape(T, 8)
             py = py.reshape(T, 8)
 
@@ -472,7 +564,8 @@ class ShardedTableBSGSEngine(ShardedBSGSEngine):
                     deg.reshape(-1).astype(jnp.uint8), "shard"
                 )
                 fl = bmp.filtered_lookup(
-                    bitmap, table, qh_all.reshape(-1), ql_all.reshape(-1), C
+                    bitmap, table, qh_all.reshape(-1), ql_all.reshape(-1), C,
+                    bm2=bloom2, stage1_max=C1,
                 )
                 live = deg_all.reshape(-1)[
                     jnp.minimum(fl.pos, D * T * U - 1)
@@ -510,11 +603,12 @@ class ShardedTableBSGSEngine(ShardedBSGSEngine):
             total_interest = jax.lax.psum(local_interest, "shard")
             return px[None], py[None], outs[None], total_interest
 
+        extra = (self.b2_words,) if use2 else ()
         smapped = shard_map(
             local_chunk,
             mesh=self.mesh,
             in_specs=(P("shard"), P("shard")) + (P(),) * 4
-            + (P("shard"),) * 4,
+            + (P("shard"),) * (4 + len(extra)),
             out_specs=(P("shard"), P("shard"), P("shard"), P()),
             check_vma=False,
         )
@@ -524,6 +618,7 @@ class ShardedTableBSGSEngine(ShardedBSGSEngine):
             return jitted(
                 px, py, self.tab_x, self.tab_y, self.adv_x, self.adv_y,
                 self.bmp_words, self.tbl_hi, self.tbl_lo, self.tbl_idx,
+                *extra,
             )
 
         return chunk

@@ -204,17 +204,39 @@ def test_overflow_rescan_recovers_key(shared_engine_table):
 def test_immediate_hit_checks_all_targets():
     """A base-center collision with a NON-first target must be recovered
     (round-2 multi-target regression: hit.scalar was only verified
-    against targets[0])."""
+    against targets[0]). The base scalar must lie IN [a, b] to be
+    reportable (the round-3 range filter drops out-of-range finds), so
+    collide at start_step=1 whose base center is inside the range."""
     from keyhuntm1cpu_tpu.engine.bsgs import BSGSEngine, BSGSParams, host_baby_table
 
     params = BSGSParams(m=256, block_u=16, steps_per_chunk=2, chain_len=8)
     table = host_baby_table(params.m)
     a = 0x900000
-    c_base = a + params.m - 2 * params.m  # initial base scalar (a - m)
+    # c_base(step0) = a + m + (step0*U - 1)*stride, stride = 2m
+    c_base = a + params.m + (params.block_u - 1) * 2 * params.m
     pubs = [ecref.scalar_mult(0x123456789), ecref.scalar_mult(c_base)]
     eng = BSGSEngine(pubs, a, a + 2**18, params, table=table)
-    found = eng.search(stop_on_first=False, max_steps=2)
+    found = eng.search(start_step=1, stop_on_first=False, max_steps=2)
     assert c_base in [f.private_key for f in found]
+
+
+def test_immediate_hit_out_of_range_does_not_abort():
+    """A target colliding with the step-0 base center (a - m: OUTSIDE
+    the requested range) must neither be reported nor abort the scan —
+    the rest of the range is still searched and in-range keys found
+    (round-4 fix: the old path returned [] immediately)."""
+    from keyhuntm1cpu_tpu.engine.bsgs import BSGSEngine, BSGSParams, host_baby_table
+
+    params = BSGSParams(m=256, block_u=16, steps_per_chunk=2, chain_len=8)
+    table = host_baby_table(params.m)
+    a = 0x900000
+    c0 = a - params.m  # step-0 base center, outside [a, b]
+    key = a + 0x5000  # a real key inside the range
+    pubs = [ecref.scalar_mult(c0), ecref.scalar_mult(key)]
+    eng = BSGSEngine(pubs, a, a + 2**18, params, table=table)
+    got = {f.private_key for f in eng.search(stop_on_first=False)}
+    assert key in got
+    assert c0 not in got
 
 
 def test_multi_target_group_split_shapes():
@@ -323,3 +345,27 @@ def test_recover_key_with_probe_sorted(shared_engine_table):
     eng = BSGSEngine([pub], a, b, params, table=shared_engine_table)
     found = eng.search()
     assert sorted(f.private_key for f in found) == [key]
+
+
+def test_recover_key_with_cascade2(shared_engine_table):
+    """cascade2="on" (level-2 hashed bloom between the bitmap and the
+    exact search, filter/bitmap.py DeviceBloom2) must stay bit-exact:
+    same key recovered, same stats; auto-mode at these sizes is off, so
+    force it. Covers the XLA chunk path's two-stage filtered_lookup."""
+    import dataclasses
+
+    key = 0xA1B2C3
+    a, b = 0xA00000, 0xB00000
+    p2 = dataclasses.replace(PARAMS, cascade2="on")
+    pub = ecref.scalar_mult(key)
+    eng = BSGSEngine([pub], a, b, p2, table=shared_engine_table)
+    assert eng._bloom2 is not None
+    found = eng.search()
+    assert [f.private_key for f in found] == [key]
+
+    # multi-key --all over the same range, still exact
+    keys = [0xA00001, 0xA80000, 0xAFFFFF]
+    pubs = [ecref.scalar_mult(k) for k in keys]
+    eng2 = BSGSEngine(pubs, a, b, p2, table=shared_engine_table)
+    got = sorted(f.private_key for f in eng2.search(stop_on_first=False))
+    assert got == keys

@@ -263,3 +263,76 @@ def test_dma_gather_interpret_matches_elem():
         )
         got = np.asarray(bmp.dma_gather(idx, words, BQ=BQ, interpret=True))
         np.testing.assert_array_equal(got, np.asarray(words)[np.asarray(idx)])
+
+
+def test_bloom2_no_false_negatives_and_fp():
+    """Level-2 hashed bloom: every table key passes probe_bloom2; the
+    false-positive rate on random non-members stays near the design
+    load (fp ~ 1.4e-2 at load 1/8, here sized by bloom2_bits_log2)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from keyhuntm1cpu_tpu.filter import bitmap as bmp
+
+    rng = np.random.default_rng(3)
+    m = 1 << 12
+    hi = jnp.asarray(rng.integers(0, 2**32, size=m, dtype=np.uint32))
+    lo = jnp.asarray(rng.integers(0, 2**32, size=m, dtype=np.uint32))
+    b2 = bmp.build_bloom2_device(hi, lo)
+    assert bool(bmp.probe_bloom2(b2, hi, lo).all())  # no false negatives
+    qhi = jnp.asarray(rng.integers(0, 2**32, size=1 << 16, dtype=np.uint32))
+    qlo = jnp.asarray(rng.integers(0, 2**32, size=1 << 16, dtype=np.uint32))
+    fp = float(bmp.probe_bloom2(b2, qhi, qlo).mean())
+    assert fp < 0.05, fp
+
+
+def test_filtered_lookup_two_stage_matches_single():
+    """Two-stage cascade must find exactly the single-stage results on
+    the same queries (members found at the same table indices)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from keyhuntm1cpu_tpu.filter import bitmap as bmp
+    from keyhuntm1cpu_tpu.filter import sorted_table as st
+
+    rng = np.random.default_rng(9)
+    m = 1 << 10
+    hi = rng.integers(0, 2**32, size=m, dtype=np.uint32)
+    lo = rng.integers(0, 2**32, size=m, dtype=np.uint32)
+    tab = st.build_sorted_table(hi, lo, np.arange(m, dtype=np.uint32))
+    bm = bmp.build_bitmap(hi, lo, bits_log2=22, on_device=False)
+    b2 = bmp.build_bloom2_device(jnp.asarray(hi), jnp.asarray(lo))
+    # queries: planted members + noise
+    qhi = np.concatenate([hi[:64], rng.integers(0, 2**32, 4032, np.uint32)])
+    qlo = np.concatenate([lo[:64], rng.integers(0, 2**32, 4032, np.uint32)])
+    f1 = bmp.filtered_lookup(bm, tab, jnp.asarray(qhi), jnp.asarray(qlo), 256)
+    f2 = bmp.filtered_lookup(bm, tab, jnp.asarray(qhi), jnp.asarray(qlo), 128,
+                             bm2=b2, stage1_max=256)
+    def hits(fl):
+        pos = np.asarray(fl.pos)
+        fnd = np.asarray(fl.result.found)
+        idx = np.asarray(fl.result.idx)
+        return sorted(zip(pos[fnd].tolist(), idx[fnd].tolist()))
+    assert hits(f1) == hits(f2)
+    assert hits(f2), "planted members must be found"
+
+
+def test_bloom2_host_build_matches_device_probe():
+    """build_bloom2_host (numpy mirror, used by the sharded-table
+    engine) must produce words the DEVICE probe finds all keys in, and
+    the np/jnp hash pairs must be bit-identical."""
+    import numpy as np
+    import jax.numpy as jnp
+    from keyhuntm1cpu_tpu.filter import bitmap as bmp
+
+    rng = np.random.default_rng(13)
+    hi = rng.integers(0, 2**32, size=2048, dtype=np.uint32)
+    lo = rng.integers(0, 2**32, size=2048, dtype=np.uint32)
+    h1n, h2n = bmp.bloom2_hashes_np(hi, lo)
+    h1j, h2j = bmp.bloom2_hashes(jnp.asarray(hi), jnp.asarray(lo))
+    np.testing.assert_array_equal(h1n, np.asarray(h1j))
+    np.testing.assert_array_equal(h2n, np.asarray(h2j))
+    b2 = bmp.build_bloom2_host(hi, lo)
+    assert bool(bmp.probe_bloom2(b2, jnp.asarray(hi), jnp.asarray(lo)).all())
+    # and identical to the device build at the same size
+    b2d = bmp.build_bloom2_device(jnp.asarray(hi), jnp.asarray(lo),
+                                  b2.bits_log2)
+    np.testing.assert_array_equal(np.asarray(b2.words), np.asarray(b2d.words))

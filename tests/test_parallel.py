@@ -386,3 +386,26 @@ def test_sharded_table_medium_shape():
         assert eng.tbl_hi.shape == (8, (1 << 16) // 8)
         found = eng.search_sharded(stop_on_first=False)
         assert key in [f.private_key for f in found]
+
+
+@pytest.mark.parametrize("sharded", ["range", "table"])
+def test_sharded_cascade2_recovers(table, sharded):
+    """cascade2="on" (level-2 hashed bloom) on both mesh engines stays
+    bit-exact: planted keys recovered over the 8-device mesh."""
+    import dataclasses
+
+    from keyhuntm1cpu_tpu.parallel import ShardedTableBSGSEngine
+
+    cls = ShardedTableBSGSEngine if sharded == "table" else ShardedBSGSEngine
+    p2 = dataclasses.replace(PARAMS, cascade2="on")
+    a = 0x500000
+    b = a + 2**20
+    keys = [a + 123, a + 2**19 + 777]
+    pubs = [ecref.scalar_mult(k) for k in keys]
+    eng = cls(pubs, a, b, p2, table=table)
+    if sharded == "table":
+        assert eng._use_bloom2
+    else:
+        assert eng._bloom2 is not None
+    got = sorted(f.private_key for f in eng.search_sharded(stop_on_first=False))
+    assert got == keys
