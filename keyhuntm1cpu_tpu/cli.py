@@ -106,7 +106,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "data_<8-hex>.dat target cache (reference -S)")
     p.add_argument("--table-file", default=None, help="baby table cache path")
     p.add_argument("--probe-mode", default=None,
-                   choices=["elem", "sorted", "row128", "dma"],
+                   choices=["elem", "sorted", "row128"],
                    help="bitmap-gather strategy (filter/bitmap.py probe; "
                         "default: module DEFAULT_PROBE_MODE)")
     p.add_argument("--cascade2", default="auto",

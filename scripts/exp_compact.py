@@ -81,9 +81,8 @@ def timed(name, fn, mask, C, iters=20):
     log(f"  [{name}] compile+warm {time.time()-t0:.1f}s")
     t0 = time.time()
     outs = [fn(mask, C=C) for _ in range(iters)]
-    for o in outs:
-        np.asarray(o[:1])
-    dt = (time.time() - t0) / iters
+    np.asarray(outs[-1][:1])  # ONE sync (device queue is FIFO): per-
+    dt = (time.time() - t0) / iters  # output pulls pay ~28 ms RTT each
     log(f"  {name}: {dt*1e3:.3f} ms per {mask.shape[0]//1024}k "
         f"({mask.shape[0]/dt:.3e} elems/s)")
     return dt

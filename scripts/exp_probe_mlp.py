@@ -150,9 +150,8 @@ def timed(name, fn, *args, iters=10):
     log(f"  [{name}] compile+warm {time.time()-t0:.1f}s")
     t0 = time.time()
     outs = [fn(*args) for _ in range(iters)]
-    for o in outs:
-        np.asarray(o[:1])
-    dt = (time.time() - t0) / iters
+    np.asarray(outs[-1][:1])  # ONE sync: per-output pulls pay the ~28 ms
+    dt = (time.time() - t0) / iters  # tunnel RTT each (run-2 artifact)
     rate = args[0].shape[0] / dt
     log(f"  {name}: {rate:.3e} gathers/s  ({dt*1e3:.2f} ms per "
         f"{args[0].shape[0]//1024}k)")

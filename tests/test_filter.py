@@ -336,3 +336,24 @@ def test_bloom2_host_build_matches_device_probe():
     b2d = bmp.build_bloom2_device(jnp.asarray(hi), jnp.asarray(lo),
                                   b2.bits_log2)
     np.testing.assert_array_equal(np.asarray(b2.words), np.asarray(b2d.words))
+
+
+def test_compact_positions_matches_nonzero():
+    """Hierarchical compaction must equal jnp.nonzero(size, fill) for
+    random masks incl. overflow (first `size` positions kept), empty
+    masks, and the flat-fallback shapes."""
+    import numpy as np
+    import jax.numpy as jnp
+    from keyhuntm1cpu_tpu.filter import bitmap as bmp
+
+    rng = np.random.default_rng(21)
+    for B, size, nhits in ((1 << 14, 64, 30), (1 << 14, 64, 200),
+                           (1 << 14, 64, 0), (1000, 16, 5), (256, 4, 9)):
+        m = np.zeros(B, bool)
+        if nhits:
+            m[rng.choice(B, size=nhits, replace=False)] = True
+        want = np.asarray(
+            jnp.nonzero(jnp.asarray(m), size=size, fill_value=B)[0]
+        )
+        got = np.asarray(bmp.compact_positions(jnp.asarray(m), size, B))
+        np.testing.assert_array_equal(got, want, err_msg=f"{B},{size},{nhits}")
