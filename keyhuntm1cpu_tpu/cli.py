@@ -129,6 +129,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "'table' shards the TABLE itself (1/D per device "
                         "+ all_gather probes) so m scales past one chip's "
                         "HBM")
+    p.add_argument("--table-comm", default="all_gather",
+                   choices=["all_gather", "ring"],
+                   help="--sharded table membership schedule: one fused "
+                        "all_gather, or D ppermute ring hops (1/D peak "
+                        "query memory, transfer overlaps probe)")
     p.add_argument("-s", "--stats-every", type=float, default=5.0,
                    help="progress print interval factor (reference -s)")
     p.add_argument("-q", "--quiet", action="store_true", help="reference -q")
@@ -286,6 +291,7 @@ def _run(args, log) -> int:
             m=args.m_babies, block_u=args.block_u,
             steps_per_chunk=args.chunk_steps, bits_log2=bits,
             probe_mode=args.probe_mode, cascade2=args.cascade2,
+            table_comm=args.table_comm,
         )
         table = None
         cache = args.table_file or f"keyhunt_tpu_baby_{args.m_babies}.npz"

@@ -90,6 +90,13 @@ class BSGSParams:
     # only when expected level-1 survivors/chunk > 1024 (large m at the
     # capped bitmap size, where the wide exact search dominated chunk
     # time — docs/PERF.md decomposition); "on"/"off" force.
+    table_comm: str = "all_gather"  # sharded-TABLE membership schedule:
+    # "all_gather" = one fused collective, every device probes D*T*U
+    # queries; "ring" = D ppermute hops, each device probes T*U per hop
+    # with the NEXT block's transfer overlapping the probe and 1/D the
+    # peak query memory (ring-attention-shaped; SURVEY §5 long-context
+    # analog, reference's 256-way first-byte bloom sharding
+    # keyhunt.cpp:3946 lifted to the ICI ring).
     pipeline_depth: int = 8  # chunks dispatched ahead of decode: hides the
     # ~28 ms per-call host round trip (the round-1 wall: chunk dispatch +
     # summary pull were serialized, leaving the device idle most of the

@@ -524,9 +524,17 @@ class ShardedTableBSGSEngine(ShardedBSGSEngine):
         C = self.p.cand_max
         D = self.n_shards
         bits = self._shard_bits
+        if self.p.table_comm not in ("all_gather", "ring"):
+            raise ValueError(
+                f"table_comm must be all_gather or ring, "
+                f"got {self.p.table_comm!r}"
+            )
+        ring = self.p.table_comm == "ring"
         use2 = self._use_bloom2
         if use2:
             exp = self._shard_expected
+            # ring probes per-hop (T*U) widths: size stage 1 per hop
+            exp = max(1, exp // D) if ring else exp
             C1 = max(C, ((exp + 8 * int(exp ** 0.5) + 511) // 512) * 512)
             b2_bits = self._shard_b2_bits
         else:
@@ -556,27 +564,99 @@ class ShardedTableBSGSEngine(ShardedBSGSEngine):
                 deg = res.degenerate.at[:, U - 1].set(
                     res.degenerate[:, U - 1] | res.adv_degenerate
                 )
-                # the collective: everyone sees everyone's queries, each
-                # probes its own shard (hits are disjoint across shards)
-                qh_all = jax.lax.all_gather(qhi.reshape(-1), "shard")
-                ql_all = jax.lax.all_gather(qlo.reshape(-1), "shard")
-                deg_all = jax.lax.all_gather(
-                    deg.reshape(-1).astype(jnp.uint8), "shard"
-                )
-                fl = bmp.filtered_lookup(
-                    bitmap, table, qh_all.reshape(-1), ql_all.reshape(-1), C,
-                    bm2=bloom2, stage1_max=C1,
-                )
-                live = deg_all.reshape(-1)[
-                    jnp.minimum(fl.pos, D * T * U - 1)
-                ] == 0
-                cand_pos = jnp.where(
-                    (fl.result.found | fl.result.found2) & live,
-                    fl.pos,
-                    D * T * U,
-                )
-                cand_j = jnp.where(fl.result.found & live, fl.result.idx, 0)
-                cand_j2 = jnp.where(fl.result.found2 & live, fl.result.idx2, 0)
+                TU = T * U
+                if ring:
+                    # ring-rotate schedule (SURVEY §5 long-context
+                    # analog): D ppermute hops; in hop r each device
+                    # probes the block that ORIGINATED at device
+                    # (my - r) mod D against its local shard, then
+                    # passes it on. Peak query memory 1/D of the
+                    # all_gather path; each hop's transfer overlaps the
+                    # current probe. Hits stay disjoint across shards,
+                    # so positions in origin-major global space make
+                    # the summary IDENTICAL to the all_gather layout.
+                    my = jax.lax.axis_index("shard")
+                    perm = [(i, (i + 1) % D) for i in range(D)]
+
+                    def ring_round(r, carry):
+                        qh, ql, dg, gpos_a, j_a, j2_a, nmax = carry
+                        origin = (my - r) % D
+                        fl = bmp.filtered_lookup(
+                            bitmap, table, qh, ql, C,
+                            bm2=bloom2, stage1_max=C1,
+                        )
+                        live = dg[jnp.minimum(fl.pos, TU - 1)] == 0
+                        hit = (fl.result.found | fl.result.found2) & live
+                        valid = hit & (fl.pos < TU)
+                        gpos = jnp.where(
+                            valid, origin * TU + fl.pos, D * TU
+                        ).astype(jnp.int32)
+                        jv = jnp.where(fl.result.found & live,
+                                       fl.result.idx, 0).astype(jnp.int32)
+                        j2v = jnp.where(fl.result.found2 & live,
+                                        fl.result.idx2, 0).astype(jnp.int32)
+                        gpos_a = jax.lax.dynamic_update_slice(
+                            gpos_a, gpos[None], (r, 0))
+                        j_a = jax.lax.dynamic_update_slice(
+                            j_a, jv[None], (r, 0))
+                        j2_a = jax.lax.dynamic_update_slice(
+                            j2_a, j2v[None], (r, 0))
+                        nmax = jnp.maximum(nmax, fl.n_candidates)
+                        qh = jax.lax.ppermute(qh, "shard", perm)
+                        ql = jax.lax.ppermute(ql, "shard", perm)
+                        dg = jax.lax.ppermute(dg, "shard", perm)
+                        return (qh, ql, dg, gpos_a, j_a, j2_a, nmax)
+
+                    init = (
+                        qhi.reshape(-1), qlo.reshape(-1),
+                        deg.reshape(-1).astype(jnp.uint8),
+                        jnp.full((D, C), D * TU, jnp.int32),
+                        jnp.zeros((D, C), jnp.int32),
+                        jnp.zeros((D, C), jnp.int32),
+                        jnp.zeros((), jnp.int32),
+                    )
+                    (_, _, _, gpos_a, j_a, j2_a, nmax) = jax.lax.fori_loop(
+                        0, D, ring_round, init
+                    )
+                    flat = gpos_a.reshape(-1)
+                    hitmask = flat < D * TU
+                    sel = bmp.compact_positions(hitmask, C, D * C)
+                    safe = jnp.minimum(sel, D * C - 1)
+                    ok = sel < D * C
+                    cand_pos = jnp.where(ok, flat[safe], D * TU)
+                    cand_j = jnp.where(ok, j_a.reshape(-1)[safe], 0)
+                    cand_j2 = jnp.where(ok, j2_a.reshape(-1)[safe], 0)
+                    # poison past C if any hop overflowed ITS budget or
+                    # the merged total outgrew the summary width
+                    n_cand = jnp.maximum(
+                        nmax, hitmask.sum().astype(jnp.int32)
+                    )
+                else:
+                    # the collective: everyone sees everyone's queries,
+                    # each probes its own shard (hits are disjoint)
+                    qh_all = jax.lax.all_gather(qhi.reshape(-1), "shard")
+                    ql_all = jax.lax.all_gather(qlo.reshape(-1), "shard")
+                    deg_all = jax.lax.all_gather(
+                        deg.reshape(-1).astype(jnp.uint8), "shard"
+                    )
+                    fl = bmp.filtered_lookup(
+                        bitmap, table, qh_all.reshape(-1),
+                        ql_all.reshape(-1), C,
+                        bm2=bloom2, stage1_max=C1,
+                    )
+                    live = deg_all.reshape(-1)[
+                        jnp.minimum(fl.pos, D * T * U - 1)
+                    ] == 0
+                    cand_pos = jnp.where(
+                        (fl.result.found | fl.result.found2) & live,
+                        fl.pos,
+                        D * T * U,
+                    )
+                    cand_j = jnp.where(
+                        fl.result.found & live, fl.result.idx, 0)
+                    cand_j2 = jnp.where(
+                        fl.result.found2 & live, fl.result.idx2, 0)
+                    n_cand = fl.n_candidates
                 n_deg = deg.sum(axis=1).astype(jnp.int32)  # local walker's
                 first_deg = jnp.argmax(deg, axis=1).astype(jnp.int32)
                 degsum = jnp.stack(
@@ -588,7 +668,7 @@ class ShardedTableBSGSEngine(ShardedBSGSEngine):
                         cand_j.astype(jnp.int32),
                         cand_j2.astype(jnp.int32),
                         degsum.reshape(-1),
-                        fl.n_candidates[None],
+                        n_cand[None],
                     ]
                 )  # (3C + 3T + 1,)
                 return (res.adv_x, res.adv_y), out

@@ -271,6 +271,11 @@ def test_bench_probe_gate_fails_fast(monkeypatch):
         raise subprocess.TimeoutExpired(cmd="probe", timeout=180)
 
     monkeypatch.setenv("BENCH_PROBE_BUDGET", "0")
+    # hermetic: without this env var supervise() waits on the repo's
+    # LIVE .tpu_queue/RUNNING advert (conftest only sets the cpu
+    # platform via jax.config, not the env) — a mid-gate run stalled
+    # this test 178 s in the 07:00 full-suite pass
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
     monkeypatch.setattr(subprocess, "run", fake_run)
     t0 = time.time()
     assert bench.supervise() == 1

@@ -409,3 +409,26 @@ def test_sharded_cascade2_recovers(table, sharded):
         assert eng._bloom2 is not None
     got = sorted(f.private_key for f in eng.search_sharded(stop_on_first=False))
     assert got == keys
+
+
+def test_sharded_table_ring_matches_all_gather(table):
+    """table_comm="ring" (D ppermute hops, SURVEY §5 ring schedule) must
+    find exactly what the all_gather schedule finds on the 8-device
+    mesh — positions ride in the same origin-major global space, so the
+    decoder is shared."""
+    import dataclasses
+
+    from keyhuntm1cpu_tpu.parallel import ShardedTableBSGSEngine
+
+    a = 0x500000
+    b = a + 2**20
+    keys = [a + 123, a + 2**19 + 777, a + 2**20 - 5]
+    pubs = [ecref.scalar_mult(k) for k in keys]
+    got = {}
+    for comm in ("all_gather", "ring"):
+        p = dataclasses.replace(PARAMS, table_comm=comm)
+        eng = ShardedTableBSGSEngine(pubs, a, b, p, table=table)
+        got[comm] = sorted(
+            f.private_key for f in eng.search_sharded(stop_on_first=False)
+        )
+    assert got["ring"] == got["all_gather"] == keys
