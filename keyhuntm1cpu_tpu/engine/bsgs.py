@@ -103,6 +103,30 @@ class BSGSParams:
     # time); bounded to keep async dispatch through the tunnel in check
 
 
+from collections import OrderedDict as _OrderedDict
+
+_BLOOM2_CACHE: "_OrderedDict[int, tuple]" = _OrderedDict()
+
+
+def _bloom2_for_table(hi, lo):
+    """Memoized level-2 bloom per table array: bsgsd constructs one
+    engine PER REQUEST over a shared resident table, and the bloom2
+    build is a 2m-element device sort — seconds at production m. The
+    cache holds a strong ref to the key array, so its id cannot be
+    reused while the entry lives (identity check included regardless)."""
+    from ..filter import bitmap as bmp
+
+    k = id(hi)
+    ent = _BLOOM2_CACHE.get(k)
+    if ent is not None and ent[0] is hi:
+        return ent[1]
+    b2 = bmp.build_bloom2_device(hi, lo)
+    _BLOOM2_CACHE[k] = (hi, b2)
+    while len(_BLOOM2_CACHE) > 4:
+        _BLOOM2_CACHE.popitem(last=False)
+    return b2
+
+
 def _debug_sync(label: str, arr) -> None:
     """KEYHUNT_BUILD_DEBUG=1: sync on one element and timestamp a build
     phase (used to attribute boot time between kernels, sort, scatter and
@@ -438,8 +462,8 @@ class BSGSEngine:
         use2 = (self.p.cascade2 == "on"
                 or (self.p.cascade2 == "auto" and expected > 1024))
         if use2:
-            self._bloom2 = bmp.build_bloom2_device(self.table.hi,
-                                                   self.table.lo)
+            self._bloom2 = _bloom2_for_table(self.table.hi,
+                                             self.table.lo)
             C1 = max(C, ((expected + 8 * int(expected ** 0.5) + 511)
                          // 512) * 512)
         else:
@@ -511,8 +535,8 @@ class BSGSEngine:
         use2 = (self.p.cascade2 == "on"
                 or (self.p.cascade2 == "auto" and expected > 1024))
         if use2:
-            self._bloom2 = bmp.build_bloom2_device(self.table.hi,
-                                                   self.table.lo)
+            self._bloom2 = _bloom2_for_table(self.table.hi,
+                                             self.table.lo)
             exp2 = max(64, expected // 32)  # fp<=1/64 + slack
             C2 = max(self.p.chunk_cand_max,
                      ((exp2 + 8 * int(exp2 ** 0.5) + 511) // 512) * 512)

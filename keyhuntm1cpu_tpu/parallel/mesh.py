@@ -89,8 +89,8 @@ class ShardedBSGSEngine(BSGSEngine):
         use2 = (self.p.cascade2 == "on"
                 or (self.p.cascade2 == "auto" and expected > 1024))
         if use2:
-            self._bloom2 = bmp.build_bloom2_device(self.table.hi,
-                                                   self.table.lo)
+            from ..engine.bsgs import _bloom2_for_table
+            self._bloom2 = _bloom2_for_table(self.table.hi, self.table.lo)
             C1 = max(C, ((expected + 8 * int(expected ** 0.5) + 511)
                          // 512) * 512)
         else:
