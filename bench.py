@@ -304,6 +304,10 @@ def supervise() -> int:
             for ln in p.stdout:
                 ln = ln.strip()
                 if ln.startswith("{"):
+                    try:  # a deadline kill can land mid-print: a truncated
+                        json.loads(ln)  # fragment must never become the
+                    except ValueError:  # driver-visible LAST metric line
+                        continue
                     print(ln, flush=True)
                     emitted = True
             rc = p.wait()

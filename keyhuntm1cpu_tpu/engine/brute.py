@@ -508,6 +508,7 @@ class BruteEngine:
         resumed = 0
         if checkpoint is not None:
             ck, resumed = self._ckpt_load(checkpoint)
+            found += self._reverify_saved(ck)
 
         # bounded pipeline: dispatch up to `depth` chunks ahead so the
         # per-chunk host round trip (~28 ms through the device tunnel —
@@ -736,6 +737,18 @@ class BruteEngine:
             ]
         return [(hashref.pubkey_to_eth_address(pt), True)]  # eth
 
+    def _reverify_saved(self, ck) -> List[FoundKey]:
+        """Keys persisted by an interrupted --all run, re-verified: the
+        resumed run skips their chunks, so the return value (and thus
+        KEYFOUNDKEYFOUND.txt, written by the CLI from it) would
+        otherwise silently lose them (round-4 review finding)."""
+        out: List[FoundKey] = []
+        for h in (ck.found if ck is not None else []):
+            f = self._verify(int(h, 16), 0)
+            if f is not None:
+                out.append(f)
+        return out
+
     def _verify(self, k: int, row: int) -> Optional[FoundKey]:
         """Exact host check of candidate scalar k: exact target match
         first, then vanity-prefix match (interval hits)."""
@@ -804,6 +817,7 @@ class BruteEngine:
         ck = None
         if checkpoint is not None:
             ck, resumed = self._ckpt_load(checkpoint)
+            found += self._reverify_saved(ck)
             if rng is not None:
                 draws = math.ceil((resumed // p.steps_per_chunk) / cpb)
                 for _ in range(draws):

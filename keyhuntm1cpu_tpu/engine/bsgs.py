@@ -119,11 +119,12 @@ def _bloom2_for_table(hi, lo):
     k = id(hi)
     ent = _BLOOM2_CACHE.get(k)
     if ent is not None and ent[0] is hi:
-        return ent[1]
+        _BLOOM2_CACHE.move_to_end(k)  # LRU, not FIFO: the resident
+        return ent[1]  # table must never be evicted by stale ones
     b2 = bmp.build_bloom2_device(hi, lo)
     _BLOOM2_CACHE[k] = (hi, b2)
-    while len(_BLOOM2_CACHE) > 4:
-        _BLOOM2_CACHE.popitem(last=False)
+    while len(_BLOOM2_CACHE) > 2:  # each entry pins hi (~1 GB at 2^28)
+        _BLOOM2_CACHE.popitem(last=False)  # + the bloom (up to 512 MB)
     return b2
 
 
@@ -856,6 +857,7 @@ class BSGSEngine:
 
         resume_from = 0
         ck = None
+        found_seed: List[FoundKey] = []
         if checkpoint is not None:
             from ..core.checkpoint import Checkpoint, fingerprint
 
@@ -875,6 +877,13 @@ class BSGSEngine:
                 )
                 resume_from = ck.chunks_done
                 self.stats.add(ck.keys_covered)
+                # re-surface keys the interrupted run persisted: resume
+                # skips their chunks, so nothing else re-derives them
+                # (round-4 review: the CLI writes KEYFOUNDKEYFOUND.txt
+                # from the RETURN value only)
+                found_seed = self._try_candidates_all(
+                    [int(h, 16) for h in ck.found]
+                )
             else:
                 ck = Checkpoint(
                     mode="bsgs",
@@ -890,7 +899,7 @@ class BSGSEngine:
         if max_chunks is not None:
             order = order[: resume_from + max_chunks]
 
-        found: List[FoundKey] = []
+        found: List[FoundKey] = found_seed
         # bounded pipeline over the deterministic chunk order: every chunk
         # has an independent host-derived base, so dispatch runs ahead of
         # decode by pipeline_depth chunks and the ~28 ms round trip per

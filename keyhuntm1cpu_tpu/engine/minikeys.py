@@ -189,6 +189,11 @@ class MinikeyEngine:
                 self.prefix = ck.extra["prefix"]
                 self.counter = int(ck.extra["counter"])
                 self.stats.add(ck.keys_covered)
+                # re-surface persisted finds (resume skips their span;
+                # the minikey string itself is not recoverable from the
+                # scalar, so the label is the plain target)
+                for h in ck.found:
+                    found.extend(self._reverify_scalar(int(h, 16)))
             else:
                 ck = Checkpoint(
                     mode="minikeys", range_start=0, range_end=0,
@@ -292,6 +297,21 @@ class MinikeyEngine:
             if fk is not None:
                 found.append(fk)
         return found
+
+    def _reverify_scalar(self, k: int) -> List[FoundKey]:
+        """FoundKey(s) for a checkpoint-persisted private key: hash160
+        of both parities compared against the target set."""
+        if not (1 <= k < ecref.N):
+            return []
+        pt = ecref.scalar_mult(k)
+        out: List[FoundKey] = []
+        for compressed in (False, True):
+            h = hashref.pubkey_to_hash160(pt, compressed=compressed)
+            if h in self.targets.raw:
+                label = self.targets.labels[self.targets.raw.index(h)]
+                out.append(FoundKey(private_key=k, pubkey=pt,
+                                    compressed=compressed, target=label))
+        return out
 
     def _verify_minikey(self, mk: str) -> Optional[FoundKey]:
         if hashref.sha256((mk + "?").encode())[0] != 0:

@@ -302,7 +302,10 @@ def probe(bm: DeviceBitmap, qhi: jnp.ndarray, qlo: jnp.ndarray,
         # (attacks the ~1e7/s XLA gather-issue wall, docs/PERF.md)
         words = dma_gather(word_idx, bm.words)
     else:
-        raise ValueError(f"probe mode must be one of {PROBE_MODES}")
+        raise ValueError(
+            f"probe mode must be one of {PROBE_MODES + ('dma',)} "
+            "(dma is experimental: Mosaic compile crash on current libtpu)"
+        )
     return ((words >> bit) & jnp.uint32(1)) == 1
 
 

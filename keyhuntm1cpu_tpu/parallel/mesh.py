@@ -252,6 +252,11 @@ class ShardedBSGSEngine(BSGSEngine):
                 )
                 resume_step = ck.chunks_done * K
                 self.stats.add(ck.keys_covered)
+                # re-surface keys the interrupted run persisted: resume
+                # skips their chunks, so nothing else re-derives them
+                found += self._try_candidates_all(
+                    [int(h, 16) for h in ck.found]
+                )
             else:
                 ck = Checkpoint(
                     mode="bsgs-sharded",
@@ -437,6 +442,17 @@ class ShardedTableBSGSEngine(ShardedBSGSEngine):
         )
         self._shard_structures()
         self._sharded_chunk = self._make_sharded_table_chunk()
+
+    def _make_chunk_fn(self):
+        """The parent's single-device chunk is never used here (search /
+        search_scheduled raise): building it against the dummy bitmap
+        would eagerly jit dead graphs AND construct a full-table bloom2
+        (the dummy's bits_log2=5 makes `expected` enormous, tripping the
+        cascade2 auto threshold) — a seconds-long 2m device sort plus
+        ~1.5 GB pinned in _BLOOM2_CACHE, defeating this engine's 1/D
+        memory scaling (round-4 review finding)."""
+        self._bloom2 = None
+        return None
 
     def search(self, *a, **kw):
         raise NotImplementedError(

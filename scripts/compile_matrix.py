@@ -122,7 +122,8 @@ def bsgs_matrix():
             S((m,), U32), S((m,), U32), S((m,), U32),
         )
 
-    for pm in bmp.PROBE_MODES:  # includes the round-4 "dma" MLP probe
+    for pm in bmp.PROBE_MODES:  # NOT "dma": experimental, known Mosaic
+        # compile crash on the current toolchain (gates 09/13/15)
         compile_one(
             f"bsgs pallas chunk probe={pm}",
             bs._pallas_chunk_impl, *args(1),
