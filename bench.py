@@ -27,8 +27,11 @@ import sys
 import time
 
 M = int(os.environ.get("BENCH_M", 1 << 28))
-BLOCK_U = int(os.environ.get("BENCH_U", 8192))
-CHUNK_K = int(os.environ.get("BENCH_K", 128))
+# U=16384/K=256 from the on-device shape sweep (gate 20: 2.081e16 vs
+# 1.906e16 keys/s at the old 8192/128 — bigger blocks amortize the
+# serial advance chain and per-chunk glue)
+BLOCK_U = int(os.environ.get("BENCH_U", 16384))
+CHUNK_K = int(os.environ.get("BENCH_K", 256))
 BENCH_SECONDS = float(os.environ.get("BENCH_SECONDS", 20.0))
 CAND_MAX = int(os.environ.get("BENCH_CAND", 128))
 BITS_LOG2 = os.environ.get("BENCH_BITS", "35")
