@@ -135,6 +135,23 @@ def bsgs_matrix():
         bs._pallas_chunk_impl, *args(16),
         T=16, U=U, K=32, C2=C2, SB=SB, bits_log2=bits, probe_mode=None,
     )
+    # cascade2 headline config (m=2^28 defaults: level-2 bloom words2 +
+    # per-stage budgets + the gate-20 tuned block shapes)
+    U2, K2 = 16384, 256
+    args2 = (
+        S((1, 8), U32), S((1, 8), U32),
+        S((8, U2 // 128, 128), U32), S((8, U2 // 128, 128), U32),
+        S((8,), U32), S((8,), U32),
+        S((n_words,), U32),
+        S((m,), U32), S((m,), U32), S((m,), U32),
+        S((1 << 27, ), U32),  # bloom2 words (2^32 bits)
+    )
+    compile_one(
+        "bsgs pallas chunk cascade2 U=16k K=256",
+        bs._pallas_chunk_impl, *args2,
+        T=1, U=U2, K=K2, C2=1024, SB=SB, bits_log2=bits, probe_mode=None,
+        b2_bits=32, C1=17920,
+    )
 
 
 def hash_and_minikey():
