@@ -103,9 +103,17 @@ def gate_throughput(seconds=10.0):
     # the degenerate all-zero key64 (advisor r3 finding).
     rng = np.random.default_rng(0xC0FFEE)
     ts = targets_from_ints("hash160", [rng.bytes(20), rng.bytes(20)])
+    # batch-size sweep knobs (valid_max must scale: expected valid lanes
+    # are B/256, and overflow falls back to the exact host rescan)
+    import os
+
+    B = int(os.environ.get("PMK_BATCH", 0))
+    kw = {}
+    if B:
+        kw = dict(batch=B, valid_max=max(2048, (B // 256) * 2))
     for label, pallas in (("pallas", "auto"), ("xla", "off")):
         eng = MinikeyEngine(
-            ts, params=MinikeyParams(pallas=pallas)
+            ts, params=MinikeyParams(pallas=pallas, **kw)
         )
         # warm/compile
         eng.search(max_chunks=2, stop_on_first=False)
