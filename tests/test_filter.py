@@ -357,3 +357,29 @@ def test_compact_positions_matches_nonzero():
         )
         got = np.asarray(bmp.compact_positions(jnp.asarray(m), size, B))
         np.testing.assert_array_equal(got, want, err_msg=f"{B},{size},{nhits}")
+
+
+def test_two_stage_overflow_poisons_n():
+    """Both overflow modes of the two-stage cascade must trip the
+    caller's single `n_candidates > cand_max` rescan check: stage-2
+    survivors exceeding cand_max, and stage-1 survivors exceeding
+    stage1_max (poisoned past cand_max even if stage 2 sees few)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from keyhuntm1cpu_tpu.filter import bitmap as bmp
+    from keyhuntm1cpu_tpu.filter import sorted_table as st
+
+    rng = np.random.default_rng(17)
+    m = 512
+    hi = rng.integers(0, 2**32, size=m, dtype=np.uint32)
+    lo = rng.integers(0, 2**32, size=m, dtype=np.uint32)
+    tab = st.build_sorted_table(hi, lo, np.arange(1, m + 1, dtype=np.uint32))
+    bm = bmp.build_bitmap(hi, lo, bits_log2=20, on_device=False)
+    b2 = bmp.build_bloom2_device(jnp.asarray(hi), jnp.asarray(lo))
+    qh, ql = jnp.asarray(hi), jnp.asarray(lo)  # every query a member
+    # stage-2 overflow: all m members survive both probes, cand_max < m
+    fl = bmp.filtered_lookup(bm, tab, qh, ql, 64, bm2=b2, stage1_max=1024)
+    assert int(fl.n_candidates) > 64
+    # stage-1 overflow: stage1_max < m, poisoned past cand_max
+    fl = bmp.filtered_lookup(bm, tab, qh, ql, 64, bm2=b2, stage1_max=128)
+    assert int(fl.n_candidates) > 64
