@@ -408,13 +408,15 @@ def _run(args, log) -> int:
         targets = parse_target_file(args.file, "address")
         import jax
 
-        # tuned device batch (262144 measured 18.9M minikeys/s on v5e);
-        # CPU runs stay small so smoke tests compile quickly
-        default_batch = 262144 if jax.default_backend() != "cpu" else 4096
+        # tuned device batch (gate-26 sweep: 36.8M minikeys/s at 2^22 on
+        # v5e); CPU runs stay small so smoke tests compile quickly
+        default_batch = (1 << 22) if jax.default_backend() != "cpu" else 4096
+        mb = max(default_batch, args.block_u)
         eng = MinikeyEngine(
             targets,
             prefix=args.minikey_prefix,
-            params=MinikeyParams(batch=max(default_batch, args.block_u)),
+            params=MinikeyParams(batch=mb,
+                                 valid_max=max(2048, (mb // 256) * 2)),
             alphabet=args.alphabet,
         )
         found = eng.search(

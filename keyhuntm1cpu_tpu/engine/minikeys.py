@@ -62,9 +62,12 @@ def _b58_digits(v: int, n: int, alphabet: str = _B58) -> str:
 
 @dataclass(frozen=True)
 class MinikeyParams:
-    batch: int = 262144  # minikeys per device chunk
+    batch: int = 1 << 22  # minikeys per device chunk (gate-26 sweep:
+    # 20.9M/s at 2^18 -> 32.9M at 2^20 -> 36.8M at 2^22 on v5e — bigger
+    # batches amortize the per-chunk ladder/dispatch overhead)
     chain_len: int = 32
-    valid_max: int = 2048  # compacted valid-lane budget (expected B/256)
+    valid_max: int = 1 << 15  # compacted valid-lane budget (expected
+    # B/256 = 16384 at the default batch, x2 margin)
     hit_max: int = 64  # flagged-lane budget per chunk
     pipeline_depth: int = 8
     # validity-filter backend: 'auto'/'on' use the Pallas kernel on
