@@ -27,7 +27,8 @@ from keyhuntm1cpu_tpu.utils.targets import TargetSet
 MODES = sys.argv[1:] or ["eth", "rmd160"]
 U = int(os.environ.get("EXP_U", 16384))
 K = int(os.environ.get("EXP_K", 256))
-HRS = [None, 8, 16, 32]
+HRS = [int(h) if h != "None" else None for h in
+       os.environ.get("EXP_HRS", "None,8,16,32").split(",")]
 MK = {
     "rmd160": lambda pt: hashref.pubkey_to_hash160(pt, compressed=True),
     "eth": hashref.pubkey_to_eth_address,
