@@ -277,8 +277,13 @@ def supervise() -> int:
 
     import threading
 
+    # default budget: the full-defaults round-4 run (m=2^28 + ALL gated
+    # mode sections, warm cache) measured 2280 s wall (gate 27); 3300 s
+    # covers it with margin. The incremental metric line protects
+    # against an OUTER kill regardless — a longer internal deadline
+    # only ever gains sections, never risks the headline.
     for m, deadline, with_modes in attempt_ladder(
-        M, int(os.environ.get("BENCH_DEADLINE", 2400))
+        M, int(os.environ.get("BENCH_DEADLINE", 3300))
     ):
         env = dict(os.environ)
         env["BENCH_CHILD"] = "1"
