@@ -170,7 +170,9 @@ def bench_minikeys(seconds=5.0, gate_only=False):
         "hash160",
         [hashref.pubkey_to_hash160(ecref.scalar_mult(k), compressed=False)],
     )
-    params = MinikeyParams()
+    from keyhuntm1cpu_tpu.engine.minikeys import tuned_params
+
+    params = tuned_params()
     eng = MinikeyEngine(ts, prefix=prefix, params=params)
     found = eng.search(max_chunks=1)
     assert found and found[0].private_key == k, "minikeys gate FAILED"

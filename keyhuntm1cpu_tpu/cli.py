@@ -410,8 +410,11 @@ def _run(args, log) -> int:
 
         # tuned device batch (gate-26 sweep: 36.8M minikeys/s at 2^22 on
         # v5e); CPU runs stay small so smoke tests compile quickly
-        default_batch = (1 << 22) if jax.default_backend() != "cpu" else 4096
-        mb = max(default_batch, args.block_u)
+        from .engine.minikeys import tuned_params
+
+        base = tuned_params()
+        mb = max(base.batch if jax.default_backend() != "cpu" else 4096,
+                 args.block_u)
         eng = MinikeyEngine(
             targets,
             prefix=args.minikey_prefix,

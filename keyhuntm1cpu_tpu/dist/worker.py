@@ -146,9 +146,9 @@ def minikeys_search_fn(targets, prefix: str, params=None,
     must be launched with the same --minikey-prefix so the units mean
     the same scan space. Beyond the reference (its minikeys mode was
     single-process only, keyhunt.cpp:5619-5696)."""
-    from ..engine.minikeys import MinikeyEngine, MinikeyParams
+    from ..engine.minikeys import MinikeyEngine, tuned_params
 
-    params = params or MinikeyParams()
+    params = params or tuned_params()
 
     def search(a: int, b: int) -> List[str]:
         eng = MinikeyEngine(targets, prefix=prefix, params=params,

@@ -52,6 +52,19 @@ DEVICE_DIGITS = 5  # low digits generated on device (58^5 < 2^31: u32 math)
 LOW_SPAN = 58 ** DEVICE_DIGITS
 
 
+def tuned_params(pallas: str = "auto") -> "MinikeyParams":
+    """Device-tuned MinikeyParams: batch 2^22 on a real accelerator
+    (gate-26 sweep, 36.8M minikeys/s on v5e), CPU-safe defaults
+    otherwise. valid_max scales with batch (expected B/256, x2)."""
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return MinikeyParams(pallas=pallas)
+    b = 1 << 22
+    return MinikeyParams(pallas=pallas, batch=b,
+                         valid_max=max(2048, (b // 256) * 2))
+
+
 def _b58_digits(v: int, n: int, alphabet: str = _B58) -> str:
     out = []
     for _ in range(n):
@@ -62,12 +75,13 @@ def _b58_digits(v: int, n: int, alphabet: str = _B58) -> str:
 
 @dataclass(frozen=True)
 class MinikeyParams:
-    batch: int = 1 << 22  # minikeys per device chunk (gate-26 sweep:
-    # 20.9M/s at 2^18 -> 32.9M at 2^20 -> 36.8M at 2^22 on v5e — bigger
-    # batches amortize the per-chunk ladder/dispatch overhead)
+    batch: int = 262144  # minikeys per device chunk. NOTE: the DEVICE-
+    # tuned batch is 2^22 (gate-26 sweep: 20.9M/s at 2^18 -> 36.8M/s at
+    # 2^22 on v5e) — device-facing entry points pass tuned_batch();
+    # the dataclass default stays CPU-safe (a 2^22 chunk takes minutes
+    # to walk on the test backend).
     chain_len: int = 32
-    valid_max: int = 1 << 15  # compacted valid-lane budget (expected
-    # B/256 = 16384 at the default batch, x2 margin)
+    valid_max: int = 2048  # compacted valid-lane budget (expected B/256)
     hit_max: int = 64  # flagged-lane budget per chunk
     pipeline_depth: int = 8
     # validity-filter backend: 'auto'/'on' use the Pallas kernel on
