@@ -191,6 +191,7 @@ def main(argv=None) -> int:
                 ("alphabet", "minikey_alphabet"),
                 ("probe_mode", "probe_mode"),
                 ("cascade2", "cascade2"),
+                ("table_comm", "table_comm"),
             ):
                 if getattr(args, attr) == getattr(defaults, attr):
                     v = getattr(cfg, key)
@@ -303,6 +304,12 @@ def _run(args, log) -> int:
                 log.plus(f"loaded baby table from {cache}")
             except (FileNotFoundError, ValueError):
                 table = None
+        if args.table_comm != "all_gather" and args.sharded != "table":
+            log.warn(
+                "--table-comm applies only to --sharded table (the ring "
+                "schedule moves table-shard membership traffic); this "
+                "run does not use it"
+            )
         if args.sharded:
             from .parallel import ShardedBSGSEngine, ShardedTableBSGSEngine
 
@@ -412,14 +419,11 @@ def _run(args, log) -> int:
         # v5e); CPU runs stay small so smoke tests compile quickly
         from .engine.minikeys import tuned_params
 
-        base = tuned_params()
-        mb = max(base.batch if jax.default_backend() != "cpu" else 4096,
-                 args.block_u)
+        default_batch = (1 << 22) if jax.default_backend() != "cpu" else 4096
         eng = MinikeyEngine(
             targets,
             prefix=args.minikey_prefix,
-            params=MinikeyParams(batch=mb,
-                                 valid_max=max(2048, (mb // 256) * 2)),
+            params=tuned_params(batch=max(default_batch, args.block_u)),
             alphabet=args.alphabet,
         )
         found = eng.search(

@@ -38,8 +38,12 @@ class Config:
     k_factor: int = 1  # reference -k: m = sqrt(N) * k
     n_value: Optional[int] = None  # reference -n (exact-square N)
     filter_mult: int = 1  # reference -z probe-filter multiplier
-    probe_mode: "str | None" = None  # bitmap-gather strategy (elem/sorted/row128/dma)
+    probe_mode: "str | None" = None  # bitmap-gather strategy
+    # (elem/sorted/row128; "dma" exists but is EXPERIMENTAL — known
+    # Mosaic compile crash on the current libtpu, filter/bitmap.py)
     cascade2: str = "auto"  # level-2 hashed bloom (auto/on/off)
+    table_comm: str = "all_gather"  # sharded-TABLE membership schedule
+    # (all_gather/ring; only meaningful with --sharded table)
     bsgs_policy: str = "sequential"
     block_u: int = 4096
     steps_per_chunk: int = 8

@@ -508,7 +508,7 @@ class BruteEngine:
         resumed = 0
         if checkpoint is not None:
             ck, resumed = self._ckpt_load(checkpoint)
-            found += self._reverify_saved(ck)
+            found += self._reverify_saved(ck, found)
 
         # bounded pipeline: dispatch up to `depth` chunks ahead so the
         # per-chunk host round trip (~28 ms through the device tunnel —
@@ -737,15 +737,23 @@ class BruteEngine:
             ]
         return [(hashref.pubkey_to_eth_address(pt), True)]  # eth
 
-    def _reverify_saved(self, ck) -> List[FoundKey]:
+    def _reverify_saved(self, ck, existing: List[FoundKey]) -> List[FoundKey]:
         """Keys persisted by an interrupted --all run, re-verified: the
         resumed run skips their chunks, so the return value (and thus
         KEYFOUNDKEYFOUND.txt, written by the CLI from it) would
-        otherwise silently lose them (round-4 review finding)."""
+        otherwise silently lose them (round-4 review finding). Keys
+        already in `existing` are skipped — the prefix-edge loop can
+        have re-found one before the checkpoint loads, and brute has no
+        final dedupe pass."""
+        have = {f.private_key for f in existing}
         out: List[FoundKey] = []
         for h in (ck.found if ck is not None else []):
-            f = self._verify(int(h, 16), 0)
-            if f is not None:
+            k = int(h, 16)
+            if k in have:
+                continue
+            f = self._verify(k, 0)
+            if f is not None and f.private_key not in have:
+                have.add(f.private_key)
                 out.append(f)
         return out
 
@@ -817,7 +825,7 @@ class BruteEngine:
         ck = None
         if checkpoint is not None:
             ck, resumed = self._ckpt_load(checkpoint)
-            found += self._reverify_saved(ck)
+            found += self._reverify_saved(ck, found)
             if rng is not None:
                 draws = math.ceil((resumed // p.steps_per_chunk) / cpb)
                 for _ in range(draws):

@@ -103,9 +103,11 @@ class BSGSParams:
     # time); bounded to keep async dispatch through the tunnel in check
 
 
+import threading as _threading
 from collections import OrderedDict as _OrderedDict
 
 _BLOOM2_CACHE: "_OrderedDict[int, tuple]" = _OrderedDict()
+_BLOOM2_LOCK = _threading.Lock()
 
 
 def _bloom2_for_table(hi, lo):
@@ -113,18 +115,22 @@ def _bloom2_for_table(hi, lo):
     engine PER REQUEST over a shared resident table, and the bloom2
     build is a 2m-element device sort — seconds at production m. The
     cache holds a strong ref to the key array, so its id cannot be
-    reused while the entry lives (identity check included regardless)."""
+    reused while the entry lives (identity check included regardless).
+    Locked: bsgsd handler THREADS construct engines concurrently, and
+    get/move_to_end/insert/evict are not atomic compounds."""
     from ..filter import bitmap as bmp
 
     k = id(hi)
-    ent = _BLOOM2_CACHE.get(k)
-    if ent is not None and ent[0] is hi:
-        _BLOOM2_CACHE.move_to_end(k)  # LRU, not FIFO: the resident
-        return ent[1]  # table must never be evicted by stale ones
+    with _BLOOM2_LOCK:
+        ent = _BLOOM2_CACHE.get(k)
+        if ent is not None and ent[0] is hi:
+            _BLOOM2_CACHE.move_to_end(k)  # LRU, not FIFO: the resident
+            return ent[1]  # table must never be evicted by stale ones
     b2 = bmp.build_bloom2_device(hi, lo)
-    _BLOOM2_CACHE[k] = (hi, b2)
-    while len(_BLOOM2_CACHE) > 2:  # each entry pins hi (~1 GB at 2^28)
-        _BLOOM2_CACHE.popitem(last=False)  # + the bloom (up to 512 MB)
+    with _BLOOM2_LOCK:
+        _BLOOM2_CACHE[k] = (hi, b2)
+        while len(_BLOOM2_CACHE) > 2:  # each entry pins hi (~1 GB at
+            _BLOOM2_CACHE.popitem(last=False)  # 2^28) + 512 MB bloom
     return b2
 
 

@@ -52,17 +52,20 @@ DEVICE_DIGITS = 5  # low digits generated on device (58^5 < 2^31: u32 math)
 LOW_SPAN = 58 ** DEVICE_DIGITS
 
 
-def tuned_params(pallas: str = "auto") -> "MinikeyParams":
+def tuned_params(pallas: str = "auto",
+                 batch: "int | None" = None) -> "MinikeyParams":
     """Device-tuned MinikeyParams: batch 2^22 on a real accelerator
     (gate-26 sweep, 36.8M minikeys/s on v5e), CPU-safe defaults
-    otherwise. valid_max scales with batch (expected B/256, x2)."""
+    otherwise. valid_max always scales with batch (expected B/256, x2)
+    — the ONE place that sizing lives (cli/bench/gates all call this)."""
     import jax
 
-    if jax.default_backend() == "cpu":
-        return MinikeyParams(pallas=pallas)
-    b = 1 << 22
-    return MinikeyParams(pallas=pallas, batch=b,
-                         valid_max=max(2048, (b // 256) * 2))
+    if batch is None:
+        if jax.default_backend() == "cpu":
+            return MinikeyParams(pallas=pallas)
+        batch = 1 << 22
+    return MinikeyParams(pallas=pallas, batch=batch,
+                         valid_max=max(2048, (batch // 256) * 2))
 
 
 def _b58_digits(v: int, n: int, alphabet: str = _B58) -> str:
@@ -187,12 +190,16 @@ class MinikeyEngine:
         if checkpoint is not None:
             from ..core.checkpoint import Checkpoint, fingerprint
 
-            # canonical alphabet keeps the historical fingerprint so
-            # pre-existing checkpoints stay resumable
+            # The fingerprint pins SEMANTIC identity only: the saved
+            # position (prefix + absolute counter) is batch-independent,
+            # so shape knobs (batch/valid_max/hit_max) must NOT
+            # invalidate resume — retuning the device batch (gate 26)
+            # would otherwise strand every pre-existing checkpoint.
+            # Canonical alphabet keeps a stable fingerprint.
             params_fp = (
-                fingerprint(B, V, HM)
+                fingerprint("minikeys-v2")
                 if self.alphabet == _B58
-                else fingerprint(B, V, HM, self.alphabet)
+                else fingerprint("minikeys-v2", self.alphabet)
             )
             targets_fp = fingerprint(sorted(self.targets.raw))
             ck = checkpoint.load()

@@ -594,8 +594,8 @@ class ShardedTableBSGSEngine(ShardedBSGSEngine):
                     my = jax.lax.axis_index("shard")
                     perm = [(i, (i + 1) % D) for i in range(D)]
 
-                    def ring_round(r, carry):
-                        qh, ql, dg, gpos_a, j_a, j2_a, nmax = carry
+                    def probe_round(r, qh, ql, dg, accs):
+                        gpos_a, j_a, j2_a, nmax = accs
                         origin = (my - r) % D
                         fl = bmp.filtered_lookup(
                             bitmap, table, qh, ql, C,
@@ -618,10 +618,15 @@ class ShardedTableBSGSEngine(ShardedBSGSEngine):
                         j2_a = jax.lax.dynamic_update_slice(
                             j2_a, j2v[None], (r, 0))
                         nmax = jnp.maximum(nmax, fl.n_candidates)
+                        return (gpos_a, j_a, j2_a, nmax)
+
+                    def ring_round(r, carry):
+                        qh, ql, dg, *accs = carry
+                        accs = probe_round(r, qh, ql, dg, tuple(accs))
                         qh = jax.lax.ppermute(qh, "shard", perm)
                         ql = jax.lax.ppermute(ql, "shard", perm)
                         dg = jax.lax.ppermute(dg, "shard", perm)
-                        return (qh, ql, dg, gpos_a, j_a, j2_a, nmax)
+                        return (qh, ql, dg) + accs
 
                     init = (
                         qhi.reshape(-1), qlo.reshape(-1),
@@ -631,8 +636,14 @@ class ShardedTableBSGSEngine(ShardedBSGSEngine):
                         jnp.zeros((D, C), jnp.int32),
                         jnp.zeros((), jnp.int32),
                     )
-                    (_, _, _, gpos_a, j_a, j2_a, nmax) = jax.lax.fori_loop(
-                        0, D, ring_round, init
+                    # D-1 probe+permute hops, then a FINAL probe with no
+                    # permute: the last hop's rotation fed only the
+                    # discarded loop carry — pure dead ICI traffic
+                    (qh_f, ql_f, dg_f, *accs) = jax.lax.fori_loop(
+                        0, D - 1, ring_round, init
+                    )
+                    (gpos_a, j_a, j2_a, nmax) = probe_round(
+                        D - 1, qh_f, ql_f, dg_f, tuple(accs)
                     )
                     flat = gpos_a.reshape(-1)
                     hitmask = flat < D * TU

@@ -107,14 +107,11 @@ def gate_throughput(seconds=10.0):
     # are B/256, and overflow falls back to the exact host rescan)
     import os
 
-    B = int(os.environ.get("PMK_BATCH", 0))
-    kw = {}
-    if B:
-        kw = dict(batch=B, valid_max=max(2048, (B // 256) * 2))
+    from keyhuntm1cpu_tpu.engine.minikeys import tuned_params
+
+    B = int(os.environ.get("PMK_BATCH", 0)) or None
     for label, pallas in (("pallas", "auto"), ("xla", "off")):
-        eng = MinikeyEngine(
-            ts, params=MinikeyParams(pallas=pallas, **kw)
-        )
+        eng = MinikeyEngine(ts, params=tuned_params(pallas=pallas, batch=B))
         # warm/compile
         eng.search(max_chunks=2, stop_on_first=False)
         n0 = eng.stats.keys_covered
