@@ -174,6 +174,87 @@ def build_bitmap_device(
     return DeviceBitmap(_build_words_device(hi, lo, bits_log2, n_words), bits_log2)
 
 
+# ---------------------------------------------------------------------------
+# Streaming scatter-OR (filter builds without materialized key planes).
+#
+# jnp has no scatter-OR; the exact construction sorts the segment's word
+# indices, OR-combines equal-index runs with a segmented associative
+# scan, then gathers the current word and scatters the merged value at
+# each run-last position. Duplicate (word, bit) pairs across SEGMENTS
+# are exact too (the gather reads the live value), which is what lets
+# the BSGS filter build stream m keys through a lax.scan carry instead
+# of materializing 8-12 bytes/key of planes + sort transients (the
+# m=2^29 OOM, .tpu_queue/22_m29_probe.log).
+# ---------------------------------------------------------------------------
+
+
+def bitmap_bit_planes(qhi, qlo, bits_log2: int):
+    """(word_idx int32, bitval u32) for the direct-address bitmap —
+    index math identical to probe()."""
+    if bits_log2 > 32:
+        extra = bits_log2 - 32
+        word_idx = (
+            (qlo >> jnp.uint32(5)).astype(jnp.int32)
+            | ((qhi & jnp.uint32((1 << extra) - 1)).astype(jnp.int32) << 27)
+        )
+        bit = qlo & jnp.uint32(31)
+    else:
+        mask = (jnp.uint32((1 << bits_log2) - 1) if bits_log2 < 32
+                else jnp.uint32(0xFFFFFFFF))
+        idx = qlo & mask
+        word_idx = (idx >> jnp.uint32(5)).astype(jnp.int32)
+        bit = idx & jnp.uint32(31)
+    return word_idx, jnp.uint32(1) << bit
+
+
+def bloom2_bit_planes(qhi, qlo, bits_log2: int):
+    """(word_idx int32, bitval u32), both hashes concatenated — index
+    math identical to probe_bloom2(). For bits_log2 > 32 the word index
+    gains (bits_log2-32) key-derived extension bits (bloom2_ext_hashes;
+    the extension must mix the KEY, not the 32-bit hash — a function of
+    the hash cannot split hash collisions into distinct buckets)."""
+    h1, h2 = bloom2_hashes(qhi, qlo)
+    if bits_log2 > 32:
+        e1, e2 = bloom2_ext_hashes(qhi, qlo)
+        emask = jnp.uint32((1 << (bits_log2 - 32)) - 1)
+        word_idx = jnp.concatenate([
+            (h1 >> jnp.uint32(5)).astype(jnp.int32)
+            | ((e1 & emask).astype(jnp.int32) << 27),
+            (h2 >> jnp.uint32(5)).astype(jnp.int32)
+            | ((e2 & emask).astype(jnp.int32) << 27),
+        ])
+        bit = jnp.concatenate([h1, h2]) & jnp.uint32(31)
+        return word_idx, jnp.uint32(1) << bit
+    mask = (jnp.uint32((1 << bits_log2) - 1) if bits_log2 < 32
+            else jnp.uint32(0xFFFFFFFF))
+    idx = jnp.concatenate([h1 & mask, h2 & mask])
+    word_idx = (idx >> jnp.uint32(5)).astype(jnp.int32)
+    return word_idx, jnp.uint32(1) << (idx & jnp.uint32(31))
+
+
+def or_bits_into(words, word_idx, bitval):
+    """words[word_idx] |= bitval, exact under duplicate word_idx; OOB
+    indices (callers use n_words for masked lanes) are dropped. Plain
+    traceable function — meant to run INSIDE a jitted scan body where
+    XLA aliases the loop-carried words buffer (no per-call copy)."""
+    n = words.shape[0]
+    si, sv = _jax.lax.sort((word_idx, bitval), num_keys=1)
+
+    def comb(a, b):
+        ai, av = a
+        bi, bv = b
+        return bi, jnp.where(ai == bi, av | bv, bv)
+
+    _, rv = _jax.lax.associative_scan(comb, (si, sv))
+    last = jnp.concatenate(
+        [si[:-1] != si[1:], jnp.ones((1,), dtype=bool)]
+    )
+    safe = jnp.minimum(si, n - 1)
+    merged = words[safe] | rv
+    tgt = jnp.where(last & (si < n), si, n)  # n = dropped
+    return words.at[tgt].set(merged)
+
+
 PROBE_MODES = ("elem", "sorted", "row128")
 # "dma" (dma_gather below) is EXPERIMENTAL and not in PROBE_MODES: the
 # per-query 4 B async-copy kernel is bit-exact in interpret mode but
@@ -336,6 +417,22 @@ def bloom2_bits_log2(m: int) -> int:
     return min(32, max(16, int(np.ceil(np.log2(max(m, 2)))) + 4))
 
 
+def bloom2_bits_log2_host(m: int) -> int:
+    """Bloom2 sizing for HOST-resolve engines (no device exact table):
+    the freed HBM buys load 2m/2^bits = 1/16 (fp ~ 3.7e-3), capped at
+    2^35 bits (4 GB) — the same int32-word-index ceiling as the bitmap.
+    At the cap the load degrades gracefully (1/8 at m=2^31, 1/4 at
+    m=2^32); budget sizing must use bloom2_fp(), not a constant."""
+    return min(35, max(16, int(np.ceil(np.log2(max(m, 2)))) + 5))
+
+
+def bloom2_fp(m: int, bits_log2: int) -> float:
+    """False-positive rate of the k=2 bloom at 2m insertions into
+    2^bits_log2 bits: (1 - e^-load)^2."""
+    load = 2.0 * m / float(1 << bits_log2)
+    return float((1.0 - np.exp(-load)) ** 2)
+
+
 def _fmix32(h):
     h ^= h >> jnp.uint32(16)
     h *= jnp.uint32(0x85EBCA6B)
@@ -353,6 +450,15 @@ def bloom2_hashes(qhi, qlo):
     h1 = _fmix32(qlo ^ (qhi * jnp.uint32(0x9E3779B1)) ^ jnp.uint32(0x2545F491))
     h2 = _fmix32(qhi ^ (qlo * jnp.uint32(0x85EBCA77)) ^ jnp.uint32(0x633D9ABD))
     return h1, h2
+
+
+def bloom2_ext_hashes(qhi, qlo):
+    """Index-extension mixes for bloom sizes past 2^32 bits: two MORE
+    independent key mixes whose low bits extend each probe's bucket
+    address (host-resolve blooms run at 2^33-2^35 bits)."""
+    e1 = _fmix32(qhi ^ (qlo * jnp.uint32(0xC2B2AE3D)) ^ jnp.uint32(0x27D4EB2F))
+    e2 = _fmix32(qlo ^ (qhi * jnp.uint32(0x165667B1)) ^ jnp.uint32(0x9E3779B9))
+    return e1, e2
 
 
 def _fmix32_np(h: np.ndarray) -> np.ndarray:
@@ -380,21 +486,52 @@ def bloom2_hashes_np(qhi: np.ndarray, qlo: np.ndarray):
     return h1, h2
 
 
+def bloom2_ext_hashes_np(qhi: np.ndarray, qlo: np.ndarray):
+    """numpy mirror of bloom2_ext_hashes — MUST stay bit-identical."""
+    qhi = qhi.astype(np.uint32)
+    qlo = qlo.astype(np.uint32)
+    e1 = _fmix32_np(
+        qhi ^ (qlo * np.uint32(0xC2B2AE3D)).astype(np.uint32)
+        ^ np.uint32(0x27D4EB2F)
+    )
+    e2 = _fmix32_np(
+        qlo ^ (qhi * np.uint32(0x165667B1)).astype(np.uint32)
+        ^ np.uint32(0x9E3779B9)
+    )
+    return e1, e2
+
+
+def bloom2_word_bit_np(qhi: np.ndarray, qlo: np.ndarray, bits_log2: int):
+    """(word int64, bitmask u32) per probe, both probes concatenated —
+    numpy mirror of bloom2_bit_planes (incl. >32-bit extension)."""
+    h1, h2 = bloom2_hashes_np(np.asarray(qhi), np.asarray(qlo))
+    if bits_log2 > 32:
+        e1, e2 = bloom2_ext_hashes_np(np.asarray(qhi), np.asarray(qlo))
+        emask = np.uint32((1 << (bits_log2 - 32)) - 1)
+        word = np.concatenate([
+            (h1 >> np.uint32(5)).astype(np.int64)
+            | ((e1 & emask).astype(np.int64) << 27),
+            (h2 >> np.uint32(5)).astype(np.int64)
+            | ((e2 & emask).astype(np.int64) << 27),
+        ])
+        bits = np.concatenate([h1, h2]) & np.uint32(31)
+        return word, np.uint32(1) << bits
+    mask = (np.uint32((1 << bits_log2) - 1) if bits_log2 < 32
+            else np.uint32(0xFFFFFFFF))
+    idx = np.concatenate([h1 & mask, h2 & mask])
+    return ((idx >> np.uint32(5)).astype(np.int64),
+            np.uint32(1) << (idx & np.uint32(31)))
+
+
 def build_bloom2_host(hi: np.ndarray, lo: np.ndarray,
                       bits_log2: "int | None" = None) -> DeviceBloom2:
     """Host-built k=2 bloom (numpy scatter-or) — used by the sharded-
     table engine, which builds per-shard structures host-side."""
     if bits_log2 is None:
         bits_log2 = bloom2_bits_log2(len(lo))
-    h1, h2 = bloom2_hashes_np(np.asarray(hi), np.asarray(lo))
-    mask = np.uint32((1 << bits_log2) - 1) if bits_log2 < 32 else np.uint32(0xFFFFFFFF)
-    idx = np.concatenate([h1 & mask, h2 & mask])
+    word, val = bloom2_word_bit_np(hi, lo, bits_log2)
     words = np.zeros(1 << (bits_log2 - 5), dtype=np.uint32)
-    np.bitwise_or.at(
-        words,
-        (idx >> np.uint32(5)).astype(np.int64),
-        np.uint32(1) << (idx & np.uint32(31)),
-    )
+    np.bitwise_or.at(words, word, val)
     return DeviceBloom2(jnp.asarray(words), bits_log2)
 
 
@@ -444,6 +581,16 @@ def probe_bloom2(b2: DeviceBloom2, qhi: jnp.ndarray,
                  qlo: jnp.ndarray) -> jnp.ndarray:
     """(B,) bool mask — 2 gathers per query; no false negatives."""
     h1, h2 = bloom2_hashes(qhi, qlo)
+    if b2.bits_log2 > 32:
+        e1, e2 = bloom2_ext_hashes(qhi, qlo)
+        emask = jnp.uint32((1 << (b2.bits_log2 - 32)) - 1)
+        w1 = b2.words[(h1 >> jnp.uint32(5)).astype(jnp.int32)
+                      | ((e1 & emask).astype(jnp.int32) << 27)]
+        w2 = b2.words[(h2 >> jnp.uint32(5)).astype(jnp.int32)
+                      | ((e2 & emask).astype(jnp.int32) << 27)]
+        hit1 = ((w1 >> (h1 & jnp.uint32(31))) & jnp.uint32(1)) == 1
+        hit2 = ((w2 >> (h2 & jnp.uint32(31))) & jnp.uint32(1)) == 1
+        return hit1 & hit2
     mask = (jnp.uint32((1 << b2.bits_log2) - 1) if b2.bits_log2 < 32
             else jnp.uint32(0xFFFFFFFF))
     h1 &= mask
@@ -453,6 +600,24 @@ def probe_bloom2(b2: DeviceBloom2, qhi: jnp.ndarray,
     hit1 = ((w1 >> (h1 & jnp.uint32(31))) & jnp.uint32(1)) == 1
     hit2 = ((w2 >> (h2 & jnp.uint32(31))) & jnp.uint32(1)) == 1
     return hit1 & hit2
+
+
+def compact_positions_sort(mask: jnp.ndarray, size: int,
+                           fill: int) -> jnp.ndarray:
+    """Dense-regime compaction: one ascending lax.sort of the masked
+    iota. Hits sort to the front in order; the first `size` are kept —
+    identical semantics to flat nonzero (FIRST size positions on
+    overflow). The flat nonzero's scan costs ~6.4 ms per 512k on v5e,
+    ~50 ms at a 4M-query chunk; a single-key u32 sort of 4M runs in
+    ~10-16 ms and is survivor-count-independent — the winner once
+    survivors are too dense for the hierarchical path (large m at the
+    capped bitmap, where expected hits exceed B/128)."""
+    B = mask.shape[0]
+    iota = jnp.arange(B, dtype=jnp.int32)
+    key = jnp.where(mask, iota, jnp.int32(B))
+    (skey,) = _jax.lax.sort((key,), num_keys=1)
+    pos = skey[:size]
+    return jnp.where(pos < B, pos, fill).astype(jnp.int32)
 
 
 def compact_positions(mask: jnp.ndarray, size: int, fill: int) -> jnp.ndarray:
@@ -466,12 +631,15 @@ def compact_positions(mask: jnp.ndarray, size: int, fill: int) -> jnp.ndarray:
     every hit row holds >= 1 survivor, so #hit rows <= #survivors; when
     survivors > size the output (like flat nonzero's) keeps the FIRST
     `size` positions — callers detect overflow via mask.sum() as before.
-    Falls back to flat nonzero when B is not row-tileable.
+    Dense budgets (size*128 >= B, where the row hierarchy cannot shrink
+    anything) use the sort path; tiny/untileable masks use flat nonzero.
     """
     B = mask.shape[0]
-    if B % 128 != 0 or B // 128 < 2 or size * 128 >= B:
+    if B % 128 != 0 or B // 128 < 2:
         (pos,) = jnp.nonzero(mask, size=size, fill_value=fill)
         return pos.astype(jnp.int32)
+    if size * 128 >= B:
+        return compact_positions_sort(mask, size, fill)
     R = B // 128
     rows = mask.reshape(R, 128)
     rowhit = rows.any(axis=1)
@@ -542,3 +710,51 @@ def filtered_lookup(
     # poison: stage-1 overflow must trip the caller's n > cand_max check
     n_out = jnp.where(n > C1, n + cand_max, n2)
     return FilteredLookup(pos, lr, n_out)
+
+
+class FilteredSurvivors(NamedTuple):
+    """Cascade survivors WITHOUT device exact resolution (host-resolve
+    mode): flat positions + the survivors' 64-bit truncated keys, which
+    the host resolves against filter/host_table.py via searchsorted."""
+
+    pos: jnp.ndarray  # (C,) int32 flat query positions, fill = B
+    qhi: jnp.ndarray  # (C,) uint32 survivor key planes (garbage at fill)
+    qlo: jnp.ndarray
+    n_candidates: jnp.ndarray  # () int32 — poisoned past cand_max on
+    # overflow of EITHER cascade stage
+
+
+def filtered_survivors(
+    bm: DeviceBitmap,
+    qhi: jnp.ndarray,
+    qlo: jnp.ndarray,
+    cand_max: int,
+    mode: "str | None" = None,
+    bm2: "DeviceBloom2 | None" = None,
+    stage1_max: "int | None" = None,
+) -> FilteredSurvivors:
+    """Bitmap probe -> compact -> (optional bloom2 -> compact), NO exact
+    search: the exact level runs on the host (docs/PERF.md "HBM diet" —
+    dropping the device table is what unlocks m past 2^28). Overflow
+    semantics match filtered_lookup: callers check
+    n_candidates > cand_max and fall back to an exact host rescan."""
+    b = qhi.shape[0]
+    mask = probe(bm, qhi, qlo, mode=mode)
+    n = mask.sum().astype(jnp.int32)
+    if bm2 is None:
+        pos = compact_positions(mask, cand_max, b)
+        safe = jnp.minimum(pos, b - 1)
+        return FilteredSurvivors(pos, qhi[safe], qlo[safe], n)
+    C1 = stage1_max if stage1_max is not None else 4 * cand_max
+    pos1 = compact_positions(mask, C1, b)
+    safe1 = jnp.minimum(pos1, b - 1)
+    qh1, ql1 = qhi[safe1], qlo[safe1]
+    mask2 = probe_bloom2(bm2, qh1, ql1) & (pos1 < b)
+    n2 = mask2.sum().astype(jnp.int32)
+    (pos2,) = jnp.nonzero(mask2, size=cand_max, fill_value=C1)
+    pos2 = pos2.astype(jnp.int32)
+    safe2 = jnp.minimum(pos2, C1 - 1)
+    valid = pos2 < C1
+    pos = jnp.where(valid, pos1[safe2], b)
+    n_out = jnp.where(n > C1, n + cand_max, n2)
+    return FilteredSurvivors(pos, qh1[safe2], ql1[safe2], n_out)

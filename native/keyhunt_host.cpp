@@ -16,9 +16,12 @@
 //
 // Build: make -C native   (produces libkeyhunt_host.so)
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <cstdio>
+#include <cstdlib>
+#include <vector>
 
 // ---------------------------------------------------------------------------
 // SHA-256 (FIPS 180-4)
@@ -429,10 +432,213 @@ static int decode(const char* str, size_t len, uint8_t* out, size_t out_cap) {
 }  // namespace b58
 
 // ---------------------------------------------------------------------------
+// BSGS baby-table builder (host exact-resolution table).
+//
+// TPU-native split of the reference's bP table (capability of
+// keyhunt.cpp:4404-4592 thread_bPload + :1366-1371 bPtable): the DEVICE keeps
+// only the probabilistic filters (bitmap + hashed bloom, filter/bitmap.py);
+// the exact 64-bit-truncation -> baby-index table lives on the HOST, built
+// here and resolved with np.searchsorted per chunk. The builder is the same
+// batched group walk as the device kernels — one modular inversion per block
+// of BB lanes via the Montgomery trick (reference analog IntGroup::ModInv,
+// secp256k1/IntGroup.cpp:36-57) — producing x(j*G) low-64 truncations for
+// j = 1..m, sorted by key with j-1 as the u32 payload.
+// ---------------------------------------------------------------------------
+
+namespace babytable {
+
+using ec::U256;
+using ec::Point;
+
+static const uint32_t BB = 1024;  // walk lanes per batched inversion
+
+#pragma pack(push, 1)
+struct Rec {
+  uint64_t k;   // low 64 bits of x(j*G), canonical mod p
+  uint32_t j0;  // j - 1
+};
+#pragma pack(pop)
+
+// x(j*G) for j in [from, from+count): incremental exact walk (point_add per
+// step — test/cross-check rates only; build() below is the fast path).
+static int keys_range(uint64_t from, uint64_t count, uint64_t* out) {
+  if (from == 0) return -1;
+  U256 k = {{from, 0, 0, 0}};
+  Point p;
+  ec::scalar_mult(k, p);
+  Point g = {ec::GX, ec::GY, false};
+  for (uint64_t i = 0; i < count; i++) {
+    if (p.inf) return -1;  // j*G == infinity cannot happen for j < n
+    out[i] = p.x.v[0];
+    Point t;
+    ec::point_add(p, g, t);
+    p = t;
+  }
+  return 0;
+}
+
+// Fills recs[0..m) with {key=trunc64(x(j*G)), j0=j-1}. The first 2*BB keys
+// come from exact sequential adds; blocks t >= 2 walk base = (t*BB)*G with
+// lanes u = 1..BB and ONE inversion per block. Lane BB doubles as the
+// advance (base + BB*G), so the chain costs nothing extra. Degenerate lanes
+// (dx == 0 <=> t*BB == +-u) are impossible for t >= 2, u <= BB; asserted.
+static int fill_keys(uint64_t m, Rec* recs, int progress) {
+  // offset table u*G for u = 1..BB (x, y) and the first 2*BB keys exactly
+  std::vector<U256> gx(BB), gy(BB);
+  Point p = {ec::GX, ec::GY, false};
+  Point g = {ec::GX, ec::GY, false};
+  for (uint32_t u = 1; u <= 2 * BB && u <= m + 1; u++) {
+    if (u <= BB) {
+      gx[u - 1] = p.x;
+      gy[u - 1] = p.y;
+    }
+    if (u <= m) recs[u - 1] = {p.x.v[0], u - 1};
+    Point t;
+    ec::point_add(p, g, t);
+    p = t;  // after the loop: p = (2*BB + 1)*G (unused; base derives below)
+  }
+  if (m <= 2 * BB) return 0;
+
+  // base = (2*BB)*G exactly
+  U256 k2 = {{2 * (uint64_t)BB, 0, 0, 0}};
+  Point base;
+  ec::scalar_mult(k2, base);
+
+  std::vector<U256> dx(BB), pref(BB);
+  uint64_t done = 2 * BB;
+  while (done < m) {
+    uint32_t lanes = (uint32_t)std::min<uint64_t>(BB, m - done);
+    // the advance needs lane BB even when fewer keys remain
+    uint32_t nb = (done + BB <= m) ? BB : lanes;
+    uint32_t nwalk = std::max(nb, lanes);
+    // dx[u] = x(g_{u+1}) - base.x ; batched inverse via prefix products
+    for (uint32_t u = 0; u < nwalk; u++) {
+      ec::sub_mod(gx[u], base.x, dx[u]);
+      if (ec::is_zero(dx[u])) return -2;  // impossible by construction
+      if (u == 0)
+        pref[0] = dx[0];
+      else
+        ec::mul_mod(pref[u - 1], dx[u], pref[u]);
+    }
+    U256 inv_all;
+    ec::inv_mod(pref[nwalk - 1], inv_all);
+    Point next_base = base;
+    bool have_next = false;
+    for (int u = (int)nwalk - 1; u >= 0; u--) {
+      U256 inv_u;
+      if (u == 0)
+        inv_u = inv_all;
+      else
+        ec::mul_mod(inv_all, pref[u - 1], inv_u);
+      ec::mul_mod(inv_all, dx[u], inv_all);
+      U256 dy, lam, lam2, x3, t;
+      ec::sub_mod(gy[u], base.y, dy);
+      ec::mul_mod(dy, inv_u, lam);
+      ec::sqr_mod(lam, lam2);
+      ec::sub_mod(lam2, base.x, t);
+      ec::sub_mod(t, gx[u], x3);
+      if ((uint32_t)u < lanes)
+        recs[done + u] = {x3.v[0], (uint32_t)(done + u)};
+      if ((uint32_t)u == BB - 1) {  // advance: base + BB*G
+        U256 y3;
+        ec::sub_mod(base.x, x3, t);
+        ec::mul_mod(lam, t, y3);
+        ec::sub_mod(y3, base.y, next_base.y);
+        next_base.x = x3;
+        have_next = true;
+      }
+    }
+    done += lanes;
+    if (done < m && !have_next) return -3;
+    base = next_base;
+    if (progress && (done & ((1ULL << 24) - 1)) == 0) {
+      fprintf(stderr, "[native] baby keys %llu/%llu\n",
+              (unsigned long long)done, (unsigned long long)m);
+      fflush(stderr);
+    }
+  }
+  return 0;
+}
+
+static int write_chunked(FILE* f, const void* buf, size_t total) {
+  const char* pc = (const char*)buf;
+  while (total) {
+    size_t n = std::min<size_t>(total, 1 << 24);
+    if (fwrite(pc, 1, n, f) != n) return -1;
+    pc += n;
+    total -= n;
+  }
+  return 0;
+}
+
+// Build the sorted host table for m baby keys and write it as two planes:
+// keys_path = u64-LE sorted truncations, idx_path = u32-LE payloads (j-1).
+// Returns 0, or <0 on failure. Peak RAM: 12 bytes/key.
+static int build(uint64_t m, const char* keys_path, const char* idx_path,
+                 int progress) {
+  if (m == 0 || m > (1ULL << 33)) return -10;
+  Rec* recs = (Rec*)malloc(sizeof(Rec) * m);
+  if (!recs) return -11;
+  int rc = fill_keys(m, recs, progress);
+  if (rc != 0) {
+    free(recs);
+    return rc;
+  }
+  if (progress) {
+    fprintf(stderr, "[native] sorting %llu keys\n", (unsigned long long)m);
+    fflush(stderr);
+  }
+  std::sort(recs, recs + m, [](const Rec& a, const Rec& b) {
+    return a.k < b.k || (a.k == b.k && a.j0 < b.j0);
+  });
+  // stream out the two planes in bounded buffers
+  FILE* fk = fopen(keys_path, "wb");
+  FILE* fi = fopen(idx_path, "wb");
+  if (!fk || !fi) {
+    if (fk) fclose(fk);
+    if (fi) fclose(fi);
+    free(recs);
+    return -12;
+  }
+  const size_t CH = 1 << 21;
+  std::vector<uint64_t> kb(CH);
+  std::vector<uint32_t> ib(CH);
+  rc = 0;
+  for (uint64_t s = 0; s < m && rc == 0; s += CH) {
+    size_t n = (size_t)std::min<uint64_t>(CH, m - s);
+    for (size_t i = 0; i < n; i++) {
+      kb[i] = recs[s + i].k;
+      ib[i] = recs[s + i].j0;
+    }
+    if (write_chunked(fk, kb.data(), n * 8) != 0 ||
+        write_chunked(fi, ib.data(), n * 4) != 0)
+      rc = -13;
+  }
+  free(recs);
+  if (fclose(fk) != 0) rc = rc ? rc : -13;
+  if (fclose(fi) != 0) rc = rc ? rc : -13;
+  return rc;
+}
+
+}  // namespace babytable
+
+// ---------------------------------------------------------------------------
 // C ABI
 // ---------------------------------------------------------------------------
 
 extern "C" {
+
+// Sorted baby table -> two raw planes on disk (see babytable::build).
+int kh_baby_build(uint64_t m, const char* keys_path, const char* idx_path,
+                  int progress) {
+  return babytable::build(m, keys_path, idx_path, progress);
+}
+
+// trunc64(x(j*G)) for j in [from, from+count) — exact incremental walk
+// (cross-check path for tests; build() is the production path).
+int kh_baby_keys_range(uint64_t from, uint64_t count, uint64_t* out) {
+  return babytable::keys_range(from, count, out);
+}
 
 void kh_sha256(const uint8_t* msg, uint64_t len, uint8_t out[32]) {
   sha::sha256(msg, len, out);
