@@ -114,6 +114,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="level-2 hashed bloom between the bitmap and the "
                         "exact search (auto: only when level-1 survivors "
                         "outgrow the search width at large m)")
+    p.add_argument("--resolve", default="device",
+                   choices=["device", "host"],
+                   help="BSGS exact-resolution placement: 'host' keeps "
+                        "only bitmap+bloom2 on the device and resolves "
+                        "baby indices against the native-built host "
+                        "table (unlocks m past one chip's table HBM)")
+    p.add_argument("--host-table-cache", default=None,
+                   help="host-table cache dir (--resolve host; default "
+                        ".table_cache/, env KEYHUNT_TABLE_CACHE)")
     p.add_argument("-6", "--skip-checksum", action="store_true", dest="skip_checksum",
                    help="skip table checksum verification (reference -6)")
     p.add_argument("--checkpoint", default=None,
@@ -293,9 +302,19 @@ def _run(args, log) -> int:
             steps_per_chunk=args.chunk_steps, bits_log2=bits,
             probe_mode=args.probe_mode, cascade2=args.cascade2,
             table_comm=args.table_comm,
+            resolve=args.resolve,
+            table_cache=args.host_table_cache,
         )
         table = None
         cache = args.table_file or f"keyhunt_tpu_baby_{args.m_babies}.npz"
+        if args.resolve == "host" and args.sharded:
+            log.error("--resolve host applies to the single-device engine "
+                      "(sharded engines keep per-device tables)")
+            return 2
+        if args.resolve == "host" and args.save_table:
+            log.warn("--resolve host caches its table via "
+                     "filter/host_table.py; -S/--table-file ignored")
+            args.save_table = False
         if args.save_table:
             try:
                 table = BSGSEngine.load_table(

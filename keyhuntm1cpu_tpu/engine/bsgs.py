@@ -101,6 +101,19 @@ class BSGSParams:
     # ~28 ms per-call host round trip (the round-1 wall: chunk dispatch +
     # summary pull were serialized, leaving the device idle most of the
     # time); bounded to keep async dispatch through the tunnel in check
+    resolve: str = "device"  # exact-resolution placement:
+    # "device" = sorted table in HBM (12 B/key — binds m at 2^28);
+    # "host"   = device keeps ONLY bitmap + bloom2, survivors' 64-bit
+    # keys return in the chunk summary and the host resolves baby
+    # indices via np.searchsorted over filter/host_table.py (the native
+    # C++-built, disk-cached table). This is the HBM diet that unlocks
+    # m = 2^29..2^31 on one chip: keys/s = probe_rate * 2m, and after
+    # the cascade survivors are ~10^2-10^4 per multi-million-query
+    # chunk — trivially host work. Reference analog: the 3-level bloom
+    # cascade's exact bPtable level (keyhunt.cpp:1215-1304, 3748-3775),
+    # moved off-accelerator.
+    bloom2_bits: Optional[int] = None  # host-resolve bloom2 size override
+    table_cache: Optional[str] = None  # host-table cache dir override
 
 
 import threading as _threading
@@ -154,9 +167,13 @@ class BSGSEngine:
         params: BSGSParams = BSGSParams(),
         table: Optional[st.SortedXTable] = None,
         bitmap: Optional[bmp.DeviceBitmap] = None,
+        host_table=None,
+        bloom2: Optional[bmp.DeviceBloom2] = None,
     ):
         if not (1 <= range_start < range_end <= ecref.N):
             raise ValueError("bad range")
+        if params.resolve not in ("device", "host"):
+            raise ValueError("resolve must be 'device' or 'host'")
         self.targets = list(pubkeys)
         self.a = range_start
         self.b = range_end
@@ -179,16 +196,53 @@ class BSGSEngine:
         self.adv_x = fe.from_int(big[0])
         self.adv_y = fe.from_int(big[1])
 
-        self.table = table if table is not None else self.build_baby_table()
-        # the bitmap is shareable across engines over the same table (512 MB
-        # at the default sizing — build once, pass around). Derived from the
-        # device-resident table planes: no host round trip even when the
-        # table came from an npz cache (it was just uploaded).
-        self.bitmap = bitmap if bitmap is not None else bmp.build_bitmap_device(
-            self.table.hi, self.table.lo, params.bits_log2
-        )
-        _debug_sync("bitmap done", self.bitmap.words)
-        self._host_keys: Optional[Dict[int, List[int]]] = None
+        self.table: Optional[st.SortedXTable] = None
+        self.host_table = None
+        self._bloom2: Optional[bmp.DeviceBloom2] = None
+        if params.resolve == "host":
+            from ..filter import host_table as ht
+
+            cache_kw = ({"cache_dir": params.table_cache}
+                        if params.table_cache else {})
+            self.host_table = (host_table if host_table is not None
+                               else ht.ensure_host_table(m, **cache_kw))
+            if self.host_table.m != m:
+                raise ValueError(
+                    f"host table m={self.host_table.m} != params.m={m}"
+                )
+            b2bits = (params.bloom2_bits if params.bloom2_bits is not None
+                      else bmp.bloom2_bits_log2_host(m))
+            if bitmap is not None and bloom2 is not None:
+                self.bitmap, self._bloom2 = bitmap, bloom2
+            elif jax.default_backend() == "cpu" or not self._can_stream_build():
+                # small-m / CPU path: derive the filters from the host
+                # planes with numpy (the streaming device build needs the
+                # Pallas walk kernels)
+                keys = np.asarray(self.host_table.keys)
+                hi = (keys >> np.uint64(32)).astype(np.uint32)
+                lo = (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+                self.bitmap = bmp.build_bitmap(
+                    hi, lo, params.bits_log2,
+                    on_device=jax.default_backend() != "cpu",
+                )
+                self._bloom2 = bmp.build_bloom2_host(hi, lo, b2bits)
+            else:
+                self.bitmap, self._bloom2 = self._build_filters_streaming(
+                    b2bits
+                )
+            _debug_sync("filters done", self.bitmap.words)
+        else:
+            self.table = table if table is not None else self.build_baby_table()
+            # the bitmap is shareable across engines over the same table
+            # (512 MB at the default sizing — build once, pass around).
+            # Derived from the device-resident table planes: no host round
+            # trip even when the table came from an npz cache (it was just
+            # uploaded).
+            self.bitmap = bitmap if bitmap is not None else bmp.build_bitmap_device(
+                self.table.hi, self.table.lo, params.bits_log2
+            )
+            _debug_sync("bitmap done", self.bitmap.words)
+        self._host_keys = None  # (sorted packed u64, payload, j_offset)
         self._chunk_fn = self._make_chunk_fn()
 
     # ------------------------------------------------------------------
@@ -370,10 +424,125 @@ class BSGSEngine:
         return tab
 
     # ------------------------------------------------------------------
+    # streaming filter build (host-resolve mode: NO device table)
+    # ------------------------------------------------------------------
+
+    def _can_stream_build(self) -> bool:
+        p = self.p
+        ub = p.build_block
+        return (
+            p.pallas != "off"
+            and jax.default_backend() != "cpu"
+            and ub % 128 == 0
+            and 8 % p.pallas_sb == 0
+            and (ub // 128) * p.pallas_sb % 8 == 0
+            and (ub // 128) * p.pallas_sb >= 8
+            and p.m % ub == 0
+            and p.m // ub >= 4
+        )
+
+    def _build_filters_streaming(
+        self, b2bits: int
+    ) -> Tuple[bmp.DeviceBitmap, bmp.DeviceBloom2]:
+        """Bitmap + bloom2 built in ONE jitted lax.scan that carries the
+        word arrays and the walk state — peak HBM = the two filters plus
+        per-iteration transients (no m-sized planes, no device sort, no
+        idx plane: the 2^29 OOM of the table path,
+        .tpu_queue/22_m29_probe.log, cannot happen by construction).
+
+        Walk layout: keys j = 1..2*Ub are seeded from the native exact
+        walk (host); the device scan walks blocks t = 2.. from base
+        (2*Ub)*G, which is degeneracy-free (a walk lane needs
+        t*Ub == +-u for u <= Ub, impossible at t >= 2; the advance needs
+        t*Ub == +-Ub, impossible at t >= 2) — asserted post-hoc."""
+        from ..curve import pwalk
+        from ..filter import host_table as ht
+
+        p = self.p
+        m = p.m
+        ub = p.build_block
+        bits_log2 = (p.bits_log2 if p.bits_log2 is not None
+                     else bmp.default_bits_log2(m))
+        n_words1 = 1 << (bits_log2 - 5)
+        n_words2 = 1 << (b2bits - 5)
+
+        # host seed: j = 1..2*Ub exact truncations -> initial word arrays
+        seed = ht.native_keys_range(1, 2 * ub)
+        shi = (seed >> np.uint64(32)).astype(np.uint32)
+        slo = (seed & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+
+        def host_or(word: np.ndarray, val: np.ndarray, n_words: int):
+            uw, inv = np.unique(word, return_inverse=True)
+            vals = np.zeros(len(uw), dtype=np.uint32)
+            np.bitwise_or.at(vals, inv, val)
+            assert uw.min() >= 0 and uw.max() < n_words
+            return jnp.asarray(uw.astype(np.int32)), jnp.asarray(vals)
+
+        idx1 = bmp._bit_indices(shi, slo, bits_log2)
+        w1, v1 = host_or(
+            (idx1 >> np.uint64(5)).astype(np.int64),
+            np.uint32(1) << (idx1 & np.uint64(31)).astype(np.uint32),
+            n_words1,
+        )
+        word2, val2 = bmp.bloom2_word_bit_np(shi, slo, b2bits)
+        w2, v2 = host_or(word2, val2, n_words2)
+        words1 = _seed_words(w1, v1, n_words=n_words1)
+        words2 = _seed_words(w2, v2, n_words=n_words2)
+
+        # walk constants: offset table u*G (u = 1..Ub), advance Ub*G
+        btab_x, btab_y = tables.step_table(ecref.G, ub)
+        tx = pwalk.table_to_limb_major(btab_x)
+        ty = pwalk.table_to_limb_major(btab_y)
+        adv = ecref.scalar_mult(ub)
+        ax = jnp.asarray(fe.int_to_limbs(adv[0]))
+        ay = jnp.asarray(fe.int_to_limbs(adv[1]))
+        base = ecref.scalar_mult(2 * ub)
+        px = jnp.asarray(fe.int_to_limbs(base[0]))
+        py = jnp.asarray(fe.int_to_limbs(base[1]))
+
+        kmax = 128  # blocks per scan iteration (multiple of 8)
+        blocks = m // ub - 2
+        n_iter = blocks // kmax
+        rem = blocks - n_iter * kmax
+        dcounts = []
+        advs = []
+        if n_iter:
+            words1, words2, px, py, dc, adv_any = _filters_scan_impl(
+                px, py, tx, ty, ax, ay, words1, words2,
+                n_iter=n_iter, K=kmax, U=ub, SB=p.pallas_sb,
+                bits_log2=bits_log2, b2_bits=b2bits,
+            )
+            dcounts.append(dc)
+            advs.append(adv_any)
+        if rem:
+            k_run = -(-rem // 8) * 8
+            words1, words2, px, py, dc, adv_any = _filters_rem_impl(
+                px, py, tx, ty, ax, ay, words1, words2,
+                K=k_run, U=ub, SB=p.pallas_sb, valid=rem * ub,
+                bits_log2=bits_log2, b2_bits=b2bits,
+            )
+            dcounts.append(dc)
+            advs.append(adv_any)
+        _debug_sync("filters scan done", words1)
+        if dcounts:
+            assert int(sum(int(np.asarray(d)) for d in dcounts)) == 0, (
+                "degenerate walk lane in the streaming filter build "
+                "(impossible for base >= 2*Ub*G)"
+            )
+            assert not any(bool(np.asarray(a)) for a in advs)
+        return (bmp.DeviceBitmap(words1, bits_log2),
+                bmp.DeviceBloom2(words2, b2bits))
+
+    # ------------------------------------------------------------------
     # table persistence (reference -S files, keyhunt.cpp:1373-2025)
     # ------------------------------------------------------------------
 
     def save_table(self, path: str) -> None:
+        if self.table is None:
+            raise ValueError(
+                "host-resolve engines have no device table; the host "
+                "table is disk-cached by filter/host_table.py already"
+            )
         t = self.table
         arr_hi, arr_lo, arr_idx = (np.asarray(t.hi), np.asarray(t.lo), np.asarray(t.idx))
         digest = hashlib.sha256(
@@ -453,7 +622,30 @@ class BSGSEngine:
             )
         return ok_shape and jax.default_backend() != "cpu"
 
+    def _cascade_budgets(self, n_queries: int) -> Tuple[int, int]:
+        """(C1, C2) compaction budgets for `n_queries` per cascade pass
+        in host-resolve mode. Stage-1 expected survivors = B * m / 2^bits
+        (direct-address fp); stage-2 = stage-1 * bloom2_fp. Budgets are
+        mean + 8*sqrt(mean) + 512 rounded to 512 (P(overflow) ~ 0 in the
+        CLT regime; overflow itself is safe — exact host rescan)."""
+        p = self.p
+        bits = self.bitmap.bits_log2
+        expected = max(1, n_queries * p.m // (1 << bits))
+
+        def budget(mean: int) -> int:
+            need = mean + 8 * int(mean ** 0.5) + 512
+            return ((need + 511) // 512) * 512
+
+        C1 = max(p.chunk_cand_max, budget(expected))
+        fp2 = bmp.bloom2_fp(p.m, self._bloom2.bits_log2)
+        C2 = max(p.chunk_cand_max, budget(int(expected * fp2) + 1))
+        return C1, C2
+
     def _make_chunk_fn(self):
+        if self.host_table is not None:
+            if self._use_pallas():
+                return self._make_pallas_chunk_fn_host()
+            return self._make_xla_chunk_fn_host()
         if self._use_pallas():
             return self._make_pallas_chunk_fn()
         self._summary_kind = "steps"
@@ -571,11 +763,173 @@ class BSGSEngine:
 
         return chunk
 
+    def _make_pallas_chunk_fn_host(self):
+        """Fused-kernel chunk, host-resolve: identical walk + cascade,
+        but NO device exact search — the C2 survivors' truncated keys
+        come back in the summary for np.searchsorted resolution against
+        the host table (docs/PERF.md HBM diet)."""
+        U = self.p.block_u
+        K = self.p.steps_per_chunk
+        T = len(self.targets)
+        SB = self.p.pallas_sb
+        CHUNK_WORD_CAP = 1 << 27
+        if T * K * U > CHUNK_WORD_CAP:
+            import dataclasses
+
+            k_new = max(SB, (CHUNK_WORD_CAP // (T * U)) // SB * SB)
+            if k_new < K:
+                from ..core.log import get_logger
+
+                get_logger().warn(
+                    f"multi-target chunk would need {T}*{K}*{U} query "
+                    f"words; shrinking steps_per_chunk {K} -> {k_new} to "
+                    "bound device memory"
+                )
+                self.p = dataclasses.replace(self.p, steps_per_chunk=k_new)
+                K = k_new
+        C1, C2 = self._cascade_budgets(T * K * U)
+        self._chunk_cand_eff = C2
+        self._tab_x_lm = jnp.transpose(self.tab_x, (1, 0)).reshape(8, U // 128, 128)
+        self._tab_y_lm = jnp.transpose(self.tab_y, (1, 0)).reshape(8, U // 128, 128)
+        self._summary_kind = "chunk_host"
+        b2 = self._bloom2
+
+        def chunk(px, py):
+            return _pallas_chunk_impl_host(
+                px, py, self._tab_x_lm, self._tab_y_lm,
+                self.adv_x, self.adv_y,
+                self.bitmap.words, b2.words,
+                U=U, K=K, T=T, C2=C2, SB=SB,
+                bits_log2=self.bitmap.bits_log2,
+                probe_mode=self.p.probe_mode,
+                b2_bits=b2.bits_log2, C1=C1,
+            )
+
+        return chunk
+
+    def _make_xla_chunk_fn_host(self):
+        """XLA-walk chunk, host-resolve (CPU tests + non-tileable
+        shapes): per-step cascade, survivors' keys in each summary row."""
+        self._summary_kind = "steps_host"
+        T = len(self.targets)
+        U = self.p.block_u
+        K = self.p.steps_per_chunk
+        chain = self.p.chain_len
+        C1, C2 = self._cascade_budgets(T * U)
+        self._step_cand_eff = C2
+        b2 = self._bloom2
+
+        def chunk(px, py):
+            return _xla_chunk_impl_host(
+                px, py, self.tab_x, self.tab_y, self.adv_x, self.adv_y,
+                self.bitmap.words, b2.words,
+                T=T, U=U, K=K, C=C2, chain=chain,
+                bits_log2=self.bitmap.bits_log2,
+                probe_mode=self.p.probe_mode,
+                b2_bits=b2.bits_log2, C1=C1,
+            )
+
+        return chunk
+
     def _consume_summary(self, step0: int, k: int, arr: np.ndarray):
         """Decode one chunk's packed summary -> (found, rebase, interesting).
         Dispatches on the summary layout: per-step rows (XLA path) or one
-        chunk-level vector (pallas path)."""
+        chunk-level vector (pallas path), each in device-resolved or
+        host-resolve (survivor keys -> searchsorted) form."""
         p = self.p
+        if self._summary_kind == "chunk_host":
+            C2 = self._chunk_cand_eff
+            K = p.steps_per_chunk
+            U = p.block_u
+            T = len(self.targets)
+            B = T * K * U
+            cand_pos = arr[:C2]
+            qhi = arr[C2 : 2 * C2].view(np.uint32)
+            qlo = arr[2 * C2 : 3 * C2].view(np.uint32)
+            degsum = arr[3 * C2 : 3 * C2 + 3 * T * K].reshape(3, T, K)
+            ncand = int(arr[3 * C2 + 3 * T * K])
+            found: List[FoundKey] = []
+            interesting = False
+            if ncand > C2:
+                interesting = True
+                for s_ in range(k):  # cascade overflow: exact host rescan
+                    found += self._host_rescan_step(step0 + s_)
+            adv_any = degsum[2, :, :k].any(axis=0)  # (k,)
+            adv_first = int(np.argmax(adv_any)) if adv_any.any() else k
+            for s_ in range(adv_first + 1, k):
+                interesting = True
+                found += self._host_rescan_step(step0 + s_)
+            valid = cand_pos < B
+            if valid.any():
+                rows, js = self.host_table.resolve(qhi[valid], qlo[valid])
+                vpos = cand_pos[valid]
+                for r, j in zip(rows.tolist(), js.tolist()):
+                    pos = int(vpos[r])
+                    blk, u0 = divmod(pos, U)
+                    t, s_ = divmod(blk, K)
+                    if s_ >= k:
+                        continue
+                    interesting = True
+                    found += self._try_candidates(
+                        self._candidates_for_hit(step0 + s_, u0 + 1, int(j)),
+                        t,
+                    )
+            for t, s_ in zip(*np.nonzero(degsum[0, :, :k] > 0)):
+                interesting = True
+                u = int(degsum[1, t, s_]) + 1
+                found += self._try_candidates(
+                    self._candidates_for_degenerate(step0 + int(s_), u),
+                    int(t),
+                )
+            rebase = bool(adv_any.any())
+            return found, rebase, interesting
+
+        if self._summary_kind == "steps_host":
+            C = self._step_cand_eff
+            T = len(self.targets)
+            U = p.block_u
+            cand_pos = arr[:, :C]
+            qhi = arr[:, C : 2 * C].view(np.uint32)
+            qlo = arr[:, 2 * C : 3 * C].view(np.uint32)
+            degsum = arr[:, 3 * C : 3 * C + 3 * T].reshape(-1, 3, T)
+            ncand = arr[:, 3 * C + 3 * T]
+            found = []
+            interesting = False
+            for s_ in range(k):
+                if ncand[s_] > C:
+                    interesting = True
+                    found += self._host_rescan_step(step0 + s_)
+            valid = cand_pos[:k] < T * U
+            if valid.any():
+                rows, js = self.host_table.resolve(
+                    qhi[:k][valid], qlo[:k][valid]
+                )
+                vpos = cand_pos[:k][valid]
+                vstep = np.nonzero(valid)[0]
+                for r, j in zip(rows.tolist(), js.tolist()):
+                    pos = int(vpos[r])
+                    s_ = int(vstep[r])
+                    t, u0 = divmod(pos, U)
+                    interesting = True
+                    found += self._try_candidates(
+                        self._candidates_for_hit(step0 + s_, u0 + 1, int(j)),
+                        t,
+                    )
+            for s_, t in zip(*np.nonzero(degsum[:k, 0, :] > 0)):
+                interesting = True
+                u = int(degsum[s_, 1, t]) + 1
+                found += self._try_candidates(
+                    self._candidates_for_degenerate(step0 + int(s_), u),
+                    int(t),
+                )
+            rebase = bool(degsum[:k, 2].any())
+            if rebase:
+                adv_steps = np.nonzero(degsum[:k, 2].any(axis=-1))[0]
+                for s_ in range(int(adv_steps[0]) + 1, k):
+                    interesting = True
+                    found += self._host_rescan_step(step0 + s_)
+            return found, rebase, interesting
+
         if self._summary_kind == "chunk":
             C2 = self._chunk_cand_eff
             K = p.steps_per_chunk
@@ -1020,37 +1374,61 @@ class BSGSEngine:
                     )
         return found
 
+    def _rescan_table(self):
+        """(sorted packed u64 keys, payload u32, j_offset) for exact host
+        rescans, lazily derived from whichever table this engine holds.
+        Host-table payloads store j-1; device-table payloads store j."""
+        if self._host_keys is None:
+            if self.host_table is not None:
+                self._host_keys = (
+                    np.asarray(self.host_table.keys),
+                    np.asarray(self.host_table.idx),
+                    1,
+                )
+            else:
+                hi = np.asarray(self.table.hi).astype(np.uint64)
+                lo = np.asarray(self.table.lo).astype(np.uint64)
+                self._host_keys = (
+                    (hi << np.uint64(32)) | lo,
+                    np.asarray(self.table.idx),
+                    0,
+                )
+        return self._host_keys
+
     def _host_rescan_step(self, step: int) -> List[FoundKey]:
         """Exact host-side membership scan of one device step — the
-        fallback when more than cand_max bitmap survivors occur (the
-        compaction would have dropped some). Incremental python-int walk:
-        U point adds per target."""
-        if self._host_keys is None:
-            hi = np.asarray(self.table.hi).astype(np.uint64)
-            lo = np.asarray(self.table.lo).astype(np.uint64)
-            idx = np.asarray(self.table.idx)
-            keys = ((hi << np.uint64(32)) | lo).tolist()
-            d: Dict[int, List[int]] = {}
-            for key, j in zip(keys, idx.tolist()):
-                d.setdefault(key, []).append(int(j))
-            self._host_keys = d
+        fallback when more than cand_max cascade survivors occur (the
+        compaction would have dropped some). Incremental python-int walk
+        (U point adds per target), then ONE vectorized searchsorted."""
+        keys, payload, j_off = self._rescan_table()
         found: List[FoundKey] = []
         U = self.p.block_u
         neg_stride = ecref.point_neg(ecref.scalar_mult(self.stride))
         mask64 = (1 << 64) - 1
         for t, q in enumerate(self.targets):
-            c = self._center(step, 1)
+            c0 = self._center(step, 1)
+            c = c0
             neg = ecref.scalar_mult((-c) % ecref.N)
             pt = ecref.point_add(q, neg)
-            for u in range(1, U + 1):
+            xs = np.zeros(U, dtype=np.uint64)
+            for u in range(U):
                 if pt is None:  # Q == c*G exactly
                     found += self._try_candidates([c], t)
+                    # xs[u] stays 0 — resolved below only if 0 is a real
+                    # key truncation, and candidates are host-verified
                     pt = neg_stride
                 else:
-                    for j in self._host_keys.get(pt[0] & mask64, ()):
-                        found += self._try_candidates([c - j, c + j], t)
+                    xs[u] = pt[0] & mask64
                     pt = ecref.point_add(pt, neg_stride)
                 c += self.stride
+            left = np.searchsorted(keys, xs, side="left")
+            right = np.searchsorted(keys, xs, side="right")
+            hit = right > left
+            for u in np.nonzero(hit)[0]:
+                cu = c0 + int(u) * self.stride
+                for p_ in range(int(left[u]), int(right[u])):
+                    j = int(payload[p_]) + j_off
+                    found += self._try_candidates([cu - j, cu + j], t)
         return found
 
     def _try_candidates_all(self, cands: Sequence[int]) -> List[FoundKey]:
@@ -1210,6 +1588,76 @@ def _build_scan_impl(px, py, tx, ty, ax, ay, *, n_iter, K, U, SB):
     return _BuildScanResult(nx, ny, qhi, qlo, deg, dcount, adv.any())
 
 
+@partial(jax.jit, static_argnames=("n_words",))
+def _seed_words(word_idx, vals, *, n_words: int):
+    """Initial filter words from host-deduplicated (word, value) pairs."""
+    return jnp.zeros(n_words, jnp.uint32).at[word_idx].set(vals)
+
+
+def _filters_update(words1, words2, qhi, qlo, bits_log2, b2_bits,
+                    valid=None):
+    """OR one walk segment's keys into both filters (traced inline in
+    the scan body so XLA aliases the carried word buffers)."""
+    wi, bv = bmp.bitmap_bit_planes(qhi, qlo, bits_log2)
+    wi2, bv2 = bmp.bloom2_bit_planes(qhi, qlo, b2_bits)
+    if valid is not None:
+        n = qhi.shape[0]
+        keep = jnp.arange(n, dtype=jnp.int32) < valid
+        wi = jnp.where(keep, wi, words1.shape[0])
+        wi2 = jnp.where(jnp.concatenate([keep, keep]), wi2, words2.shape[0])
+    words1 = bmp.or_bits_into(words1, wi, bv)
+    words2 = bmp.or_bits_into(words2, wi2, bv2)
+    return words1, words2
+
+
+@partial(jax.jit, static_argnames=("n_iter", "K", "U", "SB", "bits_log2",
+                                   "b2_bits"),
+         donate_argnums=(6, 7))
+def _filters_scan_impl(px, py, tx, ty, ax, ay, words1, words2,
+                       *, n_iter, K, U, SB, bits_log2, b2_bits):
+    """Whole filter build as ONE dispatch: scan carries (bitmap, bloom2,
+    walk state); each iteration walks K blocks of U keys (Pallas) and
+    ORs their bits into both filters. Only per-iter degeneracy COUNTS
+    come back (asserted zero — the walk starts past every degenerate
+    configuration)."""
+    from ..curve import pwalk
+
+    def body(carry, _):
+        w1, w2, cpx, cpy = carry
+        res = pwalk.pallas_chunk(cpx, cpy, tx, ty, ax, ay, K=K, U=U, SB=SB)
+        w1, w2 = _filters_update(
+            w1, w2, res.qhi.reshape(-1), res.qlo.reshape(-1),
+            bits_log2, b2_bits,
+        )
+        out = (res.degenerate.sum(dtype=jnp.int32), res.adv_degenerate.any())
+        return (w1, w2, res.next_x, res.next_y), out
+
+    (w1, w2, nx, ny), (dc, adv) = jax.lax.scan(
+        body, (words1, words2, px, py), None, length=n_iter
+    )
+    return w1, w2, nx, ny, dc.sum(), adv.any()
+
+
+@partial(jax.jit, static_argnames=("K", "U", "SB", "valid", "bits_log2",
+                                   "b2_bits"),
+         donate_argnums=(6, 7))
+def _filters_rem_impl(px, py, tx, ty, ax, ay, words1, words2,
+                      *, K, U, SB, valid, bits_log2, b2_bits):
+    """Remainder blocks (K padded to the kernel's tile multiple): lanes
+    past `valid` keys are masked out of both filters."""
+    from ..curve import pwalk
+
+    res = pwalk.pallas_chunk(px, py, tx, ty, ax, ay, K=K, U=U, SB=SB)
+    w1, w2 = _filters_update(
+        words1, words2, res.qhi.reshape(-1), res.qlo.reshape(-1),
+        bits_log2, b2_bits, valid=valid,
+    )
+    nv = -(-valid // U)  # blocks actually used
+    dc = res.degenerate.reshape(K, U)[:nv].sum(dtype=jnp.int32)
+    adv = res.adv_degenerate[:nv].any()
+    return w1, w2, res.next_x, res.next_y, dc, adv
+
+
 @partial(jax.jit, static_argnames=("U", "K", "T", "C2", "SB", "bits_log2",
                                    "probe_mode", "b2_bits", "C1"))
 def _pallas_chunk_impl(px_bm, py_bm, tab_x_lm, tab_y_lm, ax, ay,
@@ -1257,3 +1705,93 @@ def _pallas_chunk_impl(px_bm, py_bm, tab_x_lm, tab_y_lm, ax, ay,
         ]
     )  # (3*C2 + 3*T*K + 1,)
     return res.next_x, res.next_y, out
+
+
+@partial(jax.jit, static_argnames=("U", "K", "T", "C2", "SB", "bits_log2",
+                                   "probe_mode", "b2_bits", "C1"))
+def _pallas_chunk_impl_host(px_bm, py_bm, tab_x_lm, tab_y_lm, ax, ay,
+                            words, words2,
+                            *, U, K, T, C2, SB, bits_log2,
+                            probe_mode=None, b2_bits=0, C1=None):
+    """Host-resolve chunk: Pallas walk + 2-stage cascade, survivors'
+    64-bit truncated keys returned for host searchsorted resolution —
+    the device holds NO exact table."""
+    from ..curve import pwalk
+
+    bitmap = bmp.DeviceBitmap(words, bits_log2)
+    bloom2 = bmp.DeviceBloom2(words2, b2_bits)
+    res = pwalk.pallas_chunk_multi(
+        px_bm, py_bm, tab_x_lm, tab_y_lm, ax, ay, K=K, U=U, T=T, SB=SB
+    )
+    adv_flat = res.adv_degenerate.reshape(-1)  # (T*K,)
+    deg = res.degenerate
+    deg = deg.at[:, U - 1].set(deg[:, U - 1] | adv_flat)
+
+    qh = res.qhi.reshape(-1)
+    ql = res.qlo.reshape(-1)
+    fs = bmp.filtered_survivors(bitmap, qh, ql, C2, mode=probe_mode,
+                                bm2=bloom2, stage1_max=C1)
+    deg_flat = deg.reshape(-1)
+    B = T * K * U
+    pos_safe = jnp.minimum(fs.pos, B - 1)
+    live = ~deg_flat[pos_safe]
+    cand_pos = jnp.where((fs.pos < B) & live, fs.pos, B)
+    n_deg = deg.sum(axis=1).astype(jnp.int32)  # (T*K,)
+    first_deg = jnp.argmax(deg, axis=1).astype(jnp.int32)
+    degsum = jnp.stack([n_deg, first_deg, adv_flat.astype(jnp.int32)])
+    out = jnp.concatenate(
+        [
+            cand_pos.astype(jnp.int32),
+            jax.lax.bitcast_convert_type(fs.qhi, jnp.int32),
+            jax.lax.bitcast_convert_type(fs.qlo, jnp.int32),
+            degsum.reshape(-1),
+            fs.n_candidates[None],
+        ]
+    )  # (3*C2 + 3*T*K + 1,)
+    return res.next_x, res.next_y, out
+
+
+@partial(jax.jit, static_argnames=("T", "U", "K", "C", "chain", "bits_log2",
+                                   "probe_mode", "b2_bits", "C1"))
+def _xla_chunk_impl_host(px, py, tab_x, tab_y, adv_x, adv_y, words, words2,
+                         *, T, U, K, C, chain, bits_log2,
+                         probe_mode=None, b2_bits=0, C1=None):
+    """XLA-walk host-resolve chunk (CPU tests / non-tileable shapes):
+    per-step summary rows carry survivor keys instead of baby indices."""
+    bitmap = bmp.DeviceBitmap(words, bits_log2)
+    bloom2 = bmp.DeviceBloom2(words2, b2_bits)
+
+    def body(carry, _):
+        cx, cy = carry
+        pb = points.PointBatch(cx, cy, jnp.zeros((T,), dtype=bool))
+        res = walk.walk_fused(pb, tab_x, tab_y, adv_x, adv_y, chain_len=chain)
+        qhi, qlo = st.trunc64_from_limbs(res.x_plus)  # (T, U)
+        fs = bmp.filtered_survivors(
+            bitmap, qhi.reshape(-1), qlo.reshape(-1), C,
+            mode=probe_mode, bm2=bloom2, stage1_max=C1,
+        )
+        deg_flat = res.degenerate.reshape(-1)
+        pos_safe = jnp.minimum(fs.pos, T * U - 1)
+        live = ~deg_flat[pos_safe]
+        cand_pos = jnp.where((fs.pos < T * U) & live, fs.pos, T * U)
+        deg = res.degenerate.at[:, U - 1].set(
+            res.degenerate[:, U - 1] | res.adv_degenerate
+        )
+        n_deg = deg.sum(axis=1).astype(jnp.int32)
+        first_deg = jnp.argmax(deg, axis=1).astype(jnp.int32)
+        degsum = jnp.stack(
+            [n_deg, first_deg, res.adv_degenerate.astype(jnp.int32)]
+        )  # (3, T)
+        out = jnp.concatenate(
+            [
+                cand_pos.astype(jnp.int32),
+                jax.lax.bitcast_convert_type(fs.qhi, jnp.int32),
+                jax.lax.bitcast_convert_type(fs.qlo, jnp.int32),
+                degsum.reshape(-1),
+                fs.n_candidates[None],
+            ]
+        )  # (3C + 3T + 1,)
+        return (res.adv_x, res.adv_y), out
+
+    (px, py), outs = jax.lax.scan(body, (px, py), None, length=K)
+    return px, py, outs  # (K, 3C + 3T + 1)

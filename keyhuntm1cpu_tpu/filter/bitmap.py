@@ -232,6 +232,26 @@ def bloom2_bit_planes(qhi, qlo, bits_log2: int):
     return word_idx, jnp.uint32(1) << (idx & jnp.uint32(31))
 
 
+def _segmented_or(si, sv):
+    """Inclusive segmented OR-scan over sorted segment ids `si`:
+    out[i] = OR of sv[j] for all j <= i with si[j] == si[i]. Hand-rolled
+    Hillis-Steele doubling (log2 n shifted elementwise passes) — the
+    equivalent lax.associative_scan lowers to a slice-heavy HLO that
+    took the remote compiler minutes inside a scan body. Runs are
+    contiguous (si sorted), so si[i-s] == si[i] implies the whole
+    window shares the id — each pass is exact."""
+    n = si.shape[0]
+    shift = 1
+    while shift < n:
+        prev_i = jnp.concatenate([si[:shift], si[:-shift]])
+        prev_v = jnp.concatenate(
+            [jnp.zeros((shift,), sv.dtype), sv[:-shift]]
+        )
+        sv = sv | jnp.where(prev_i == si, prev_v, jnp.zeros((), sv.dtype))
+        shift *= 2
+    return sv
+
+
 def or_bits_into(words, word_idx, bitval):
     """words[word_idx] |= bitval, exact under duplicate word_idx; OOB
     indices (callers use n_words for masked lanes) are dropped. Plain
@@ -239,13 +259,7 @@ def or_bits_into(words, word_idx, bitval):
     XLA aliases the loop-carried words buffer (no per-call copy)."""
     n = words.shape[0]
     si, sv = _jax.lax.sort((word_idx, bitval), num_keys=1)
-
-    def comb(a, b):
-        ai, av = a
-        bi, bv = b
-        return bi, jnp.where(ai == bi, av | bv, bv)
-
-    _, rv = _jax.lax.associative_scan(comb, (si, sv))
+    rv = _segmented_or(si, sv)
     last = jnp.concatenate(
         [si[:-1] != si[1:], jnp.ones((1,), dtype=bool)]
     )

@@ -111,6 +111,23 @@ if ONLY != "buckets":
     got = sorted(f.private_key for f in eng.search(stop_on_first=False))
     assert 31 in got and 777 in got, got
     print("vanity + address composition fused: OK (both found in one scan)")
+
+    # vanity + endomorphism (reference -m vanity -e, keyhunt.cpp:5749):
+    # plant the prefix of LAMBDA*777's address; the scan only walks
+    # k=1..2048, so the hit MUST come through the x*beta endo lane and
+    # the lambda^e key reconstruction (brute.py _decode_fast).
+    k_e = ecref.LAMBDA * 777 % ecref.N
+    addr_e = hashref.pubkey_to_address(ecref.scalar_mult(k_e), compressed=True)
+    ivs_e = vanity_intervals(addr_e[:6])
+    import dataclasses as _dc
+    eng = BruteEngine(TargetSet(kind="hash160", raw=[], labels=[]), 1, 2049,
+                      mode="rmd160",
+                      params=_dc.replace(params_b, endo=True),
+                      intervals=ivs_e, prefixes=[addr_e[:6]])
+    assert eng.stats.multiplier == 6, eng.stats.multiplier
+    found = eng.search()
+    assert any(f.private_key == k_e for f in found), found
+    print(f"vanity + endo fused: OK (prefix {addr_e[:6]} -> lambda*777, x6)")
     print("ROUND2 EXTRAS OK")
 
 # ---- bucketed membership (T > compare_max): planted keys among decoys.
