@@ -26,7 +26,7 @@ import os
 import sys
 import time
 
-M = int(os.environ.get("BENCH_M", 1 << 28))
+M = int(os.environ.get("BENCH_M", 1 << 30))
 # U=16384/K=256 from the on-device shape sweep (gate 20: 2.081e16 vs
 # 1.906e16 keys/s at the old 8192/128 — bigger blocks amortize the
 # serial advance chain and per-chunk glue)
@@ -36,10 +36,16 @@ BENCH_SECONDS = float(os.environ.get("BENCH_SECONDS", 20.0))
 CAND_MAX = int(os.environ.get("BENCH_CAND", 128))
 BITS_LOG2 = os.environ.get("BENCH_BITS", "35")
 SB = int(os.environ.get("BENCH_SB", 4))
-# npz table cache: OFF by default since the device-resident build (Pallas
-# walk + lax.sort + on-device bitmap) beats re-uploading 3.2 GB through
-# the device tunnel — and the tunnel's bandwidth is erratic (observed
-# 25 MB/s to <1 MB/s within minutes). Opt in with BENCH_TABLE_CACHE=path.
+# Exact-resolution placement (round-5 HBM diet): 'host' keeps only
+# bitmap + bloom2 on the chip (streaming device build) and resolves
+# baby indices on the host against the native-built, disk-cached table
+# (.table_cache/) — this is what admits m=2^30 on one chip. 'device'
+# restores the round-4 device-table path.
+RESOLVE = os.environ.get("BENCH_RESOLVE", "host")
+# npz table cache (device mode only): OFF by default since the
+# device-resident build beats re-uploading 3.2 GB through the device
+# tunnel — bandwidth is erratic (25 MB/s to <1 MB/s within minutes).
+# Opt in with BENCH_TABLE_CACHE=path.
 CACHE = os.environ.get("BENCH_TABLE_CACHE", "")
 
 PUZZLE63_KEY = 0x7CCE5EFDACCF6808
@@ -69,22 +75,38 @@ def main():
         pallas_sb=SB,
         probe_mode=os.environ.get("BENCH_PROBE_MODE") or None,
         cascade2=os.environ.get("BENCH_CASCADE2", "auto"),
+        resolve=RESOLVE,
     )
 
     # --- table (device-built; npz cache only when BENCH_TABLE_CACHE set)
     table = None
-    if CACHE and os.path.exists(CACHE):
+    if RESOLVE == "device" and CACHE and os.path.exists(CACHE):
         try:
             table = BSGSEngine.load_table(CACHE)
             log(f"loaded cached baby table m={M}")
         except Exception as e:  # rebuild on any mismatch
             log(f"cache load failed ({e}); rebuilding")
     pub63 = ecref.scalar_mult(PUZZLE63_KEY)
+    if RESOLVE == "host":
+        # host exact table: mmap the disk cache (or native-build it once,
+        # ~6 min at 2^30 single-core); prefault so page-ins don't leak
+        # into the first chunks' decode time
+        from keyhuntm1cpu_tpu.filter import host_table as ht
+
+        t0 = time.time()
+        htab = ht.ensure_host_table(M, progress=True)
+        htab.prefault()
+        log(f"host table m={M} ready in {time.time()-t0:.1f}s "
+            "(mmap + prefault)")
     t0 = time.time()
     eng = BSGSEngine(
-        [pub63], PUZZLE64_RANGE[0], PUZZLE64_RANGE[1], params, table=table
+        [pub63], PUZZLE64_RANGE[0], PUZZLE64_RANGE[1], params, table=table,
+        host_table=htab if RESOLVE == "host" else None,
     )
-    if table is None:
+    if RESOLVE == "host":
+        log(f"streaming filters built on-device in {time.time()-t0:.1f}s "
+            f"(bits={eng.bitmap.bits_log2}, b2={eng._bloom2.bits_log2})")
+    elif table is None:
         log(f"baby table built on-device in {time.time()-t0:.1f}s (m={M})")
         if CACHE:
             eng.save_table(CACHE)
@@ -95,7 +117,9 @@ def main():
     window = BLOCK_U * stride
     a = PUZZLE63_KEY - 3 * window
     b = PUZZLE63_KEY + 3 * window
-    eng63 = BSGSEngine([pub63], a, b, params, table=eng.table, bitmap=eng.bitmap)
+    eng63 = BSGSEngine([pub63], a, b, params, table=eng.table,
+                       bitmap=eng.bitmap, host_table=eng.host_table,
+                       bloom2=eng._bloom2)
     t0 = time.time()
     found = eng63.search()
     solve_s = time.time() - t0
@@ -114,6 +138,8 @@ def main():
         params,
         table=eng.table,
         bitmap=eng.bitmap,
+        host_table=eng.host_table,
+        bloom2=eng._bloom2,
     )
     # warm up / compile
     px, py = eng64._initial_base(0).x, eng64._initial_base(0).y
@@ -174,11 +200,13 @@ def main():
 
         mode_seconds = float(os.environ.get("BENCH_MODE_SECONDS", 5.0))
         try:
-            # T=16 BSGS first: it reuses the already-resident table and
+            # T=16 BSGS first: it reuses the already-resident filters and
             # compiled kernels (cheapest section; the round-3 kill order
             # lost it by running it last)
             result["modes"]["bsgs_t16"] = bench_modes.bench_bsgs_multitarget(
-                eng.table, eng.bitmap, params, seconds=mode_seconds,
+                params, seconds=mode_seconds,
+                table=eng.table, bitmap=eng.bitmap,
+                host_table=eng.host_table, bloom2=eng._bloom2,
             )
             emit()
             for name, res in bench_modes.iter_all(seconds=mode_seconds):

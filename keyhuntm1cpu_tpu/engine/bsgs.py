@@ -210,11 +210,12 @@ class BSGSEngine:
                 raise ValueError(
                     f"host table m={self.host_table.m} != params.m={m}"
                 )
-            b2bits = (params.bloom2_bits if params.bloom2_bits is not None
-                      else bmp.bloom2_bits_log2_host(m))
             if bitmap is not None and bloom2 is not None:
                 self.bitmap, self._bloom2 = bitmap, bloom2
             elif jax.default_backend() == "cpu" or not self._can_stream_build():
+                b2bits = (params.bloom2_bits
+                          if params.bloom2_bits is not None
+                          else bmp.bloom2_bits_log2_host(m))
                 # small-m / CPU path: derive the filters from the host
                 # planes with numpy (the streaming device build needs the
                 # Pallas walk kernels)
@@ -227,8 +228,11 @@ class BSGSEngine:
                 )
                 self._bloom2 = bmp.build_bloom2_host(hi, lo, b2bits)
             else:
+                # fixed b2=34 on the streaming path: the stream impl's
+                # compile is keyed on (bits, b2) — see _filters_stream_impl
                 self.bitmap, self._bloom2 = self._build_filters_streaming(
-                    b2bits
+                    params.bloom2_bits if params.bloom2_bits is not None
+                    else 34
                 )
             _debug_sync("filters done", self.bitmap.words)
         else:
@@ -460,9 +464,14 @@ class BSGSEngine:
 
         p = self.p
         m = p.m
+        if m > (1 << 31):
+            raise ValueError("streaming filter build supports m <= 2^31")
         ub = p.build_block
-        bits_log2 = (p.bits_log2 if p.bits_log2 is not None
-                     else bmp.default_bits_log2(m))
+        # fixed production filter sizes: the stream impl's ~15-minute
+        # remote compile is shape-keyed, and bits/b2 are its only
+        # m-dependent statics — pinning them makes ONE compile serve
+        # every m (m itself and the iteration count are runtime values)
+        bits_log2 = p.bits_log2 if p.bits_log2 is not None else 35
         n_words1 = 1 << (bits_log2 - 5)
         n_words2 = 1 << (b2bits - 5)
 
@@ -500,36 +509,22 @@ class BSGSEngine:
         px = jnp.asarray(fe.int_to_limbs(base[0]))
         py = jnp.asarray(fe.int_to_limbs(base[1]))
 
-        kmax = 128  # blocks per scan iteration (multiple of 8)
+        kmax = 128  # blocks per loop iteration (multiple of 8)
         blocks = m // ub - 2
-        n_iter = blocks // kmax
-        rem = blocks - n_iter * kmax
-        dcounts = []
-        advs = []
+        n_iter = -(-blocks // kmax)
         if n_iter:
-            words1, words2, px, py, dc, adv_any = _filters_scan_impl(
+            words1, words2, px, py, dc, adv_any = _filters_stream_impl(
                 px, py, tx, ty, ax, ay, words1, words2,
-                n_iter=n_iter, K=kmax, U=ub, SB=p.pallas_sb,
+                jnp.int32(n_iter), jnp.uint32(m),
+                K=kmax, U=ub, SB=p.pallas_sb,
                 bits_log2=bits_log2, b2_bits=b2bits,
             )
-            dcounts.append(dc)
-            advs.append(adv_any)
-        if rem:
-            k_run = -(-rem // 8) * 8
-            words1, words2, px, py, dc, adv_any = _filters_rem_impl(
-                px, py, tx, ty, ax, ay, words1, words2,
-                K=k_run, U=ub, SB=p.pallas_sb, valid=rem * ub,
-                bits_log2=bits_log2, b2_bits=b2bits,
-            )
-            dcounts.append(dc)
-            advs.append(adv_any)
-        _debug_sync("filters scan done", words1)
-        if dcounts:
-            assert int(sum(int(np.asarray(d)) for d in dcounts)) == 0, (
+            _debug_sync("filters stream done", words1)
+            assert int(np.asarray(dc)) == 0, (
                 "degenerate walk lane in the streaming filter build "
                 "(impossible for base >= 2*Ub*G)"
             )
-            assert not any(bool(np.asarray(a)) for a in advs)
+            assert not bool(np.asarray(adv_any))
         return (bmp.DeviceBitmap(words1, bits_log2),
                 bmp.DeviceBloom2(words2, b2bits))
 
@@ -1594,68 +1589,46 @@ def _seed_words(word_idx, vals, *, n_words: int):
     return jnp.zeros(n_words, jnp.uint32).at[word_idx].set(vals)
 
 
-def _filters_update(words1, words2, qhi, qlo, bits_log2, b2_bits,
-                    valid=None):
-    """OR one walk segment's keys into both filters (traced inline in
-    the scan body so XLA aliases the carried word buffers)."""
-    wi, bv = bmp.bitmap_bit_planes(qhi, qlo, bits_log2)
-    wi2, bv2 = bmp.bloom2_bit_planes(qhi, qlo, b2_bits)
-    if valid is not None:
-        n = qhi.shape[0]
-        keep = jnp.arange(n, dtype=jnp.int32) < valid
-        wi = jnp.where(keep, wi, words1.shape[0])
-        wi2 = jnp.where(jnp.concatenate([keep, keep]), wi2, words2.shape[0])
-    words1 = bmp.or_bits_into(words1, wi, bv)
-    words2 = bmp.or_bits_into(words2, wi2, bv2)
-    return words1, words2
-
-
-@partial(jax.jit, static_argnames=("n_iter", "K", "U", "SB", "bits_log2",
-                                   "b2_bits"),
+@partial(jax.jit, static_argnames=("K", "U", "SB", "bits_log2", "b2_bits"),
          donate_argnums=(6, 7))
-def _filters_scan_impl(px, py, tx, ty, ax, ay, words1, words2,
-                       *, n_iter, K, U, SB, bits_log2, b2_bits):
-    """Whole filter build as ONE dispatch: scan carries (bitmap, bloom2,
-    walk state); each iteration walks K blocks of U keys (Pallas) and
-    ORs their bits into both filters. Only per-iter degeneracy COUNTS
-    come back (asserted zero — the walk starts past every degenerate
-    configuration)."""
+def _filters_stream_impl(px, py, tx, ty, ax, ay, words1, words2,
+                         n_iter, n_keys,
+                         *, K, U, SB, bits_log2, b2_bits):
+    """Whole filter build as ONE dispatch: a fori_loop carries (bitmap,
+    bloom2, walk state); each iteration walks K blocks of U keys
+    (Pallas) and ORs their bits into both filters, masking lanes whose
+    global key index reaches n_keys (the final iteration's tail).
+
+    n_iter and n_keys are RUNTIME values and the filter sizes are fixed
+    by the engine (bits=35, b2=34), so ONE ~15-minute remote compile
+    serves EVERY m (the per-shape scan version recompiled per m —
+    .tpu_queue/31/32 logs: 907 s compile, 2.9 s run at m=2^24).
+    Requires n_keys <= 2^31 (uint32 index math)."""
     from ..curve import pwalk
 
-    def body(carry, _):
-        w1, w2, cpx, cpy = carry
+    KU = K * U
+
+    def body(it, carry):
+        w1, w2, cpx, cpy, dc, adv = carry
         res = pwalk.pallas_chunk(cpx, cpy, tx, ty, ax, ay, K=K, U=U, SB=SB)
-        w1, w2 = _filters_update(
-            w1, w2, res.qhi.reshape(-1), res.qlo.reshape(-1),
-            bits_log2, b2_bits,
-        )
-        out = (res.degenerate.sum(dtype=jnp.int32), res.adv_degenerate.any())
-        return (w1, w2, res.next_x, res.next_y), out
+        qhi = res.qhi.reshape(-1)
+        qlo = res.qlo.reshape(-1)
+        start = jnp.uint32(2 * U) + it.astype(jnp.uint32) * jnp.uint32(KU)
+        keep = (start + jnp.arange(KU, dtype=jnp.uint32)) < n_keys
+        wi, bv = bmp.bitmap_bit_planes(qhi, qlo, bits_log2)
+        wi = jnp.where(keep, wi, w1.shape[0])
+        wi2, bv2 = bmp.bloom2_bit_planes(qhi, qlo, b2_bits)
+        wi2 = jnp.where(jnp.concatenate([keep, keep]), wi2, w2.shape[0])
+        w1 = bmp.or_bits_into(w1, wi, bv)
+        w2 = bmp.or_bits_into(w2, wi2, bv2)
+        dc = dc + (res.degenerate.reshape(-1) & keep).sum(dtype=jnp.int32)
+        adv = adv | res.adv_degenerate.any()
+        return (w1, w2, res.next_x, res.next_y, dc, adv)
 
-    (w1, w2, nx, ny), (dc, adv) = jax.lax.scan(
-        body, (words1, words2, px, py), None, length=n_iter
-    )
-    return w1, w2, nx, ny, dc.sum(), adv.any()
-
-
-@partial(jax.jit, static_argnames=("K", "U", "SB", "valid", "bits_log2",
-                                   "b2_bits"),
-         donate_argnums=(6, 7))
-def _filters_rem_impl(px, py, tx, ty, ax, ay, words1, words2,
-                      *, K, U, SB, valid, bits_log2, b2_bits):
-    """Remainder blocks (K padded to the kernel's tile multiple): lanes
-    past `valid` keys are masked out of both filters."""
-    from ..curve import pwalk
-
-    res = pwalk.pallas_chunk(px, py, tx, ty, ax, ay, K=K, U=U, SB=SB)
-    w1, w2 = _filters_update(
-        words1, words2, res.qhi.reshape(-1), res.qlo.reshape(-1),
-        bits_log2, b2_bits, valid=valid,
-    )
-    nv = -(-valid // U)  # blocks actually used
-    dc = res.degenerate.reshape(K, U)[:nv].sum(dtype=jnp.int32)
-    adv = res.adv_degenerate[:nv].any()
-    return w1, w2, res.next_x, res.next_y, dc, adv
+    carry = (words1, words2, px, py, jnp.int32(0),
+             jnp.zeros((), dtype=bool))
+    w1, w2, nx, ny, dc, adv = jax.lax.fori_loop(0, n_iter, body, carry)
+    return w1, w2, nx, ny, dc, adv
 
 
 @partial(jax.jit, static_argnames=("U", "K", "T", "C2", "SB", "bits_log2",

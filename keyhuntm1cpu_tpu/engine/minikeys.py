@@ -52,12 +52,24 @@ DEVICE_DIGITS = 5  # low digits generated on device (58^5 < 2^31: u32 math)
 LOW_SPAN = 58 ** DEVICE_DIGITS
 
 
+def valid_budget(batch: int) -> int:
+    """Compacted valid-lane budget: mean + 8*sqrt(mean) + 512, rounded
+    to 512 (P(Binom(B, 1/256) overflowing) ~ 1e-50; overflow falls back
+    to an exact host rescan anyway). The old 2x-mean budget doubled
+    every V-lane cost (key sha256, ladder, hash160s, lookups) AND
+    pushed the compaction into the dense regime — docs/PERF.md minikey
+    ledger."""
+    mean = max(1, batch // 256)
+    need = mean + 8 * int(mean ** 0.5) + 512
+    return max(2048, ((need + 511) // 512) * 512)
+
+
 def tuned_params(pallas: str = "auto",
                  batch: "int | None" = None) -> "MinikeyParams":
     """Device-tuned MinikeyParams: batch 2^22 on a real accelerator
     (gate-26 sweep, 36.8M minikeys/s on v5e), CPU-safe defaults
-    otherwise. valid_max always scales with batch (expected B/256, x2)
-    — the ONE place that sizing lives (cli/bench/gates all call this)."""
+    otherwise. valid_max always scales with batch via valid_budget() —
+    the ONE place that sizing lives (cli/bench/gates all call this)."""
     import jax
 
     if batch is None:
@@ -65,7 +77,7 @@ def tuned_params(pallas: str = "auto",
             return MinikeyParams(pallas=pallas)
         batch = 1 << 22
     return MinikeyParams(pallas=pallas, batch=batch,
-                         valid_max=max(2048, (batch // 256) * 2))
+                         valid_max=valid_budget(batch))
 
 
 def _b58_digits(v: int, n: int, alphabet: str = _B58) -> str:
@@ -445,8 +457,11 @@ def _minikey_finish_impl(base_lo, valid, w22_base, gtx, gty,
     cost otherwise)."""
     valid = valid.astype(bool)
     n_valid = valid.sum().astype(jnp.int32)
-    (vidx,) = jnp.nonzero(valid, size=V, fill_value=B)
-    vidx = vidx.astype(jnp.int32)
+    # hierarchical/sort compaction (filter/bitmap.py): the flat nonzero
+    # scan over B was ~half the chunk time at B=2^22 (minikey ledger)
+    from ..filter.bitmap import compact_positions
+
+    vidx = compact_positions(valid, V, B)
     live = vidx < B
     vv = base_lo + jnp.minimum(vidx, B - 1).astype(jnp.uint32)
     w4or, w5or = _suffix_or_words(vv, alphabet)

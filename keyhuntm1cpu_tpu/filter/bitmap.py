@@ -630,6 +630,10 @@ def compact_positions_sort(mask: jnp.ndarray, size: int,
     iota = jnp.arange(B, dtype=jnp.int32)
     key = jnp.where(mask, iota, jnp.int32(B))
     (skey,) = _jax.lax.sort((key,), num_keys=1)
+    if size > B:  # budget wider than the mask: pad with non-hits
+        skey = jnp.concatenate(
+            [skey, jnp.full((size - B,), B, dtype=jnp.int32)]
+        )
     pos = skey[:size]
     return jnp.where(pos < B, pos, fill).astype(jnp.int32)
 

@@ -105,6 +105,19 @@ class HostTable:
         js = self.idx[offs].astype(np.uint64) + np.uint64(1)
         return rows, js
 
+    def prefault(self) -> None:
+        """Pull every page of mmapped planes into the OS cache with one
+        sequential pass (random searchsorted faults would otherwise leak
+        into the first chunks' decode time)."""
+        for arr in (self.keys, self.idx):
+            if isinstance(arr, np.memmap):
+                step = (1 << 24) // arr.itemsize
+                s = np.uint64(0)
+                for off in range(0, arr.shape[0], step):
+                    s += arr[off : off + step : 4096 // arr.itemsize].sum(
+                        dtype=np.uint64
+                    )
+
     def contains_all(self, q: np.ndarray) -> np.ndarray:
         """(B,) bool membership for packed uint64 queries (tests)."""
         pos = np.searchsorted(self.keys, q, side="left")

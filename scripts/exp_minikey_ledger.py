@@ -1,0 +1,127 @@
+"""Minikey per-phase ledger (VERDICT r4 #4): decompose the chunk before
+attacking the wall.
+
+Phases timed on device (dependent-chained, value-pull fenced):
+  valid    — Pallas validity kernel at B
+  compact  — valid-lane compaction alone at B (old flat nonzero vs
+             filter.bitmap.compact_positions)
+  finish   — the whole _minikey_finish_impl at B (compact + key sha256 +
+             ladder + hash160 x2 + lookups + hit compaction)
+  engine   — full MinikeyEngine.search() rate (keys/s)
+
+Usage: exp_minikey_ledger.py [log2_batch ...]   (default 22 23)
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+from keyhuntm1cpu_tpu.engine import minikeys as mk
+from keyhuntm1cpu_tpu.filter.bitmap import compact_positions
+from keyhuntm1cpu_tpu.hash import pminikey
+from keyhuntm1cpu_tpu.utils.targets import TargetSet
+from keyhuntm1cpu_tpu.ref import hashref, ecref
+
+BATCHES = [int(a) for a in sys.argv[1:]] or [22, 23]
+
+
+def chain_time(name, step, state, iters=8):
+    t0 = time.time()
+    st = step(state)
+    np.asarray(jax.tree_util.tree_leaves(st)[0].ravel()[0])
+    print(f"  [{name}] compile {time.time()-t0:.1f}s", flush=True)
+    t0 = time.time()
+    for _ in range(iters):
+        st = step(st)
+    np.asarray(jax.tree_util.tree_leaves(st)[0].ravel()[0])
+    dt = (time.time() - t0) / iters
+    print(f"  [{name}] {dt*1e3:.2f} ms/call", flush=True)
+    return dt
+
+
+def main():
+    print(f"devices: {jax.devices()}", flush=True)
+    rng = np.random.default_rng(0)
+    # a target that never hits (random hash160)
+    ts = TargetSet(kind="hash160", raw=[bytes(rng.integers(0, 256, 20,
+                                                           dtype=np.uint8))],
+                   labels=["decoy"])
+    for lb in BATCHES:
+        B = 1 << lb
+        V = mk.valid_budget(B)
+        print(f"=== batch 2^{lb} (V={V}) ===", flush=True)
+        eng = mk.MinikeyEngine(ts, prefix="Sbenchmark1x",
+                               params=mk.tuned_params(batch=B))
+        w22b, w23b = eng._base_words(eng.prefix + "11111")
+
+        # -- valid kernel
+        def step_valid(st):
+            lo = st[0]
+            v = pminikey.minikey_valid(lo, w23b, B=B, alphabet=mk._B58)
+            return (lo + v[0].astype(jnp.uint32),)
+
+        t_valid = chain_time("valid", jax.jit(step_valid),
+                             (jnp.uint32(1),))
+
+        # -- compaction alone (realistic 1/256 density)
+        mask0 = jnp.asarray(rng.random(B) < 1 / 256)
+
+        @jax.jit
+        def step_compact(st):
+            m = st[0]
+            pos = compact_positions(m, V, B)
+            return (m ^ (pos[0] < 0),)
+
+        t_comp = chain_time("compact(new)", step_compact, (mask0,))
+
+        @jax.jit
+        def step_flat(st):
+            m = st[0]
+            (pos,) = jnp.nonzero(m, size=V, fill_value=B)
+            return (m ^ (pos[0] < 0),)
+
+        t_flat = chain_time("compact(flat-old)", step_flat, (mask0,))
+
+        # -- full finish impl
+        valid0 = mask0
+
+        def step_finish(st):
+            lo = st[0]
+            out = mk._minikey_finish_impl(
+                lo, valid0, w22b, eng._gx, eng._gy,
+                eng.table.hi, eng.table.lo, eng.table.idx,
+                B=B, V=V, HM=eng.p.hit_max, chain=eng.p.chain_len,
+                alphabet=mk._B58, tile_hash=True,
+            )
+            return (lo + out[0].astype(jnp.uint32),)
+
+        t_fin = chain_time("finish", step_finish, (jnp.uint32(1),))
+
+        # -- full engine rate
+        eng2 = mk.MinikeyEngine(ts, prefix="Sbenchmark1x",
+                                params=mk.tuned_params(batch=B))
+        eng2.search(max_chunks=2)  # warm
+        n = max(4, int(10.0 / max(t_valid + t_fin, 1e-3)))
+        t0 = time.time()
+        eng2.search(max_chunks=n)
+        el = time.time() - t0
+        rate = n * B / el
+        print(f"  [engine] {rate/1e6:.1f}M minikeys/s "
+              f"({n} chunks in {el:.1f}s)", flush=True)
+        print(f"  ledger: valid {t_valid*1e3:.1f} + finish {t_fin*1e3:.1f} "
+              f"(compact new {t_comp*1e3:.1f} / old flat {t_flat*1e3:.1f}) ms",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -31,6 +31,43 @@ def test_bsgs_cli_finds_key(tmp_path, pubfile, monkeypatch):
     assert f"{key:064x}" in out
 
 
+def test_bsgs_cli_uncompressed_pubkey_file(tmp_path, monkeypatch):
+    """Reference tests/in.txt shape: a file of 04-prefixed UNCOMPRESSED
+    pubkeys (130 hex) through -m bsgs -f (reader parity with
+    keyhunt.cpp:961-1044). Keys planted in two windows, both recovered."""
+    monkeypatch.chdir(tmp_path)
+    keys = [0xA1B2C3, 0xAFFF77]
+    f = tmp_path / "in.txt"
+    f.write_text("".join(
+        f"04{pt[0]:064x}{pt[1]:064x}\n"
+        for pt in (ecref.scalar_mult(k) for k in keys)
+    ))
+    rc = cli.main([
+        "-m", "bsgs", "-f", str(f), "-r", "a00000:b00000",
+        "--m-babies", "512", "-u", "16", "--chunk-steps", "4", "-q",
+        "--all",
+    ])
+    assert rc == 0
+    out = (tmp_path / "KEYFOUNDKEYFOUND.txt").read_text()
+    for k in keys:
+        assert f"{k:064x}" in out
+
+
+def test_bsgs_cli_host_resolve(tmp_path, pubfile, monkeypatch):
+    """--resolve host end-to-end through the CLI (HBM-diet mode): the
+    native-built host table resolves the hit; no device table exists."""
+    monkeypatch.chdir(tmp_path)
+    path, key = pubfile
+    rc = cli.main([
+        "-m", "bsgs", "-f", path, "-r", "a00000:b00000",
+        "--m-babies", "512", "-u", "16", "--chunk-steps", "4", "-q",
+        "--resolve", "host", "--host-table-cache", str(tmp_path / "tc"),
+    ])
+    assert rc == 0
+    out = (tmp_path / "KEYFOUNDKEYFOUND.txt").read_text()
+    assert f"{key:064x}" in out
+
+
 def test_bsgs_cli_checkpoint_and_policy(tmp_path, pubfile, monkeypatch):
     monkeypatch.chdir(tmp_path)
     path, key = pubfile
