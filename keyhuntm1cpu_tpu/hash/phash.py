@@ -140,15 +140,25 @@ def _hash160x2_kernel(x_ref, le_ref, he_ref, lo_ref, ho_ref):
         href[:, :] = hi_w
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def hash160_x2_tiles(x_lm: jnp.ndarray, interpret: bool = False):
-    """x_lm: (8, rows, 128) limb-major X tiles, rows % 8 == 0. Returns
-    (lo_even, hi_even, lo_odd, hi_odd), each (rows, 128) uint32 — the
-    64-bit truncated hash160 keys of both compressed-pubkey parities."""
+@functools.partial(jax.jit, static_argnames=("interpret", "block_rows"))
+def hash160_x2_tiles(x_lm: jnp.ndarray, interpret: bool = False,
+                     block_rows: int = SUBLANES):
+    """x_lm: (8, rows, 128) limb-major X tiles, rows % block_rows == 0.
+    Returns (lo_even, hi_even, lo_odd, hi_odd), each (rows, 128) uint32 —
+    the 64-bit truncated hash160 keys of both compressed-pubkey parities.
+
+    block_rows trades ILP vs vreg pressure: at 8 rows each live hash
+    word is ONE (8,128) vreg and the strictly-serial sha/ripemd round
+    chain caps issue slots (~23% VPU, docs/PERF.md); 16 rows = 2
+    independent vregs per op (dual-issue) at ~56 live vregs. Swept on
+    device (scripts/exp_phash_rows.py)."""
     rows = x_lm.shape[1]
-    in_spec = pl.BlockSpec((8, SUBLANES, LANES), lambda g: (0, g, 0),
+    br = block_rows
+    if rows % br:
+        br = SUBLANES
+    in_spec = pl.BlockSpec((8, br, LANES), lambda g: (0, g, 0),
                            memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((SUBLANES, LANES), lambda g: (g, 0),
+    out_spec = pl.BlockSpec((br, LANES), lambda g: (g, 0),
                             memory_space=pltpu.VMEM)
     out_shapes = tuple(
         jax.ShapeDtypeStruct((rows, LANES), jnp.uint32) for _ in range(4)
@@ -156,7 +166,7 @@ def hash160_x2_tiles(x_lm: jnp.ndarray, interpret: bool = False):
     return pl.pallas_call(
         _hash160x2_kernel,
         out_shape=out_shapes,
-        grid=(rows // SUBLANES,),
+        grid=(rows // br,),
         in_specs=[in_spec],
         out_specs=(out_spec,) * 4,
         interpret=interpret,
@@ -265,20 +275,24 @@ def _keccak_pubkey_kernel(x_ref, y_ref, lo_ref, hi_ref):
     hi_ref[:, :] = hi_w
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def keccak_eth_tiles(x_lm, y_lm, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "block_rows"))
+def keccak_eth_tiles(x_lm, y_lm, interpret: bool = False,
+                     block_rows: int = SUBLANES):
     """(8, rows, 128) X/Y limb-major -> (lo, hi) ETH target keys."""
     rows = x_lm.shape[1]
-    in_spec = pl.BlockSpec((8, SUBLANES, LANES), lambda g: (0, g, 0),
+    br = block_rows
+    if rows % br:
+        br = SUBLANES
+    in_spec = pl.BlockSpec((8, br, LANES), lambda g: (0, g, 0),
                            memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((SUBLANES, LANES), lambda g: (g, 0),
+    out_spec = pl.BlockSpec((br, LANES), lambda g: (g, 0),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _keccak_pubkey_kernel,
         out_shape=tuple(
             jax.ShapeDtypeStruct((rows, LANES), jnp.uint32) for _ in range(2)
         ),
-        grid=(rows // SUBLANES,),
+        grid=(rows // br,),
         in_specs=[in_spec, in_spec],
         out_specs=(out_spec,) * 2,
         interpret=interpret,
@@ -359,19 +373,23 @@ def _hash160_u_kernel(x_ref, y_ref, lo_ref, hi_ref):
     hi_ref[:, :] = hi_w
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def hash160_u_tiles(x_lm, y_lm, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "block_rows"))
+def hash160_u_tiles(x_lm, y_lm, interpret: bool = False,
+                    block_rows: int = SUBLANES):
     rows = x_lm.shape[1]
-    in_spec = pl.BlockSpec((8, SUBLANES, LANES), lambda g: (0, g, 0),
+    br = block_rows
+    if rows % br:
+        br = SUBLANES
+    in_spec = pl.BlockSpec((8, br, LANES), lambda g: (0, g, 0),
                            memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((SUBLANES, LANES), lambda g: (g, 0),
+    out_spec = pl.BlockSpec((br, LANES), lambda g: (g, 0),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _hash160_u_kernel,
         out_shape=tuple(
             jax.ShapeDtypeStruct((rows, LANES), jnp.uint32) for _ in range(2)
         ),
-        grid=(rows // SUBLANES,),
+        grid=(rows // br,),
         in_specs=[in_spec, in_spec],
         out_specs=(out_spec,) * 2,
         interpret=interpret,

@@ -78,6 +78,11 @@ class BSGSService:
         boot = BSGSEngine([ecref.G], 1, 2, params, table=table)
         self.table = boot.table
         self.bitmap = boot.bitmap  # resident in HBM alongside the table
+        # host-resolve mode (--resolve host): the resident device state is
+        # bitmap + bloom2 only; the exact table is the host mmap — per-
+        # request engines share all three (the m=2^30 serving shape)
+        self.host_table = boot.host_table
+        self.bloom2 = boot._bloom2
         if warm:
             # compile the chunk program at boot so the FIRST request does
             # not pay the trace+compile latency (the reference preloads its
@@ -87,6 +92,7 @@ class BSGSService:
                 [ecref.scalar_mult(3)], a,
                 a + 2 * params.block_u * 2 * params.m,
                 params, table=self.table, bitmap=self.bitmap,
+                host_table=self.host_table, bloom2=self.bloom2,
             )
             eng.search(max_steps=1)
 
@@ -105,7 +111,8 @@ class BSGSService:
 
         pt = ecref.parse_pubkey(pubkey_hex)
         eng = BSGSEngine(
-            [pt], a, b, self.params, table=self.table, bitmap=self.bitmap
+            [pt], a, b, self.params, table=self.table, bitmap=self.bitmap,
+            host_table=self.host_table, bloom2=self.bloom2,
         )
         deadline = (
             None if self.max_seconds is None
@@ -211,6 +218,13 @@ def main(argv=None):
                    help="device chunks per scheduling turn: concurrent "
                         "requests interleave at this granularity "
                         "(reference bsgsd serves whole requests serially)")
+    p.add_argument("--resolve", default="device",
+                   choices=["device", "host"],
+                   help="exact-resolution placement: 'host' keeps only "
+                        "bitmap+bloom2 on the device and the exact table "
+                        "mmapped on the host (serves m up to 2^31)")
+    p.add_argument("--host-table-cache", default=None,
+                   help="host-table cache dir (--resolve host)")
     args = p.parse_args(argv)
     from .engine.bsgs import resolve_m
 
@@ -219,7 +233,9 @@ def main(argv=None):
     except ValueError as e:
         p.error(str(e))
     params = BSGSParams(
-        m=args.m_babies, block_u=args.block_u, steps_per_chunk=args.chunk_steps
+        m=args.m_babies, block_u=args.block_u,
+        steps_per_chunk=args.chunk_steps,
+        resolve=args.resolve, table_cache=args.host_table_cache,
     )
     table = (
         BSGSEngine.load_table(
