@@ -96,6 +96,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="brute-mode parallel walkers (reference -t threads)")
     p.add_argument("-I", "--stride", type=int, default=1,
                    help="key-space stride (reference -I)")
+    p.add_argument("-E", dest="_e_compat", default=None,
+                   help="accepted for reference-argv compatibility and "
+                        "ignored (the reference getopt string lists E: "
+                        "but has no case handler, keyhunt.cpp:489)")
     p.add_argument("-R", "--random", action="store_true", dest="random_mode",
                    help="random walker re-basing (reference -R)")
     p.add_argument("-e", "--endo", action="store_true",
