@@ -228,11 +228,12 @@ class BSGSEngine:
                 )
                 self._bloom2 = bmp.build_bloom2_host(hi, lo, b2bits)
             else:
-                # fixed b2=34 on the streaming path: the stream impl's
+                # fixed b2=35 (4 GiB, load 1/8 even at m=2^31 -> fp
+                # ~1.4e-2) on the streaming path: the stream impl's
                 # compile is keyed on (bits, b2) — see _filters_stream_impl
                 self.bitmap, self._bloom2 = self._build_filters_streaming(
                     params.bloom2_bits if params.bloom2_bits is not None
-                    else 34
+                    else 35
                 )
             _debug_sync("filters done", self.bitmap.words)
         else:
