@@ -339,6 +339,117 @@ def pallas_brute_chunk(px, py, tab_x_lm, tab_y_lm, ax, ay, tgt, btab,
     return nx[:, 0, 0], ny[:, 0, 0], out
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("K", "U", "C", "mode", "n_endo", "chain"),
+)
+def xla_brute_chunk(px, py, tab_x, tab_y, ax, ay, tgt,
+                    *, K, U, C, mode, n_endo, chain=32):
+    """XLA twin of pallas_brute_chunk: identical packed summary
+    [cand_pos(C), cand_bits(C), n_deg(K), first_deg(K), adv_deg(K), n(1)]
+    from the same index algebra, built on the XLA walk + hash pipelines.
+
+    Exists for CPU meshes and tests: interpret-mode execution of the
+    fused kernel unrolls the Fermat inversion ladder into a ~250k-op XLA
+    graph whose CPU compile takes >1 h. Interval membership only (the
+    lane-bucketed large-T table stays kernel-only).
+
+    tab_x/tab_y: (U, 8) batch-major step table (u*stride*G, u = 1..U);
+    tgt: (4, T) pack_intervals bounds; px/py/ax/ay: (8,) limbs."""
+    from ..field import fe
+    from ..hash.hash160 import hash160_from_x_both_parities, hash160_from_xy
+    from ..hash.keccak import keccak256_pubkey64
+    from . import points, walk
+
+    needs_y = mode in ("eth", "address_u", "rmd160_both")
+    T = tgt.shape[1]
+
+    def bsw(x):
+        return (
+            ((x & jnp.uint32(0xFF)) << 24)
+            | ((x & jnp.uint32(0xFF00)) << 8)
+            | ((x >> 8) & jnp.uint32(0xFF00))
+            | (x >> 24)
+        )
+
+    def member(a, b):
+        m = jnp.zeros_like(a, dtype=bool)
+        for t in range(T):
+            lo_h, lo_l = tgt[0, t], tgt[1, t]
+            hi_h, hi_l = tgt[2, t], tgt[3, t]
+            ge = (a > lo_h) | ((a == lo_h) & (b >= lo_l))
+            le = (a < hi_h) | ((a == hi_h) & (b <= hi_l))
+            m = m | (ge & le)
+        return m
+
+    if n_endo == 3:
+        beta = fe.from_int(ecref.BETA)
+        beta2 = fe.from_int(ecref.BETA * ecref.BETA % ecref.P)
+
+    def body(carry, _):
+        cx, cy = carry  # (1, 8)
+        pb = points.PointBatch(cx, cy, jnp.zeros((1,), dtype=bool))
+        res = walk.walk_fused(pb, tab_x, tab_y, ax, ay,
+                              chain_len=chain, need_y=needs_y)
+        x = res.x_plus[0]  # (U, 8)
+        y = res.y_plus[0] if needs_y else None
+        hit = jnp.zeros((U,), dtype=jnp.uint32)
+        q = 0
+        for e in range(n_endo):
+            xv = x if e == 0 else fe.mul_mod_p(
+                x, beta if e == 1 else beta2
+            )
+            if mode == "xpoint":
+                pairs = [(xv[:, 1], xv[:, 0])]
+            elif mode in ("rmd160", "rmd160_both"):
+                even, odd = hash160_from_x_both_parities(xv)
+                pairs = [(even[0], even[1]), (odd[0], odd[1])]
+                if mode == "rmd160_both":
+                    u_w = hash160_from_xy(xv, y)
+                    pairs.append((u_w[0], u_w[1]))
+            elif mode == "eth":
+                w = keccak256_pubkey64(xv, y)
+                pairs = [(w[0], w[1])]
+            else:  # address_u
+                u_w = hash160_from_xy(xv, y)
+                pairs = [(u_w[0], u_w[1])]
+            if mode != "xpoint":
+                pairs = [(bsw(lo_w), bsw(hi_w)) for lo_w, hi_w in pairs]
+            for a, b in pairs:
+                hit = hit | (member(a, b).astype(jnp.uint32) << q)
+                q += 1
+        deg = res.degenerate[0]  # (U,)
+        hit = jnp.where(deg, jnp.uint32(1) << 30, hit)
+        out = (hit, deg, res.adv_degenerate[0])
+        return (res.adv_x, res.adv_y), out
+
+    c0 = (px[None], py[None])
+    (nx, ny), (hits, deg, adeg) = jax.lax.scan(body, c0, None, length=K)
+
+    qbits = hits & jnp.uint32((1 << 30) - 1)  # (K, U)
+    flat = qbits.reshape(-1)
+    mask = flat != 0
+    n = mask.sum().astype(jnp.int32)
+    (pos,) = jnp.nonzero(mask, size=C, fill_value=K * U)
+    pos = pos.astype(jnp.int32)
+    bits = flat[jnp.minimum(pos, K * U - 1)]
+    bits = jnp.where(pos < K * U, bits, 0)
+    degf = hits >> 30 & 1
+    n_deg = degf.sum(axis=1).astype(jnp.int32)
+    first_deg = jnp.argmax(degf, axis=1).astype(jnp.int32)
+    out = jnp.concatenate(
+        [
+            pos,
+            bits.astype(jnp.int32),
+            n_deg,
+            first_deg,
+            adeg.astype(jnp.int32),
+            n[None],
+        ]
+    )
+    return nx[0], ny[0], out
+
+
 def pack_buckets(vals64) -> np.ndarray:
     """(Lmax, 128) uint32 bucketed HIGH words for the kernel's lane-
     bucketed exact membership: 64-bit compare value v lands in lane

@@ -82,12 +82,14 @@ class ShardedBruteEngine:
         ]
         for c in self.children:
             assert c._fast
-        if jax.default_backend() == "cpu":  # pragma: no cover - warning only
+        if (jax.default_backend() == "cpu"
+                and self.children[0]._n_bucket_rows):  # pragma: no cover
             from ..core.log import get_logger
 
             get_logger().warn(
-                "sharded brute on the CPU backend interprets the fused "
-                "kernel (pathologically slow) — intended for TPU meshes"
+                "sharded brute with a bucketed target set on the CPU "
+                "backend interprets the fused kernel (pathologically "
+                "slow) — intended for TPU meshes"
             )
         self.stats = SearchStats()
         self.stats.multiplier = self.children[0].stats.multiplier
@@ -128,15 +130,27 @@ class ShardedBruteEngine:
         nbr = c0._n_bucket_rows
 
         interpret = c0._interpret  # CPU backend interprets (slow but real)
+        # CPU meshes take the XLA twin (identical summary layout):
+        # interpret-mode execution of the fused kernel unrolls the Fermat
+        # ladder into a ~250k-op graph (>1 h XLA:CPU compile). The twin
+        # has no bucketed-membership path, so large-T sets keep interpret.
+        use_xla_twin = c0._interpret and nbr == 0
 
         def local_chunk(px, py, tabx, taby, ax, ay, tgt, btab):
             """px/py: (1, 8) local shard base; the rest replicated args
             (P() specs) so the serialized HLO stays small."""
-            nx, ny, out = pbrute.pallas_brute_chunk(
-                px.reshape(8), py.reshape(8), tabx, taby, ax, ay, tgt,
-                btab, K=K, U=U, SB=SB, C=C, mode=mode, n_endo=ne,
-                hash_rows=hr, n_bucket_rows=nbr, interpret=interpret,
-            )
+            if use_xla_twin:
+                nx, ny, out = pbrute.xla_brute_chunk(
+                    px.reshape(8), py.reshape(8), tabx, taby, ax, ay,
+                    tgt, K=K, U=U, C=C, mode=mode, n_endo=ne,
+                    chain=self.p.chain_len,
+                )
+            else:
+                nx, ny, out = pbrute.pallas_brute_chunk(
+                    px.reshape(8), py.reshape(8), tabx, taby, ax, ay, tgt,
+                    btab, K=K, U=U, SB=SB, C=C, mode=mode, n_endo=ne,
+                    hash_rows=hr, n_bucket_rows=nbr, interpret=interpret,
+                )
             npos = (out[:C] < K * U).sum()
             ndeg = out[2 * C : 2 * C + K].sum()
             adv = out[2 * C + 2 * K : 2 * C + 3 * K].sum()
@@ -154,8 +168,10 @@ class ShardedBruteEngine:
         jitted = jax.jit(smapped)
 
         def chunk(px, py):
+            tabx = c0.tab_x if use_xla_twin else c0._tab_x_lm
+            taby = c0.tab_y if use_xla_twin else c0._tab_y_lm
             return jitted(
-                px, py, c0._tab_x_lm, c0._tab_y_lm, c0._adv_x_f,
+                px, py, tabx, taby, c0._adv_x_f,
                 c0._adv_y_f, c0._tgt_words, c0._btab,
             )
 
