@@ -317,6 +317,34 @@ class TestShardedBrute:
         assert [f.private_key for f in found] == [key]
 
 
+def test_sharded_brute_end_to_end_xla_twin():
+    """Planted key recovered THROUGH search_sharded on the CPU mesh —
+    runs on pbrute.xla_brute_chunk (the packed-summary XLA twin; the
+    interpret-mode fused kernel would take >1 h to compile here)."""
+    import jax
+
+    from keyhuntm1cpu_tpu.engine.brute import BruteParams
+    from keyhuntm1cpu_tpu.parallel.brute_mesh import ShardedBruteEngine
+    from keyhuntm1cpu_tpu.ref import ecref, hashref
+    from keyhuntm1cpu_tpu.utils.targets import TargetSet
+
+    devs = jax.devices()[:4]
+    bp = BruteParams(block_u=256, steps_per_chunk=4, pallas_sb=4,
+                     chunk_cand=64, pipeline_depth=2)
+    a = 0x90000
+    span = bp.block_u * 2 * len(devs) * 8
+    key = a + span - 5 * bp.block_u  # in the LAST shard's slice
+    ts = TargetSet(
+        kind="hash160",
+        raw=[hashref.pubkey_to_hash160(ecref.scalar_mult(key), True)],
+        labels=[hex(key)],
+    )
+    eng = ShardedBruteEngine(ts, a, a + span, mode="rmd160", params=bp,
+                             devices=devs)
+    found = eng.search_sharded(stop_on_first=False)
+    assert key in [f.private_key for f in found]
+
+
 def test_sharded_brute_checkpoint_resume(tmp_path):
     """search_sharded persists local-step progress and resumes past it
     (synthetic chunk; the decode order is the dispatch order, so
