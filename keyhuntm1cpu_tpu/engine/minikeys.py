@@ -457,11 +457,16 @@ def _minikey_finish_impl(base_lo, valid, w22_base, gtx, gty,
     cost otherwise)."""
     valid = valid.astype(bool)
     n_valid = valid.sum().astype(jnp.int32)
-    # hierarchical/sort compaction (filter/bitmap.py): the flat nonzero
-    # scan over B was ~half the chunk time at B=2^22 (minikey ledger)
-    from ..filter.bitmap import compact_positions
+    # dense compaction (filter/bitmap.py): validity is Bernoulli(2^-8),
+    # ~0.4 hits per 128-lane row — too dense for the hierarchical row
+    # path (its final nonzero was 24.3 ms of the 65.4 ms finish, gate
+    # 34). Iterated-argmax extraction is pure vector ops; `lost` (a row
+    # held > kmax hits, ~3e-5/chunk) poisons n_valid so the engine's
+    # exact host rescan covers the chunk.
+    from ..filter.bitmap import compact_positions_dense
 
-    vidx = compact_positions(valid, V, B)
+    vidx, lost = compact_positions_dense(valid, V, B)
+    n_valid = jnp.where(lost, jnp.int32(V + 1), n_valid)
     live = vidx < B
     vv = base_lo + jnp.minimum(vidx, B - 1).astype(jnp.uint32)
     w4or, w5or = _suffix_or_words(vv, alphabet)

@@ -638,6 +638,49 @@ def compact_positions_sort(mask: jnp.ndarray, size: int,
     return jnp.where(pos < B, pos, fill).astype(jnp.int32)
 
 
+def compact_positions_dense(mask: jnp.ndarray, size: int, fill: int,
+                            kmax: int = 8) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Mid-density compaction via iterated per-row argmax.
+
+    For masks with ~1 hit per 128-lane row (minikey validity is
+    Bernoulli(2^-8): ~0.4 hits/row at B=2^22) the hierarchical path
+    degenerates — nearly every row is hit, so its final flat nonzero
+    runs over ~size*128 elements (~24 ms measured, gate 34) — and the
+    B-wide sort path pays 10-16 ms regardless. Here: extract up to
+    `kmax` hits per row with pure vector ops (argmax for the first set
+    lane, one-hot clear, repeat — no gathers, no B-wide sort), then
+    sort only the (B/128)*kmax candidate slab.
+
+    Returns (pos, lost). pos as compact_positions (ascending, padded
+    with fill). lost is a () bool — True when some row held > kmax
+    hits, whose positions are then MISSING from pos: callers must treat
+    the chunk as overflowed (the engines' exact-rescan fallback).
+    P(Binom(128, 2^-8) > 8) ~ 1e-9 per row, ~3e-5 per 2^22 chunk.
+    """
+    B = mask.shape[0]
+    R = B // 128
+    rows = mask.reshape(R, 128)
+    lost = (rows.sum(axis=1, dtype=jnp.int32) > kmax).any()
+    lane = jnp.arange(128, dtype=jnp.int32)[None, :]
+    cols = []
+    cur = rows
+    for _ in range(kmax):
+        idx = jnp.argmax(cur, axis=1).astype(jnp.int32)  # first set lane
+        hit = cur.any(axis=1)
+        cols.append(jnp.where(hit, idx, jnp.int32(-1)))
+        cur = cur & (lane != idx[:, None])
+    cand = jnp.stack(cols, axis=1)  # (R, kmax), -1 = none
+    pos = jnp.arange(R, dtype=jnp.int32)[:, None] * 128 + cand
+    flat = jnp.where(cand >= 0, pos, jnp.int32(B)).reshape(-1)
+    (sflat,) = _jax.lax.sort((flat,), num_keys=1)
+    if size > sflat.shape[0]:
+        sflat = jnp.concatenate(
+            [sflat, jnp.full((size - sflat.shape[0],), B, dtype=jnp.int32)]
+        )
+    out = sflat[:size]
+    return jnp.where(out < B, out, fill).astype(jnp.int32), lost
+
+
 def compact_positions(mask: jnp.ndarray, size: int, fill: int) -> jnp.ndarray:
     """Positions of set bits in (B,) mask, padded with `fill` to `size`
     — jnp.nonzero(mask, size, fill) semantics (ascending, int32).

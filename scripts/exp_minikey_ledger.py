@@ -27,7 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from keyhuntm1cpu_tpu.engine import minikeys as mk
-from keyhuntm1cpu_tpu.filter.bitmap import compact_positions
+from keyhuntm1cpu_tpu.filter.bitmap import (compact_positions,
+                                            compact_positions_dense)
 from keyhuntm1cpu_tpu.hash import pminikey
 from keyhuntm1cpu_tpu.utils.targets import TargetSet
 from keyhuntm1cpu_tpu.ref import hashref, ecref
@@ -85,6 +86,14 @@ def main():
         t_comp = chain_time("compact(new)", step_compact, (mask0,))
 
         @jax.jit
+        def step_dense(st):
+            m = st[0]
+            pos, lost = compact_positions_dense(m, V, B)
+            return (m ^ (pos[0] < 0) ^ lost,)
+
+        t_dense = chain_time("compact(dense)", step_dense, (mask0,))
+
+        @jax.jit
         def step_flat(st):
             m = st[0]
             (pos,) = jnp.nonzero(m, size=V, fill_value=B)
@@ -119,7 +128,7 @@ def main():
         print(f"  [engine] {rate/1e6:.1f}M minikeys/s "
               f"({n} chunks in {el:.1f}s)", flush=True)
         print(f"  ledger: valid {t_valid*1e3:.1f} + finish {t_fin*1e3:.1f} "
-              f"(compact new {t_comp*1e3:.1f} / old flat {t_flat*1e3:.1f}) ms",
+              f"(compact new {t_comp*1e3:.1f} / dense {t_dense*1e3:.1f} / old flat {t_flat*1e3:.1f}) ms",
               flush=True)
 
 

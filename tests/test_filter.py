@@ -359,6 +359,45 @@ def test_compact_positions_matches_nonzero():
         np.testing.assert_array_equal(got, want, err_msg=f"{B},{size},{nhits}")
 
 
+def test_compact_positions_dense_matches_nonzero():
+    """Iterated-argmax dense compaction must equal jnp.nonzero(size,
+    fill) whenever no row exceeds kmax hits, and must raise `lost` when
+    one does (the minikey engine poisons n_valid on lost -> host
+    rescan)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from keyhuntm1cpu_tpu.filter import bitmap as bmp
+
+    rng = np.random.default_rng(33)
+    for B, size, p in ((1 << 14, 128, 1 / 256), (1 << 14, 128, 1 / 64),
+                       (1 << 13, 64, 0.0), (1 << 13, 40, 1 / 512)):
+        m = rng.random(B) < p
+        # cap rows at kmax hits so lost stays False for the equality leg
+        rows = m.reshape(-1, 128)
+        for r in np.nonzero(rows.sum(1) > 8)[0]:
+            hits = np.nonzero(rows[r])[0]
+            rows[r, hits[8:]] = False
+        m = rows.reshape(-1)
+        want = np.asarray(
+            jnp.nonzero(jnp.asarray(m), size=size, fill_value=B)[0]
+        )
+        got, lost = bmp.compact_positions_dense(jnp.asarray(m), size, B)
+        assert not bool(lost)
+        np.testing.assert_array_equal(np.asarray(got), want,
+                                      err_msg=f"{B},{size},{p}")
+    # a row with > kmax hits must flag lost
+    m = np.zeros(1 << 13, bool)
+    m[5 * 128 + np.arange(9)] = True
+    _, lost = bmp.compact_positions_dense(jnp.asarray(m), 64, 1 << 13)
+    assert bool(lost)
+    # overflow (more hits than size) keeps the FIRST size positions
+    m = np.zeros(1 << 13, bool)
+    m[rng.choice(1 << 13, size=200, replace=False)] = True
+    got, lost = bmp.compact_positions_dense(jnp.asarray(m), 64, 1 << 13)
+    want = np.nonzero(m)[0][:64]
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
 def test_two_stage_overflow_poisons_n():
     """Both overflow modes of the two-stage cascade must trip the
     caller's single `n_candidates > cand_max` rescan check: stage-2
