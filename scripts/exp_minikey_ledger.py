@@ -116,6 +116,63 @@ def main():
 
         t_fin = chain_time("finish", step_finish, (jnp.uint32(1),))
 
+        # -- finish sub-phases, each dependency-chained standalone:
+        # which of ladder / hashes / lookups owns the non-compact time?
+        from keyhuntm1cpu_tpu.curve import points
+        from keyhuntm1cpu_tpu.hash import phash
+        from keyhuntm1cpu_tpu.hash.sha256 import sha256_block_words
+        from keyhuntm1cpu_tpu.filter import sorted_table as st
+        from keyhuntm1cpu_tpu.engine.minikeys import _mk_words, _suffix_or_words
+
+        kv0 = jnp.asarray(
+            rng.integers(0, 2**32, (V, 8), dtype=np.uint32))
+
+        @jax.jit
+        def step_sha(st_):
+            vv = st_[0]
+            w4or, w5or = _suffix_or_words(vv, mk._B58)
+            kw = sha256_block_words(_mk_words(w22b, w4or, w5or, V))
+            return (vv + kw[0].astype(jnp.uint32),)
+
+        chain_time("fin:keysha", step_sha,
+                   (jnp.arange(V, dtype=jnp.uint32),))
+
+        @jax.jit
+        def step_ladder(st_):
+            kv = st_[0]
+            pub, irr = points.scalar_mult_batch_jac(
+                kv, eng._gx, eng._gy, chain_len=eng.p.chain_len)
+            return (kv ^ pub.x[..., :1].astype(jnp.uint32),)
+
+        chain_time("fin:ladder", step_ladder, (kv0,))
+
+        xb0 = jnp.asarray(rng.integers(0, 2**32, (V, 8), dtype=np.uint32))
+        yb0 = jnp.asarray(rng.integers(0, 2**32, (V, 8), dtype=np.uint32))
+
+        @jax.jit
+        def step_hashes(st_):
+            xb, yb = st_
+            (cle, che), (clo, cho) = phash.hash160_x2_from_batch(xb)
+            wu = phash.hash160_u_from_batch(xb, yb)
+            d = (cle ^ clo ^ wu[0]).astype(jnp.uint32)
+            return (xb ^ d[:, None], yb ^ (che ^ cho).astype(
+                jnp.uint32)[:, None])
+
+        chain_time("fin:hash160s", step_hashes, (xb0, yb0))
+
+        q0 = jnp.asarray(rng.integers(0, 2**32, (2, V), dtype=np.uint32))
+
+        @jax.jit
+        def step_lookup(st_):
+            q = st_[0]
+            tbl = st.SortedXTable(eng.table.hi, eng.table.lo, eng.table.idx)
+            r1 = st.lookup(tbl, q[0], q[1])
+            r2 = st.lookup(tbl, q[1], q[0])
+            d = (r1.found ^ r2.found).astype(jnp.uint32)
+            return (q ^ d[None, :],)
+
+        chain_time("fin:lookup_x2", step_lookup, (q0,))
+
         # -- full engine rate
         eng2 = mk.MinikeyEngine(ts, prefix="Sbenchmark1x",
                                 params=mk.tuned_params(batch=B))
