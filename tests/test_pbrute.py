@@ -297,3 +297,30 @@ def test_on_gate_validates_hash_rows():
                       params=BruteParams(block_u=1024, pallas="on",
                                          hash_rows=8))
     assert eng._fast
+
+
+def test_decode_fast_vanity_endo_interval_hit():
+    # VERDICT r4 #6 (vanity endomorphism): an interval hit on an endo
+    # qset must reconstruct lambda*k and survive the host prefix verify
+    # (reference allows -e for vanity, keyhunt.cpp:5749).
+    from keyhuntm1cpu_tpu.engine.vanity import vanity_intervals
+
+    lam = ecref.LAMBDA
+    want = 321 * lam % ecref.N
+    addr = hashref.pubkey_to_address(ecref.scalar_mult(want), compressed=True)
+    pref = addr[:6]
+    params = BruteParams(block_u=256, steps_per_chunk=4, pallas_sb=4,
+                         pallas="on", chunk_cand=64, endo=True)
+    eng = BruteEngine(
+        TargetSet(kind="hash160", raw=[], labels=[]), 100, 1 << 16,
+        mode="rmd160", params=params,
+        intervals=vanity_intervals(pref), prefixes=[pref],
+    )
+    assert eng._n_endo_fast == 3
+    assert eng.stats.multiplier == 6  # 2 parities x 3 endo lanes
+    C, K, U = eng.p.chunk_cand, eng.p.steps_per_chunk, eng.p.block_u
+    # scan key 321 sits at j = 221; endo power e=1 -> qset 2 (even parity)
+    arr = _mk_summary(C, K, U, hits=[(221, 0b0100)])
+    _, found = eng._decode_fast(0, arr)
+    assert [f.private_key for f in found] == [want]
+    assert found[0].target.startswith(pref)
