@@ -509,6 +509,9 @@ def _run(args, log) -> int:
                 log.warn("CPU vanity path matches compressed addresses "
                          "only; -l %s ignored (use the TPU fused path)"
                          % look)
+            if args.endo:
+                log.warn("CPU vanity path has no endomorphism lanes; "
+                         "-e ignored (use the TPU fused path)")
             eng = VanityEngine(
                 prefixes,
                 a,

@@ -62,13 +62,16 @@ def resolve_hash_rows(mode: str, block_u: int,
     Device A/B (docs/gates/05_hash_rows_ab.log, v5e): full-tile emit is
     vreg-spill-bound for the hash pipelines — eth hr=8 is +27% (179.0M
     vs 140.8M pts/s) and rmd160 hr=16 is +14% (385.6M vs 337.1M).
+    address_u prefers hr=32 (gate 38 fused sweep: 195.0M vs 190.1M at
+    16 / 192.1M at 64, matching the standalone hash160_u sweep in gate
+    35 where 32 rows won at 273M lanes/s).
     xpoint has no hash phase, so it keeps the single-pass emit. An
     explicit hash_rows always wins; defaults that don't tile block_u
     fall back to full-tile (e.g. the block_u=256 gate shapes).
     """
     if hash_rows is not None:
         return hash_rows
-    hr = {"eth": 8, "rmd160": 16, "rmd160_both": 16, "address_u": 16}.get(mode)
+    hr = {"eth": 8, "rmd160": 16, "rmd160_both": 16, "address_u": 32}.get(mode)
     rows = block_u // 128
     if hr is None or rows % hr != 0 or hr >= rows:
         return None

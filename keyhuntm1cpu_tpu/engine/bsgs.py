@@ -513,19 +513,36 @@ class BSGSEngine:
         kmax = 128  # blocks per loop iteration (multiple of 8)
         blocks = m // ub - 2
         n_iter = -(-blocks // kmax)
-        if n_iter:
+        # Bounded dispatch slices: one XLA program covering all of
+        # m=2^30 runs for tens of minutes and the device worker dies
+        # mid-dispatch (gates 33/36, "TPU worker process crashed").
+        # A host loop re-entering the SAME compiled executable (it0 is a
+        # runtime value; words are donated, so buffers are reused in
+        # place) keeps every dispatch to ~1 minute with one sync each.
+        slice_iters = int(os.environ.get("KEYHUNT_STREAM_SLICE", 256))
+        done = 0
+        while done < n_iter:
+            step = min(slice_iters, n_iter - done)
+            t0 = time.time()
             words1, words2, px, py, dc, adv_any = _filters_stream_impl(
                 px, py, tx, ty, ax, ay, words1, words2,
-                jnp.int32(n_iter), jnp.uint32(m),
+                jnp.int32(step), jnp.int32(done), jnp.uint32(m),
                 K=kmax, U=ub, SB=p.pallas_sb,
                 bits_log2=bits_log2, b2_bits=b2bits,
             )
-            _debug_sync("filters stream done", words1)
             assert int(np.asarray(dc)) == 0, (
                 "degenerate walk lane in the streaming filter build "
                 "(impossible for base >= 2*Ub*G)"
             )
             assert not bool(np.asarray(adv_any))
+            done += step
+            if os.environ.get("KEYHUNT_BUILD_DEBUG") or n_iter > slice_iters:
+                print(
+                    f"[build] filter stream {done}/{n_iter} iters "
+                    f"({time.time() - t0:.1f}s/slice)",
+                    flush=True,
+                )
+        _debug_sync("filters stream done", words1)
         return (bmp.DeviceBitmap(words1, bits_log2),
                 bmp.DeviceBloom2(words2, b2bits))
 
@@ -1590,20 +1607,25 @@ def _seed_words(word_idx, vals, *, n_words: int):
     return jnp.zeros(n_words, jnp.uint32).at[word_idx].set(vals)
 
 
-@partial(jax.jit, static_argnames=("K", "U", "SB", "bits_log2", "b2_bits"),
+@partial(jax.jit, static_argnames=("K", "U", "SB", "bits_log2", "b2_bits",
+                                   "interpret"),
          donate_argnums=(6, 7))
 def _filters_stream_impl(px, py, tx, ty, ax, ay, words1, words2,
-                         n_iter, n_keys,
-                         *, K, U, SB, bits_log2, b2_bits):
-    """Whole filter build as ONE dispatch: a fori_loop carries (bitmap,
-    bloom2, walk state); each iteration walks K blocks of U keys
-    (Pallas) and ORs their bits into both filters, masking lanes whose
-    global key index reaches n_keys (the final iteration's tail).
+                         n_iter, it0, n_keys,
+                         *, K, U, SB, bits_log2, b2_bits,
+                         interpret: bool = False):
+    """One bounded SLICE of the filter build: a fori_loop carries
+    (bitmap, bloom2, walk state); each iteration walks K blocks of U
+    keys (Pallas) and ORs their bits into both filters, masking lanes
+    whose global key index reaches n_keys (the final iteration's tail).
 
-    n_iter and n_keys are RUNTIME values and the filter sizes are fixed
-    by the engine (bits=35, b2=34), so ONE ~15-minute remote compile
-    serves EVERY m (the per-shape scan version recompiled per m —
-    .tpu_queue/31/32 logs: 907 s compile, 2.9 s run at m=2^24).
+    n_iter, it0 (global iteration offset of this slice) and n_keys are
+    RUNTIME values and the filter sizes are fixed by the engine
+    (bits=35, b2=35), so ONE ~15-minute remote compile serves EVERY m
+    AND every slice (the per-shape scan version recompiled per m —
+    .tpu_queue/31/32 logs: 907 s compile, 2.9 s run at m=2^24). The
+    caller loops slices because a single all-of-m dispatch runs for
+    tens of minutes and crashes the device worker (gates 33/36).
     Requires n_keys <= 2^31 (uint32 index math)."""
     from ..curve import pwalk
 
@@ -1611,10 +1633,13 @@ def _filters_stream_impl(px, py, tx, ty, ax, ay, words1, words2,
 
     def body(it, carry):
         w1, w2, cpx, cpy, dc, adv = carry
-        res = pwalk.pallas_chunk(cpx, cpy, tx, ty, ax, ay, K=K, U=U, SB=SB)
+        res = pwalk.pallas_chunk(cpx, cpy, tx, ty, ax, ay, K=K, U=U, SB=SB,
+                                 interpret=interpret)
         qhi = res.qhi.reshape(-1)
         qlo = res.qlo.reshape(-1)
-        start = jnp.uint32(2 * U) + it.astype(jnp.uint32) * jnp.uint32(KU)
+        start = (jnp.uint32(2 * U)
+                 + (it0.astype(jnp.uint32) + it.astype(jnp.uint32))
+                 * jnp.uint32(KU))
         keep = (start + jnp.arange(KU, dtype=jnp.uint32)) < n_keys
         wi, bv = bmp.bitmap_bit_planes(qhi, qlo, bits_log2)
         wi = jnp.where(keep, wi, w1.shape[0])

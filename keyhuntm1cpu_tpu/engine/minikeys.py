@@ -66,16 +66,17 @@ def valid_budget(batch: int) -> int:
 
 def tuned_params(pallas: str = "auto",
                  batch: "int | None" = None) -> "MinikeyParams":
-    """Device-tuned MinikeyParams: batch 2^22 on a real accelerator
-    (gate-26 sweep, 36.8M minikeys/s on v5e), CPU-safe defaults
-    otherwise. valid_max always scales with batch via valid_budget() —
-    the ONE place that sizing lives (cli/bench/gates all call this)."""
+    """Device-tuned MinikeyParams: batch 2^23 on a real accelerator
+    (gate-37 ledger after the dense compaction: 93.5M minikeys/s on
+    v5e vs 90.5M at 2^22), CPU-safe defaults otherwise. valid_max
+    always scales with batch via valid_budget() — the ONE place that
+    sizing lives (cli/bench/gates all call this)."""
     import jax
 
     if batch is None:
         if jax.default_backend() == "cpu":
             return MinikeyParams(pallas=pallas)
-        batch = 1 << 22
+        batch = 1 << 23
     return MinikeyParams(pallas=pallas, batch=batch,
                          valid_max=valid_budget(batch))
 

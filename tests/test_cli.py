@@ -165,7 +165,7 @@ def test_resolve_hash_rows_defaults():
 
     assert resolve_hash_rows("eth", 16384, None) == 8
     assert resolve_hash_rows("rmd160", 16384, None) == 16
-    assert resolve_hash_rows("address_u", 16384, None) == 16
+    assert resolve_hash_rows("address_u", 16384, None) == 32  # gate 38
     assert resolve_hash_rows("xpoint", 16384, None) is None
     # explicit wins; untileable shapes fall back to full tile
     assert resolve_hash_rows("eth", 16384, 32) == 32

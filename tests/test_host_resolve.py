@@ -163,3 +163,87 @@ def test_host_rescan_exactness(table_4k):
         if 0 <= s < eng.n_steps:
             found += eng._host_rescan_step(s)
     assert k in [f.private_key for f in found]
+
+
+def test_filters_stream_sliced_matches_one_shot_and_host(monkeypatch):
+    """The sliced stream build (host loop over _filters_stream_impl with
+    an it0 offset; gates 33/36 showed a single all-of-m dispatch crashes
+    the device worker) must produce bit-identical filters to a one-shot
+    call AND to host-computed planes.
+
+    The Pallas walk is monkeypatched with a deterministic counter-based
+    fake (interpret-mode EC walks take >15 min on a 1-core box); the
+    REAL walk's filter bits are certified on device by the gate's
+    1M-key no-false-negative sweep (scripts/gate_host_resolve.py)."""
+    import jax.numpy as jnp
+    from keyhuntm1cpu_tpu.curve import pwalk
+    from keyhuntm1cpu_tpu.engine import bsgs as bsgs_mod
+
+    U, K, SB = 128, 8, 8
+    KU = K * U
+    bits_log2, b2bits = 14, 13
+    n_words1, n_words2 = 1 << (bits_log2 - 5), 1 << (b2bits - 5)
+
+    def fake_chunk(px, py, tx, ty, ax, ay, K, U, SB=4, interpret=False):
+        c = px[0]
+        base = c * jnp.uint32(KU) + jnp.arange(KU, dtype=jnp.uint32)
+        qlo = (base * jnp.uint32(2654435761)).reshape(K, U)
+        qhi = (base ^ jnp.uint32(0x9E3779B9)).reshape(K, U)
+        return pwalk.PallasChunkResult(
+            px + jnp.uint32(1), py,
+            qhi, qlo,
+            jnp.zeros((K, U), dtype=bool),
+            jnp.zeros((K,), dtype=bool),
+        )
+
+    monkeypatch.setattr(pwalk, "pallas_chunk", fake_chunk)
+
+    n_total, n_keys = 3, 2 * U + 2 * KU + 77  # tail mask mid-iteration 2
+    px0 = jnp.zeros(8, dtype=jnp.uint32)
+    zeros = lambda n: jnp.zeros(n, jnp.uint32)
+
+    def run(slices):
+        ws1, ws2 = zeros(n_words1), zeros(n_words2)
+        cpx, cpy, it0 = px0, px0, 0
+        for s in slices:
+            ws1, ws2, cpx, cpy, dc, adv_any = bsgs_mod._filters_stream_impl(
+                cpx, cpy, None, None, None, None, ws1, ws2,
+                jnp.int32(s), jnp.int32(it0), jnp.uint32(n_keys),
+                K=K, U=U, SB=SB, bits_log2=bits_log2, b2_bits=b2bits,
+            )
+            assert int(np.asarray(dc)) == 0
+            assert not bool(np.asarray(adv_any))
+            it0 += s
+        assert int(np.asarray(cpx)[0]) == n_total
+        return np.asarray(ws1), np.asarray(ws2)
+
+    one1, one2 = run([n_total])
+    sl1, sl2 = run([2, 1])
+    assert np.array_equal(one1, sl1)
+    assert np.array_equal(one2, sl2)
+    sl1b, sl2b = run([1, 1, 1])
+    assert np.array_equal(one1, sl1b)
+    assert np.array_equal(one2, sl2b)
+
+    # host-side expectation: same fake keys, masked at n_keys, through
+    # the same numpy bit-plane math the engine seeds with
+    idxs = []
+    for it in range(n_total):
+        base = (np.uint32(it * KU)
+                + np.arange(KU, dtype=np.uint32)).astype(np.uint32)
+        start = np.uint32(2 * U + it * KU)
+        keep = (start + np.arange(KU, dtype=np.uint32)) < n_keys
+        idxs.append((base[keep]))
+    base = np.concatenate(idxs)
+    lo = (base * np.uint32(2654435761)).astype(np.uint32)
+    hi = (base ^ np.uint32(0x9E3779B9)).astype(np.uint32)
+    want1 = np.zeros(n_words1, dtype=np.uint32)
+    bidx = bmp._bit_indices(hi, lo, bits_log2)
+    np.bitwise_or.at(
+        want1, (bidx >> np.uint64(5)).astype(np.int64),
+        np.uint32(1) << (bidx & np.uint64(31)).astype(np.uint32))
+    want2 = np.zeros(n_words2, dtype=np.uint32)
+    w2, v2 = bmp.bloom2_word_bit_np(hi, lo, b2bits)
+    np.bitwise_or.at(want2, w2, v2)
+    assert np.array_equal(one1, want1)
+    assert np.array_equal(one2, want2)
