@@ -247,8 +247,9 @@ def bench_bsgs_multitarget(params, seconds=5.0, *, table=None, bitmap=None,
     a = 1 << 63
     window = gate_params.steps_per_chunk * gate_params.block_u * stride
     rng = np.random.default_rng(16)
-    planted = sorted(int(a + v) for v in
+    planted = sorted(a + int(v) for v in  # int(v) first: np.int64 + a
                      rng.integers(0, min(window, (1 << 63)), size=16))
+    # overflows C long at a = 2^63
     pubs = [ecref.scalar_mult(k) for k in planted]
     eng = BSGSEngine(pubs, a, a + window, gate_params, **kw)
     got = sorted(f.private_key for f in
