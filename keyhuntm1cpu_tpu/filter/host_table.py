@@ -113,10 +113,10 @@ class HostTable:
             if isinstance(arr, np.memmap):
                 step = (1 << 24) // arr.itemsize
                 s = np.uint64(0)
-                for off in range(0, arr.shape[0], step):
-                    s += arr[off : off + step : 4096 // arr.itemsize].sum(
-                        dtype=np.uint64
-                    )
+                with np.errstate(over="ignore"):  # the sum only forces
+                    for off in range(0, arr.shape[0], step):  # page-ins;
+                        s += arr[off : off + step : 4096 // arr.itemsize
+                                 ].sum(dtype=np.uint64)  # wrap is fine
 
     def contains_all(self, q: np.ndarray) -> np.ndarray:
         """(B,) bool membership for packed uint64 queries (tests)."""
