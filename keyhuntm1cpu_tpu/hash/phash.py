@@ -15,6 +15,7 @@ Reference capability: GetHash160_fromX both-parity hashing
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, Tuple
 
 import numpy as np
@@ -212,35 +213,76 @@ def _k_rol64(hi, lo, n: int):
     return ((lo << m) | (hi >> (32 - m)), (hi << m) | (lo >> (32 - m)))
 
 
+def _keccak_round_tiles(state, rc_hi, rc_lo):
+    """One keccak-f round over a 5x5 list of (hi, lo) tile pairs.
+    rc_hi/rc_lo may be python uint32s (unrolled path) or traced scalars
+    (fori_loop path)."""
+    c = []
+    for x in range(5):
+        h = state[x][0][0] ^ state[x][1][0] ^ state[x][2][0] ^ state[x][3][0] ^ state[x][4][0]
+        l = state[x][0][1] ^ state[x][1][1] ^ state[x][2][1] ^ state[x][3][1] ^ state[x][4][1]
+        c.append((h, l))
+    d = []
+    for x in range(5):
+        rh, rl = _k_rol64(c[(x + 1) % 5][0], c[(x + 1) % 5][1], 1)
+        d.append((c[(x - 1) % 5][0] ^ rh, c[(x - 1) % 5][1] ^ rl))
+    a = [
+        [(state[x][y][0] ^ d[x][0], state[x][y][1] ^ d[x][1]) for y in range(5)]
+        for x in range(5)
+    ]
+    b = [[None] * 5 for _ in range(5)]
+    for x in range(5):
+        for y in range(5):
+            b[y][(2 * x + 3 * y) % 5] = _k_rol64(a[x][y][0], a[x][y][1], _ROT[x][y])
+    out = [[None] * 5 for _ in range(5)]
+    for x in range(5):
+        for y in range(5):
+            nh = b[x][y][0] ^ (~b[(x + 1) % 5][y][0] & b[(x + 2) % 5][y][0])
+            nl = b[x][y][1] ^ (~b[(x + 1) % 5][y][1] & b[(x + 2) % 5][y][1])
+            out[x][y] = (nh, nl)
+    out[0][0] = (out[0][0][0] ^ rc_hi, out[0][0][1] ^ rc_lo)
+    return out
+
+
 def _keccak_f_unrolled(state):
     """state: 5x5 list of (hi, lo) tile pairs; 24 unrolled rounds."""
     for rc in _RC:
-        rc_hi, rc_lo = np.uint32(rc >> 32), np.uint32(rc & 0xFFFFFFFF)
-        c = []
-        for x in range(5):
-            h = state[x][0][0] ^ state[x][1][0] ^ state[x][2][0] ^ state[x][3][0] ^ state[x][4][0]
-            l = state[x][0][1] ^ state[x][1][1] ^ state[x][2][1] ^ state[x][3][1] ^ state[x][4][1]
-            c.append((h, l))
-        d = []
-        for x in range(5):
-            rh, rl = _k_rol64(c[(x + 1) % 5][0], c[(x + 1) % 5][1], 1)
-            d.append((c[(x - 1) % 5][0] ^ rh, c[(x - 1) % 5][1] ^ rl))
-        a = [
-            [(state[x][y][0] ^ d[x][0], state[x][y][1] ^ d[x][1]) for y in range(5)]
-            for x in range(5)
-        ]
-        b = [[None] * 5 for _ in range(5)]
-        for x in range(5):
-            for y in range(5):
-                b[y][(2 * x + 3 * y) % 5] = _k_rol64(a[x][y][0], a[x][y][1], _ROT[x][y])
-        state = [[None] * 5 for _ in range(5)]
-        for x in range(5):
-            for y in range(5):
-                nh = b[x][y][0] ^ (~b[(x + 1) % 5][y][0] & b[(x + 2) % 5][y][0])
-                nl = b[x][y][1] ^ (~b[(x + 1) % 5][y][1] & b[(x + 2) % 5][y][1])
-                state[x][y] = (nh, nl)
-        state[0][0] = (state[0][0][0] ^ rc_hi, state[0][0][1] ^ rc_lo)
+        state = _keccak_round_tiles(
+            state, np.uint32(rc >> 32), np.uint32(rc & 0xFFFFFFFF)
+        )
     return state
+
+
+def _keccak_f_loop(state):
+    """fori_loop variant (KEYHUNT_KECCAK_LOOP=1): carry = 50 flat tiles,
+    round constants dynamically sliced per iteration. Spill-pressure
+    experiment — the unrolled body keeps ~50 live (hi,lo) tiles across
+    24 rounds (PERF.md: keccak at 34% VPU, vreg-spill-bound); a loop
+    body gives Mosaic one round's liveness to schedule instead."""
+    import jax
+
+    rc_hi_c = jnp.asarray([(r >> 32) & 0xFFFFFFFF for r in _RC],
+                          dtype=jnp.uint32)
+    rc_lo_c = jnp.asarray([r & 0xFFFFFFFF for r in _RC], dtype=jnp.uint32)
+    flat = [state[x][y][h] for x in range(5) for y in range(5)
+            for h in range(2)]
+
+    def body(i, flat):
+        st = [[(flat[(x * 5 + y) * 2], flat[(x * 5 + y) * 2 + 1])
+               for y in range(5)] for x in range(5)]
+        st = _keccak_round_tiles(st, rc_hi_c[i], rc_lo_c[i])
+        return [st[x][y][h] for x in range(5) for y in range(5)
+                for h in range(2)]
+
+    flat = jax.lax.fori_loop(0, len(_RC), body, flat)
+    return [[(flat[(x * 5 + y) * 2], flat[(x * 5 + y) * 2 + 1])
+             for y in range(5)] for x in range(5)]
+
+
+def _keccak_f_tiles(state):
+    if os.environ.get("KEYHUNT_KECCAK_LOOP"):
+        return _keccak_f_loop(state)
+    return _keccak_f_unrolled(state)
 
 
 def keccak_eth_words(xl: List[jnp.ndarray], yl: List[jnp.ndarray]):
@@ -259,7 +301,7 @@ def keccak_eth_words(xl: List[jnp.ndarray], yl: List[jnp.ndarray]):
         set_lane(4 + k, (_bswap(yl[6 - 2 * k]), _bswap(yl[7 - 2 * k])))
     set_lane(8, (zero, zero + 1))
     set_lane(16, (zero + np.uint32(0x80000000), zero))
-    state = _keccak_f_unrolled(state)
+    state = _keccak_f_tiles(state)
     l1 = state[1 % 5][0]
     l2 = state[2 % 5][0]
     return l1[0], l2[1]  # digest bytes 12..15 / 16..19 LE

@@ -49,6 +49,7 @@ def main():
     x = jnp.asarray(rng.integers(0, 2**32, (8, ROWS, 128), dtype=np.uint32))
     y = jnp.asarray(rng.integers(0, 2**32, (8, ROWS, 128), dtype=np.uint32))
 
+    only = set(sys.argv[1:])  # optional kernel-name filter
     # time each kernel via a dependency on one output element
     for name, fn in (
         ("hash160_x2", lambda st, br: phash.hash160_x2_tiles(
@@ -58,6 +59,8 @@ def main():
         ("hash160_u", lambda st, br: phash.hash160_u_tiles(
             st, y, block_rows=br)[0]),
     ):
+        if only and name not in only:
+            continue
         ref = None
         for br in (8, 16, 32):
             out0 = np.asarray(fn(x, br))
