@@ -27,6 +27,7 @@ re-verified exactly on the host with the golden reference (hashref/ecref).
 
 from __future__ import annotations
 
+import os
 import secrets
 from collections import deque
 from dataclasses import dataclass
@@ -272,6 +273,8 @@ class MinikeyEngine:
                     B=B, V=V, HM=HM, chain=p.chain_len,
                     alphabet=self.alphabet,
                     tile_hash=self._use_pallas,
+                    tile_ladder=self._use_pallas and os.environ.get(
+                        "KEYHUNT_MINIKEY_PLADDER", "1") != "0",
                 )
                 out.copy_to_host_async()
                 pending.append((prefix17, low, self.counter, out))
@@ -440,10 +443,11 @@ def _xla_valid_impl(base_lo, w23_base, *, B, alphabet: str = _B58):
 
 
 @partial(jax.jit, static_argnames=("B", "V", "HM", "chain", "alphabet",
-                                   "tile_hash"))
+                                   "tile_hash", "tile_ladder"))
 def _minikey_finish_impl(base_lo, valid, w22_base, gtx, gty,
                         thi, tlo, tidx, *, B, V, HM, chain,
-                        alphabet: str = _B58, tile_hash: bool = False):
+                        alphabet: str = _B58, tile_hash: bool = False,
+                        tile_ladder: bool = False):
     """Returns packed int32 summary [n_valid, n_check, lanes(HM)] where
     lanes are batch indices needing exact host verification (table hits
     or scalar-ladder edge cases); fill value B.
@@ -473,7 +477,18 @@ def _minikey_finish_impl(base_lo, valid, w22_base, gtx, gty,
     w4or, w5or = _suffix_or_words(vv, alphabet)
     kw = sha256_block_words(_mk_words(w22_base, w4or, w5or, V))
     kv = jnp.stack([kw[7 - i] for i in range(8)], axis=-1)  # (V, 8)
-    pub, irr = points.scalar_mult_batch_jac(kv, gtx, gty, chain_len=chain)
+    if tile_ladder:
+        # Pallas ladder + MXU one-hot table gather (curve/pladder.py):
+        # the XLA ladder was 82.7 of the 85.9 ms finish at V=34816
+        # (docs/PERF.md minikeys ledger). Same (points, irregular)
+        # contract — flagged lanes go through the exact host rescan.
+        from ..curve import pladder
+
+        pub, irr = pladder.scalar_mult_tiles(kv, gtx, gty)
+    else:
+        pub, irr = points.scalar_mult_batch_jac(
+            kv, gtx, gty, chain_len=chain
+        )
     odd = (pub.y[..., 0] & jnp.uint32(1)) == 1
     if tile_hash:
         from ..hash import phash

@@ -261,16 +261,27 @@ def _keccak_f_loop(state):
     body gives Mosaic one round's liveness to schedule instead."""
     import jax
 
-    rc_hi_c = jnp.asarray([(r >> 32) & 0xFFFFFFFF for r in _RC],
-                          dtype=jnp.uint32)
-    rc_lo_c = jnp.asarray([r & 0xFFFFFFFF for r in _RC], dtype=jnp.uint32)
+    def rc_at(i):
+        # scalar select chain: a pallas kernel may not capture constant
+        # ARRAYS (only scalars), so the (24, 2) RC table becomes 24
+        # masked ORs of literal uint32s — ~48 scalar ops/round, noise
+        # next to the ~3k vector ops of the round body.
+        h = jnp.uint32(0)
+        l = jnp.uint32(0)
+        for j, r in enumerate(_RC):
+            m = jnp.where(i == j, jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
+            h = h | (m & np.uint32(r >> 32))
+            l = l | (m & np.uint32(r & 0xFFFFFFFF))
+        return h, l
+
     flat = [state[x][y][h] for x in range(5) for y in range(5)
             for h in range(2)]
 
     def body(i, flat):
         st = [[(flat[(x * 5 + y) * 2], flat[(x * 5 + y) * 2 + 1])
                for y in range(5)] for x in range(5)]
-        st = _keccak_round_tiles(st, rc_hi_c[i], rc_lo_c[i])
+        rc_hi, rc_lo = rc_at(i)
+        st = _keccak_round_tiles(st, rc_hi, rc_lo)
         return [st[x][y][h] for x in range(5) for y in range(5)
                 for h in range(2)]
 
