@@ -139,30 +139,35 @@ def _ladder_blocks(load_window, tile, *, n_groups: int):
     (8, BR, 128), flags (2, BR, 128) u32 (inf, irregular)."""
 
     def body(w, carry):
-        X, Y, Z, inf, irr = carry
+        # masks cross the loop boundary as uint32 0/1 tiles: carrying
+        # i1 vectors through the scf loop trips a Mosaic vmask-layout
+        # bug (arith.andi on vector<8x128x32xi1> x vector<8x128xi1>,
+        # internal compile error — gate 45 first attempt)
+        X, Y, Z, inf_u, irr_u = carry
+        inf = inf_u != 0
         qxw, qyw, qiw = load_window(w)
         q_inf = qiw != 0
         x3, y3, z3, hz = _madd_flag(X, Y, Z, qxw, qyw)
-        irr = irr | (hz & ~inf & ~q_inf)
+        irr_u = irr_u | (hz & ~inf & ~q_inf).astype(jnp.uint32)
         one = ft.one_like(X)
         X = ft.select(q_inf, X, ft.select(inf, qxw, x3))
         Y = ft.select(q_inf, Y, ft.select(inf, qyw, y3))
         Z = ft.select(q_inf, Z, ft.select(inf, one, z3))
-        return X, Y, Z, inf & q_inf, irr
+        return X, Y, Z, (inf & q_inf).astype(jnp.uint32), irr_u
 
     zero = jnp.zeros((8,) + tile, dtype=jnp.uint32)
-    inf0 = jnp.ones(tile, dtype=bool)  # accumulator starts at infinity
-    irr0 = jnp.zeros(tile, dtype=bool)
-    X, Y, Z, inf, irr = jax.lax.fori_loop(
+    inf0 = jnp.ones(tile, dtype=jnp.uint32)  # accumulator starts at inf
+    irr0 = jnp.zeros(tile, dtype=jnp.uint32)
+    X, Y, Z, inf_u, irr_u = jax.lax.fori_loop(
         0, 32, body, (zero, zero, ft.one_like(zero), inf0, irr0)
     )
     # normalize: zero/flagged Z -> 1 keeps the inversion chain exact
-    z_safe = ft.select(ft.is_zero(Z) | inf, ft.one_like(Z), Z)
+    z_safe = ft.select(ft.is_zero(Z) | (inf_u != 0), ft.one_like(Z), Z)
     zi = ft.montgomery_inv_groups(z_safe, n_groups=n_groups)
     zi2 = ft.sqr(zi)
     ax = ft.mul(X, zi2)
     ay = ft.mul(Y, ft.mul(zi, zi2))
-    flags = jnp.stack([inf.astype(jnp.uint32), irr.astype(jnp.uint32)])
+    flags = jnp.stack([inf_u, irr_u])
     return ax, ay, flags
 
 
