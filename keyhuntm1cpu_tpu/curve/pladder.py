@@ -185,17 +185,20 @@ def _ladder_blocks_arrays(qx, qy, qinf, *, n_groups: int):
 
 
 def _ladder_kernel(qx_ref, qy_ref, qinf_ref, ax_ref, ay_ref, flags_ref,
-                   *, n_groups: int):
+                   *, n_groups: int, br: int):
+    """3D refs, windows flattened into the sublane dim (window-major):
+    qx/qy (8, 32*BR, 128), qinf (32*BR, 128) — 4D blocks with a leading
+    32 gave Mosaic pathological layouts (gate 45: vmask crash; 45b
+    first attempt: >30 min compile)."""
+
     def load(w):
         return (
-            qx_ref[pl.ds(w, 1)][0],
-            qy_ref[pl.ds(w, 1)][0],
-            qinf_ref[pl.ds(w, 1)][0],
+            qx_ref[:, pl.ds(w * br, br), :],
+            qy_ref[:, pl.ds(w * br, br), :],
+            qinf_ref[pl.ds(w * br, br), :],
         )
 
-    ax, ay, flags = _ladder_blocks(
-        load, qinf_ref.shape[1:], n_groups=n_groups
-    )
+    ax, ay, flags = _ladder_blocks(load, (br, LANES), n_groups=n_groups)
     ax_ref[...] = ax
     ay_ref[...] = ay
     flags_ref[...] = flags
@@ -241,27 +244,41 @@ def _scalar_mult_tiles(
     n = k.shape[0]
     rows = n // LANES
     qx, qy, q_inf = _gather_windows(k, gtable_x, gtable_y)
-    # (32, n, 8) -> (32, 8, rows, 128) limb-major; q_inf -> (32, rows, 128)
-    qx_lm = jnp.transpose(qx, (0, 2, 1)).reshape(32, 8, rows, LANES)
-    qy_lm = jnp.transpose(qy, (0, 2, 1)).reshape(32, 8, rows, LANES)
-    qi_lm = q_inf.astype(jnp.uint32).reshape(32, rows, LANES)
+    # window-major sublane layout: each grid block r owns a contiguous
+    # (32 * block_rows)-row slab holding ITS rows for every window —
+    # 3D refs only (4D blocks with a leading 32 gave Mosaic
+    # pathological layouts; see _ladder_kernel docstring)
+    nb = rows // block_rows
+    br = block_rows
 
-    grid = rows // block_rows
+    def slab(a, limb_first):
+        # (32, n[, 8]) -> (8, nb*32*br, 128) / (nb*32*br, 128)
+        if limb_first:
+            v = a.reshape(32, nb, br, LANES, 8)
+            v = jnp.transpose(v, (4, 1, 0, 2, 3))
+            return v.reshape(8, nb * 32 * br, LANES)
+        v = a.reshape(32, nb, br, LANES)
+        return jnp.transpose(v, (1, 0, 2, 3)).reshape(nb * 32 * br, LANES)
+
+    qx_lm = slab(qx, True)
+    qy_lm = slab(qy, True)
+    qi_lm = slab(q_inf.astype(jnp.uint32), False)
+
     bspec = lambda shp, idx: pl.BlockSpec(shp, idx)
     ax, ay, flags = pl.pallas_call(
         functools.partial(
-            _ladder_kernel, n_groups=max(1, block_rows // 8)
+            _ladder_kernel, n_groups=max(1, block_rows // 8), br=br
         ),
-        grid=(grid,),
+        grid=(nb,),
         in_specs=[
-            bspec((32, 8, block_rows, LANES), lambda r: (0, 0, r, 0)),
-            bspec((32, 8, block_rows, LANES), lambda r: (0, 0, r, 0)),
-            bspec((32, block_rows, LANES), lambda r: (0, r, 0)),
+            bspec((8, 32 * br, LANES), lambda r: (0, r, 0)),
+            bspec((8, 32 * br, LANES), lambda r: (0, r, 0)),
+            bspec((32 * br, LANES), lambda r: (r, 0)),
         ],
         out_specs=[
-            bspec((8, block_rows, LANES), lambda r: (0, r, 0)),
-            bspec((8, block_rows, LANES), lambda r: (0, r, 0)),
-            bspec((2, block_rows, LANES), lambda r: (0, r, 0)),
+            bspec((8, br, LANES), lambda r: (0, r, 0)),
+            bspec((8, br, LANES), lambda r: (0, r, 0)),
+            bspec((2, br, LANES), lambda r: (0, r, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((8, rows, LANES), jnp.uint32),

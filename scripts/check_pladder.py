@@ -54,7 +54,13 @@ def main():
     for i, k in enumerate(ks):
         kk = k % ecref.N
         if kk == 0:
-            assert inf[i], f"k={k}: expected infinity"
+            # k=0: all windows infinite -> inf. k=N (etc.): the sum
+            # CANCELS at some window (P + -P), which the ladder cannot
+            # represent — it flags the lane irregular for host verify
+            # (same contract as the XLA ladder). Both are correct.
+            assert inf[i] or irr[i], f"k={k}: expected inf or flagged"
+            if k == 0:
+                assert inf[i], "k=0 must be infinity (all-zero windows)"
             continue
         if irr[i]:
             n_irr += 1  # contract: flagged lanes go to host verify
