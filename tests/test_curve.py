@@ -122,3 +122,28 @@ def test_pladder_mxu_gather_matches_indexing():
         assert np.array_equal(qx[w], gx[w][byte]), f"window {w} x"
         assert np.array_equal(qy[w], gy[w][byte]), f"window {w} y"
         assert np.array_equal(qinf[w], byte == 0)
+
+
+def test_pladder_slab_layout_mapping():
+    """The window-major slab layout must route (window w, batch i) to
+    sublane w*BR + (i row offset) of grid block i//(BR*128) — the
+    kernel reads qx_ref[:, w*BR : (w+1)*BR, :] per window."""
+    import jax.numpy as jnp
+
+    LANES = 128
+    nb, br = 3, 8
+    n = nb * br * LANES
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 2**32, (32, n, 8), dtype=np.uint32)
+
+    v = jnp.asarray(a).reshape(32, nb, br, LANES, 8)
+    slab = np.asarray(
+        jnp.transpose(v, (4, 1, 0, 2, 3)).reshape(8, nb * 32 * br, LANES)
+    )
+    for r in (0, 2):
+        for w in (0, 17, 31):
+            for j in (0, 7):
+                for lane in (0, 127):
+                    batch = (r * br + j) * LANES + lane
+                    got = slab[:, r * (32 * br) + w * br + j, lane]
+                    assert np.array_equal(got, a[w, batch]), (r, w, j)
