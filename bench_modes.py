@@ -180,7 +180,8 @@ def bench_minikeys(seconds=5.0, gate_only=False):
     if gate_only:
         return {"gate": "ok"}
     eng.counter = 1 << 31
-    n = max(2, int(seconds / 0.09))  # ~90 ms per 2^23 chunk (gate 37)
+    n = max(2, int(seconds / 0.022))  # ~22 ms per 2^23 chunk with the
+    # pallas ladder (gate 46); max_seconds below still bounds wall time
     k0 = eng.stats.keys_covered
     t0 = time.time()
     eng.search(max_chunks=n, stop_on_first=False, max_seconds=3 * seconds)
