@@ -146,6 +146,16 @@ def main():
 
         chain_time("fin:ladder", step_ladder, (kv0,))
 
+        @jax.jit
+        def step_pladder(st_):
+            from keyhuntm1cpu_tpu.curve import pladder
+
+            kv = st_[0]
+            pub, irr = pladder.scalar_mult_tiles(kv, eng._gx, eng._gy)
+            return (kv ^ pub.x[..., :1].astype(jnp.uint32),)
+
+        chain_time("fin:pladder", step_pladder, (kv0,))
+
         xb0 = jnp.asarray(rng.integers(0, 2**32, (V, 8), dtype=np.uint32))
         yb0 = jnp.asarray(rng.integers(0, 2**32, (V, 8), dtype=np.uint32))
 
