@@ -34,6 +34,7 @@ because Mosaic has no 32x32->64 multiply.
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, Tuple
 
 import numpy as np
@@ -124,36 +125,43 @@ def minikey_valid_tile(v: jnp.ndarray, w23: List[jnp.ndarray],
     return (h0 >> np.uint32(24) == 0).astype(jnp.uint32)
 
 
-def _minikey_valid_kernel(sc_ref, out_ref, *, runs):
+def _minikey_valid_kernel(sc_ref, out_ref, *, runs, br):
     g = pl.program_id(0)
     base = sc_ref[0]
     idx = (
-        jax.lax.broadcasted_iota(jnp.uint32, (SUBLANES, LANES), 0)
+        jax.lax.broadcasted_iota(jnp.uint32, (br, LANES), 0)
         * np.uint32(LANES)
-        + jax.lax.broadcasted_iota(jnp.uint32, (SUBLANES, LANES), 1)
+        + jax.lax.broadcasted_iota(jnp.uint32, (br, LANES), 1)
     )
-    v = base + g.astype(jnp.uint32) * np.uint32(TILE) + idx
+    v = base + g.astype(jnp.uint32) * np.uint32(br * LANES) + idx
     w23 = [sc_ref[1 + i] for i in range(16)]
     out_ref[:, :] = minikey_valid_tile(v, w23, runs)
 
 
 def _minikey_valid_call(base_lo, w23_base, *, B: int,
-                        alphabet: str, interpret: bool) -> jnp.ndarray:
+                        alphabet: str, interpret: bool,
+                        block_rows: int = SUBLANES) -> jnp.ndarray:
+    """block_rows: grid-block rows (KEYHUNT_MINIKEY_VALID_BR overrides).
+    At 8 rows each live sha word is ONE vreg and the serial compress
+    chain bounds issue ILP; 16/32 rows give 2/4 independent vregs per
+    op (the gate-35 pattern: hash160_x2 +38% at 16). Swept on device by
+    gate 50 before changing any default."""
     sc = jnp.concatenate(
         [jnp.asarray(base_lo, jnp.uint32).reshape(1),
          w23_base.astype(jnp.uint32)]
     )
     rows = B // LANES
+    br = block_rows if rows % block_rows == 0 else SUBLANES
     kern = functools.partial(
-        _minikey_valid_kernel, runs=b58_runs(alphabet)
+        _minikey_valid_kernel, runs=b58_runs(alphabet), br=br
     )
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.uint32),
-        grid=(rows // SUBLANES,),
+        grid=(rows // br,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=pl.BlockSpec(
-            (SUBLANES, LANES), lambda g: (g, 0), memory_space=pltpu.VMEM
+            (br, LANES), lambda g: (g, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
     )(sc)
@@ -162,7 +170,7 @@ def _minikey_valid_call(base_lo, w23_base, *, B: int,
 
 _minikey_valid_jit = jax.jit(
     _minikey_valid_call,
-    static_argnames=("B", "alphabet", "interpret"),
+    static_argnames=("B", "alphabet", "interpret", "block_rows"),
 )
 
 
@@ -183,6 +191,8 @@ def minikey_valid(base_lo, w23_base, *, B: int,
     """
     if B % TILE:
         raise ValueError(f"B must be a multiple of {TILE}, got {B}")
+    br = int(os.environ.get("KEYHUNT_MINIKEY_VALID_BR", SUBLANES))
     return _minikey_valid_jit(
-        base_lo, w23_base, B=B, alphabet=alphabet, interpret=interpret
+        base_lo, w23_base, B=B, alphabet=alphabet, interpret=interpret,
+        block_rows=br,
     )
