@@ -191,7 +191,10 @@ def minikey_valid(base_lo, w23_base, *, B: int,
     """
     if B % TILE:
         raise ValueError(f"B must be a multiple of {TILE}, got {B}")
-    br = int(os.environ.get("KEYHUNT_MINIKEY_VALID_BR", SUBLANES))
+    # 32-row blocks measured -24% vs 8 at B=2^23 (gate 50: 7.36 ms /
+    # 1139M lanes/s vs 9.62 ms, equality-gated); untileable B falls
+    # back to 8 rows inside _minikey_valid_call
+    br = int(os.environ.get("KEYHUNT_MINIKEY_VALID_BR", 32))
     return _minikey_valid_jit(
         base_lo, w23_base, B=B, alphabet=alphabet, interpret=interpret,
         block_rows=br,
